@@ -1,0 +1,77 @@
+"""Benchmark harness — the 12 headline queries vs BASELINE.md.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Protocol mirrors BASELINE.md: one warm
+SparkSession (JVM warmed by a lineitem.count()), per query cold run
+then warm run, warm time reported; action = collect() of the result.
+
+Prints ONE JSON line:
+{"metric": "total_warm_s", "value": N, "unit": "sec",
+ "queries": {name: warm_s, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "scan_filter_agg",
+    "groupby_agg",
+    "join_star",
+    "join_fact_agg",
+    "window_rank",
+    "topk",
+    "distinct_exact_approx",
+    "sessionize",
+    "json_extract_agg",
+    "tokenize_wordcount",
+    "dedup_hash",
+    "knn_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from insight_spark.engine import get_spark
+    from insight_spark.queries import all_queries
+    from insight_spark.sources import load_table
+
+    spark = get_spark("insight_spark_bench")
+    registry = all_queries()
+
+    # warm the JVM / codegen paths
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        fn(spark, sf_dir).collect()  # cold
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()  # warm
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_warm_s",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

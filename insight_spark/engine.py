@@ -1,0 +1,68 @@
+"""Session builder + the config contract (SURVEY.md §7.2).
+
+Every entry point (driver contract, tests, bench) builds its session here
+so the semantics-critical configs are pinned in exactly one place:
+
+- ``spark.sql.session.timeZone=UTC`` — timestamp parity with the DuckDB
+  oracle (naive timestamps, SURVEY.md §7.4).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.ts is
+  TIMESTAMP(NANOS) which the vectorized reader otherwise rejects
+  ([PARQUET_TYPE_ILLEGAL]); read as long, repaired in sources.parquet.
+- Arrow enabled — all Python interop is Arrow-batched (SNIPPETS.md idiom).
+- AQE on (Spark 4 default, pinned explicitly): runtime partition
+  coalescing, dynamic broadcast, skew-join splitting — the 100 TB posture
+  relies on it instead of hand-salting.
+
+Scale posture: ``shuffle.partitions`` here is a *test-SF* setting (small
+data, avoid 200 near-empty partitions).  On a real cluster this is set to
+~2-3× total executor cores and AQE coalesces from there; nothing else in
+the engine assumes a partition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that change query *semantics* (not just speed) — always applied.
+SEMANTIC_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+#: Performance configs for the local test harness.
+LOCAL_PERF_CONF = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def session_builder(app_name: str = "insight_spark", master: str | None = None):
+    """Return a SparkSession.Builder with the engine's config contract."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in {**SEMANTIC_CONF, **LOCAL_PERF_CONF}.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "insight_spark") -> SparkSession:
+    """Get-or-create the engine session (idempotent; reuses a warm JVM)."""
+    spark = session_builder(app_name).getOrCreate()
+    # getOrCreate may return a pre-existing session (e.g. the driver's) whose
+    # builder didn't carry our semantic conf — re-assert the runtime-settable
+    # ones so query semantics don't depend on who created the JVM.
+    for k, v in SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on an existing session; builder path covers it
+    return spark

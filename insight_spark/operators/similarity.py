@@ -1,0 +1,152 @@
+"""Vector similarity operators (SURVEY.md §2.J1-J4, J9-J10).
+
+All vector math is expressed with SQL higher-order functions
+(``zip_with`` / ``aggregate`` / ``transform``) — JVM-side, codegen'd, no
+Python in the hot path.  Elements are cast to double before arithmetic
+to match DuckDB (FIXTURES.md: embeddings are float32 at rest).
+
+Scale notes: exact knn is a blocked cross join — O(|Q|·|C|) — correct
+as the baseline and fine when |Q| is small (the interactive-search
+case).  The 100 TB path swaps the physical strategy for LSH bucketing
+(``lsh_bucket_join`` below / MinHashLSH for jaccard): same API, the
+candidate set shrinks from |C| to a bucket.  Brute force stays the
+correctness oracle for the approximate paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """J2: dot product — sequential left-to-right fold, same as the
+    oracle's list_reduce, so accumulation order is deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """J1: Euclidean norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """J2: cosine similarity; 0.0 for zero vectors (guard, FIXTURES.md)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """J2: Euclidean distance."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def normalize(a: Column) -> Column:
+    """J1: unit vector (null-safe for zero vectors → unchanged)."""
+    n = l2_norm(a)
+    return F.when(n == 0.0, a).otherwise(
+        F.transform(a, lambda x: _d(x) / n)
+    )
+
+
+def knn_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_vec_id",
+    c_id: str = "c_vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """J3: exact top-k cosine neighbors per query vector.
+
+    Expects ``queries(q_vec_id, q_embedding)`` and
+    ``corpus(c_vec_id, c_embedding)``.  The small query side is
+    broadcast, so the cross join is a map-side nested loop over corpus
+    partitions — no shuffle of the corpus.  Ranking uses the *rounded*
+    score plus id tie-break so ordering is reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    score = F.round(
+        cosine(F.col("q_embedding"), F.col("c_embedding")), round_digits
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        q_id, c_id, score.alias("cos_sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.desc("cos_sim"), F.asc(c_id)
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """J3/J4 scale path: random-hyperplane LSH bucketed knn (approximate).
+
+    Sign-of-projection onto ``n_planes`` seeded pseudo-random hyperplanes
+    gives each vector a bucket id; candidates are same-bucket pairs only,
+    turning the cross join into an equi-join that shuffles on bucket.
+    Deterministic: hyperplanes derive from xxhash64(dim, plane, seed),
+    no RNG state.  Recall is tunable via n_planes (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            # pseudo-random ±1 plane component per (dimension, plane)
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, i: _d(x)
+                    * F.when(
+                        F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), 2) == 0,
+                        1.0,
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    from pyspark.sql import Window
+
+    q = queries.withColumn("_bucket", bucket(F.col("q_embedding")))
+    c = corpus.withColumn("_bucket", bucket(F.col("c_embedding")))
+    score = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6)
+    pairs = c.join(F.broadcast(q), "_bucket").select(
+        "q_vec_id", "c_vec_id", score.alias("cos_sim")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

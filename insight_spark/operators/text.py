@@ -1,0 +1,110 @@
+"""Text / search / suggestion operators (SURVEY.md §2.I).
+
+The reference's domain is a text search + query-suggestion pipeline
+(SURVEY.md §0.1); these operators re-express that domain as pure
+DataFrame algebra so Catalyst optimizes them like any relational query
+(and the DuckDB oracle can check them).
+
+Scale notes: everything here is explode + hash-aggregate — the canonical
+shuffle-heavy text shape.  Partial aggregation (map-side combine) does
+the heavy lifting: term counts reduce from |tokens| rows to |vocab| per
+partition before the shuffle.  IDF/doc-frequency tables are tiny
+(|vocab|) and always broadcastable to the TF side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Shared normalization regex — identical literal on the oracle side
+#: (SURVEY.md §7.4.5: keep to the POSIX/RE2-safe common dialect).
+NON_WORD_RE = "[^a-z0-9 ]"
+WS_RE = r"\s+"
+
+
+def normalize_text(c: Column) -> Column:
+    """I1: lowercase, strip non-alphanumerics, collapse whitespace."""
+    cleaned = F.regexp_replace(F.lower(c), NON_WORD_RE, " ")
+    return F.trim(F.regexp_replace(cleaned, WS_RE, " "))
+
+
+def tokenize(c: Column) -> Column:
+    """I2: whitespace-split into array<string>, dropping empty tokens."""
+    return F.filter(F.split(c, WS_RE), lambda t: t != "")
+
+
+def tokens_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (doc_id, token) exploded long form."""
+    return docs.select(
+        "doc_id", F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+
+
+def term_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """I5: corpus-level term frequency (token, tf)."""
+    return (
+        tokens_df(docs, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """I6: document frequency (token, df) — one count per containing doc."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """I7: per-(doc, token) tf·idf with idf = ln((N+1)/(df+1)) + 1.
+
+    The df table is |vocab|-sized → broadcast join against the per-doc
+    TF side; no shuffle of the large side beyond its own groupBy.
+    """
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    per_doc_tf = (
+        tokens_df(docs, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = doc_freq(docs, text_col)
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    return per_doc_tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+    )
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """I4: n-gram shingles of a token array (space-joined strings)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i, n), " ")
+    )
+
+
+def prefix_suggest(
+    term_freq_df: DataFrame, prefix: str, k: int
+) -> DataFrame:
+    """I9: top-k completion candidates for a prefix, by frequency.
+
+    Serving-side this is an index lookup (ES completion suggester role);
+    engine-side it is a sargable startswith filter over the TF table —
+    pushed down to the parquet scan when the TF table is materialized
+    sorted by token.
+    """
+    return (
+        term_freq_df.filter(F.col("token").startswith(prefix))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )

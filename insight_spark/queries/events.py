@@ -1,0 +1,105 @@
+"""Event-stream batch queries (SURVEY.md §2.D5/D6, §2.H13, §2.K1 batch).
+
+These are the batch forms of the streaming K-ops (stream-batch
+unification, §2.K): the same DataFrame expressions run under
+``readStream`` in insight_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.relational import MONEY
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+
+@query(
+    "distinct_exact",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (D5) — two-phase partial/final distinct agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("distinct_exact_approx")  # rows-only: HLL sketches differ per engine
+def distinct_exact_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approx distinct (D5/D6).  The HyperLogLog estimate is
+    engine-specific, so no value oracle (SURVEY.md §7.4.6); the
+    approx-vs-exact error bound is asserted in tests instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+                 / COUNT(json_extract_string(props, '$.k')), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + agg (H13, D1).  get_json_object stays
+    JVM-side (Jackson), no Python UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    grouped = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("_n_k"),
+    )
+    return grouped.select(
+        "event_type",
+        "n",
+        "sum_k",
+        F.round(F.col("sum_k").cast("double") / F.col("_n_k"), 6).alias("avg_k"),
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg (K1 batch form).  ``F.window`` buckets
+    are epoch-aligned, identical to date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

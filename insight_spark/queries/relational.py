@@ -1,0 +1,228 @@
+"""Relational core queries (SURVEY.md §2.B/C/D/F — P0 tier).
+
+Each query demonstrates a set of §2 operator rows end-to-end and carries
+its DuckDB oracle.  Star-schema dims (region/nation) are explicitly
+broadcast — at 100 TB the fact-side scan never shuffles for a dim join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.relational import MONEY, money
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+
+def _disc_price() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)
+
+
+@query(
+    "flagship_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name, r_name,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY c_custkey, c_name, r_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (§7.1 Phase 0): top-10 customers by revenue with region.
+
+    Exercises the spine: scan → broadcast dim joins → shuffle agg →
+    top-k (TakeOrderedAndProject).  A1/A2, C1, C3, D1/D3, F1/F3/F5.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("c_custkey", "c_name", "r_name")
+        .agg(F.sum(_disc_price()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "scan_filter_agg",
+    oracle="""
+    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style sargable filter + global agg (B3/B5, D2/D3).
+
+    All predicates push to the parquet scan (row-group skipping).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(MONEY)).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(38,6)))      AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           COUNT(*) AS count_order,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style wide aggregate (D1/D3/D4; §7.4.1 decimal discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).alias("sum_qty"),
+            F.sum(money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_disc_price()).alias("sum_disc_price"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * (1 + F.col("l_tax"))
+                ).cast(MONEY)
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.sum(money("l_discount")).alias("_sum_disc"),
+        )
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "count_order",
+        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias(
+            "avg_qty"
+        ),
+        F.round(
+            F.col("sum_base_price").cast("double") / F.col("count_order"), 6
+        ).alias("avg_price"),
+        F.round(F.col("_sum_disc").cast("double") / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+    )
+
+
+@query(
+    "join_star",
+    oracle="""
+    SELECT r_name,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims, agg by region (C1/C3, D1/D3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(money("o_totalprice")).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_fact_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_fact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join + agg (C1, D1/D3) — sort-merge/shuffle-hash
+    territory at scale; AQE picks the strategy from runtime sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_disc_price()).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_custkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by aggregate (F1/F3/F5) — TakeOrderedAndProject,
+    deterministic via exact decimal revenue + custkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(10)
+    )

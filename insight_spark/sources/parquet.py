@@ -1,0 +1,111 @@
+"""Parquet scan layer (SURVEY.md §2.A1/A2) + view registration (§1.3).
+
+The one genuinely non-obvious piece is the events.ts repair: the fixture
+writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects.  With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
+arrives as a raw nanosecond LongType; we convert with **integer** division
+(``ts div 1000``) before ``timestamp_micros`` — float division drifts up
+to 1 µs at 2024-epoch magnitudes and breaks hash-parity with DuckDB,
+which truncates ns→µs natively (FIXTURES.md).
+
+Scale note: these are plain ``spark.read.parquet`` scans — predicate
+pushdown, column pruning and partition pruning all apply.  Table-specific
+repairs are projections (no shuffle, no UDF); at 100 TB the scan cost is
+the parquet reader's, unchanged by this layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: All driver fixture tables, in FK-dependency order (dims first).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _repair_events(df: DataFrame) -> DataFrame:
+    """ns-epoch long → TimestampType (µs), matching DuckDB's truncation."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table by name, applying any schema repair.
+
+    Re-asserts the runtime-settable semantic confs (UTC timezone,
+    nanosAsLong) so correctness holds even on a session the engine did
+    not build (the driver passes its own SparkSession).
+    """
+    from insight_spark.engine import SEMANTIC_CONF
+
+    for k, v in SEMANTIC_CONF.items():
+        spark.conf.set(k, v)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _repair_events(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register temp views mirroring the DuckDB oracle's view names."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan (A3): explicit schema preferred; inference only for ad-hoc."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan (A4) with optional explicit schema."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """In-memory source (A5)."""
+    return spark.createDataFrame(rows, schema)
