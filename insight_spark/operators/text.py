@@ -86,10 +86,75 @@ def tf_idf(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngrams(tokens: Column, n: int) -> Column:
-    """I4: n-gram shingles of a token array (space-joined strings)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(tokens, i, n), " ")
+    """I4: n-gram shingles of a token array (space-joined strings).
+
+    Guarded for short arrays: Spark ``sequence(1, 0)`` counts *down*
+    ([1, 0]), so fewer than n tokens must short-circuit to [].
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """I11: BM25 ranking of documents for a bag-of-terms query.
+
+    score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (k1/b are the
+    standard Lucene/ES defaults — SURVEY.md §2.I11).
+
+    Shape at scale: per-doc TF of only the query terms (explode +
+    filter + groupBy), df per term (tiny, broadcast), one final agg per
+    doc.  N and avgdl are scalar aggregates (two cheap jobs).
+    """
+    toks = tokenize(F.col(text_col))
+    with_len = docs.select(
+        "doc_id", F.explode(toks).alias("token"), F.size(toks).alias("dl")
+    )
+    stats = docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    ).first()
+    n_docs = stats["n"]
+    avgdl = stats["total_dl"] / n_docs  # IEEE division, mirrored in oracle
+
+    tf = (
+        with_len.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + k1 * (1.0 - b + b * (F.col("dl").cast("double") / F.lit(avgdl)))
+    contrib = idf * (tf_d * (k1 + 1.0)) / denom
+    # decimal-exact term sum: addition order independent (SURVEY §7.4.1)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(38,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
     )
 
 

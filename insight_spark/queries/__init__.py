@@ -37,6 +37,12 @@ _MODULES = (
     "insight_spark.queries.text",
     "insight_spark.queries.vectors",
     "insight_spark.queries.llm",
+    "insight_spark.queries.joins",
+    "insight_spark.queries.aggregates",
+    "insight_spark.queries.window_extra",
+    "insight_spark.queries.setops",
+    "insight_spark.queries.text_extra",
+    "insight_spark.queries.vectors_extra",
 )
 
 _loaded = False

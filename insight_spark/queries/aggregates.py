@@ -1,0 +1,270 @@
+"""Advanced aggregation queries (SURVEY.md §2.D6-D17 — P1/P2 tiers).
+
+Moment statistics (stddev/var/corr) are computed from decimal-exact
+power sums with the identical closed-form formula on both sides, so the
+resulting doubles are bit-equal — the built-in one-pass estimators would
+be order-nondeterministic (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.relational import MONEY
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH k_ev AS (
+        SELECT event_type, value,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(k) AS DOUBLE) AS sy,
+               CAST(SUM(k * k) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM k_ev
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_value_k
+    FROM sums
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per event type (D7/D8)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = ev.select("event_type", "value", k.alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(MONEY))
+        .cast("double")
+        .alias("sxx"),
+        F.sum("k").cast("double").alias("sy"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("syy"),
+        F.sum((F.col("value") * F.col("k")).cast(MONEY))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round(corr, 6).alias("corr_value_k"),
+    )
+
+
+@query(
+    "first_event_per_user",
+    oracle="""
+    SELECT user_id,
+           (min({'ts': ts, 'id': event_id, 'et': event_type})).ts AS first_ts,
+           (min({'ts': ts, 'id': event_id, 'et': event_type})).et AS first_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive first-in-group (D9), deterministic via struct-min:
+    lexicographic (ts, event_id) ordering needs no window/sort — a single
+    hash aggregate with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.min(F.struct("ts", "event_id", "event_type")).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("first_ts"),
+            F.col("m.event_type").alias("first_type"),
+        )
+    )
+
+
+@query(
+    "user_event_types",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering (D10): Spark's collect order
+    is physical-plan-dependent, so both sides sort before rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "types_csv"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (D11) — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+    )
+
+
+@query("approx_value_percentiles")  # rows-only: sketch differs per engine
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (D12, GK sketch) — error bound asserted
+    against the exact op in tests, not oracle-hashable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias(
+            "median_approx"
+        ),
+        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_g,
+           COALESCE(n_name, 'ALL') AS nation_g,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (D14 rollup): region → nation → grand total.
+    NULL group keys relabeled 'ALL' (no NULL dims in data, so the
+    relabeling is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_g"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_g"),
+            "total_revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status_g,
+           COALESCE(o_orderpriority, 'ALL') AS priority_g,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (D15 cube) over two order dims."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status_g"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority_g"
+            ),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (D16) with pinned value list (required at scale:
+    an unpinned pivot runs an extra distinct job over the fact table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@query("sample_events")  # rows-only: Bernoulli RNG is engine-specific
+def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (B10); fraction bound asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id")

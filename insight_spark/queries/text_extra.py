@@ -1,0 +1,355 @@
+"""Extended text/search queries (SURVEY.md §2.I3-I11, H3/H9/H14/H15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.text import (
+    bm25_scores,
+    doc_freq,
+    ngrams,
+    term_freq,
+    tf_idf,
+    tokenize,
+)
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+#: Stopword list shared verbatim with the oracle SQL (I3).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "stopword_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS tf
+    FROM toks
+    WHERE token <> '' AND token NOT IN ({_STOP_SQL})
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+)
+def stopword_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top terms after stopword removal (I3) — filter against a
+    broadcast-size literal list, applied pre-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        term_freq(docs)
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "bigrams_top",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 10
+    """,
+)
+def bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigram shingles (I4) — rowwise array transform, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(ngrams(tokenize(F.col("text")), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(10)
+    )
+
+
+@query(
+    "doc_freq_idf",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+        FROM documents
+    ),
+    n_total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT token, COUNT(*) AS df,
+           ROUND(ln((CAST(n AS DOUBLE) + 1.0) / (COUNT(*) + 1.0)) + 1.0, 6) AS idf
+    FROM t CROSS JOIN n_total
+    GROUP BY token, n
+    """,
+)
+def doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + smoothed idf per token (I6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dfreq = doc_freq(docs)
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    return dfreq.select("token", "df", F.round(idf, 6).alias("idf"))
+
+
+@query(
+    "tfidf_top",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token
+    ),
+    n_total AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           ROUND(tf.tf * (ln((CAST(n AS DOUBLE) + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+               AS tf_idf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n_total
+    ORDER BY tf_idf DESC, doc_id, token
+    LIMIT 50
+    """,
+)
+def tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 tf·idf weights (I7) — broadcast df side (SURVEY §4.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs).orderBy(
+        F.desc("tf_idf"), F.asc("doc_id"), F.asc("token")
+    ).limit(50)
+
+
+@query(
+    "prefix_suggest_th",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS tf
+    FROM toks
+    WHERE token LIKE 'th%'
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 10
+    """,
+)
+def prefix_suggest_th(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion candidates (I9): top terms starting with 'th'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        term_freq(docs)
+        .filter(F.col("token").startswith("th"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(10)
+    )
+
+
+@query(
+    "cooccurrence_top",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+        FROM documents
+    )
+    SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n
+    FROM t a
+    JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY a.token, b.token
+    ORDER BY n DESC, token_a, token_b
+    LIMIT 20
+    """,
+)
+def cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring term pairs (I10) — related-term suggestions.
+    Self-join on doc_id with a<b ordering; per-doc distinct token sets
+    bound the pair count."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token_a"), F.asc("token_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(l) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(l) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(l)) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY token
+    )
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+               ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+    FROM tf
+    JOIN dfreq USING (token)
+    JOIN lens USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for query terms {key, order} (I11), k1=1.2 b=0.75."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, ["key", "order"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           length(text) AS text_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (H15): md5 + sha256, cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@query(
+    "levenshtein_names",
+    oracle="""
+    SELECT levenshtein(c_name, 'Customer#000000001') AS dist,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY dist
+    """,
+)
+def levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram vs a probe string (H3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.levenshtein("c_name", F.lit("Customer#000000001")).alias("dist")
+        )
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "array_ops",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct,
+           list_contains(l, 'the') AS has_the,
+           array_to_string(l[1:3], ' ') AS first3
+    FROM toks
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array basics (H9): size / distinct / contains / slice+join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+    )
+
+
+@query(
+    "json_struct_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parsing (H14): from_json into a typed struct,
+    predicate on the parsed field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_s", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("props_s.k") > 50, 1).otherwise(0)
+        ).alias("n_k_gt50"),
+    )

@@ -1,0 +1,152 @@
+"""Extended vector / doc-embedding queries (SURVEY.md §2.J7-J10, L1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from insight_spark.operators.dedup import jaccard
+from insight_spark.operators.text import tokenize
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+
+@query(
+    "token_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 END, 6) AS jaccard_sim
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity of adjacent doc pairs (J7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("s")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.round(jaccard(F.col("a.s"), F.col("b.s")), 6).alias("jaccard_sim"),
+    )
+
+
+@query(
+    "embed_label_profile",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    JOIN embeddings ON doc_id = vec_id
+    GROUP BY label
+    """,
+)
+def embed_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings by id (J9), profiled per cluster label.
+    Inner join by contract — doc/vector counts diverge at sf0.1
+    (FIXTURES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    grouped = joined.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("_sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return grouped.select(
+        "label",
+        "n_docs",
+        F.round(F.col("_sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_chars"
+        ),
+        "n_langs",
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_val
+    FROM embeddings, unnest(range(1, 9)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, first 8 dimensions (J10): element-wise mean
+    via posexplode + decimal-exact sums.  At scale this is one shuffle
+    on (label, pos) with map-side partials — no driver-side vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).filter(F.col("pos") < 8)
+    grouped = exploded.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("val").cast("double").cast("decimal(38,12)")).alias("_s"),
+    )
+    return grouped.select(
+        "label",
+        "pos",
+        "n_vectors",
+        F.round(F.col("_s").cast("double") / F.col("n_vectors"), 6).alias(
+            "mean_val"
+        ),
+    )
+
+
+def _sigmoid_len_score():
+    """Arrow-vectorized quality score: sigmoid of text length / 100.
+
+    Demonstrates the L1 scalar pandas-UDF surface (SNIPPETS.md idiom) on
+    a deliberately SQL-expressible formula so the oracle can check the
+    whole Arrow round-trip.  Built lazily — pandas_udf type resolution
+    needs an active session.
+    """
+    from pyspark.sql.types import DoubleType
+
+    def score(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = text.str.len().astype("float64") / 100.0
+        return 1.0 / (1.0 + np.exp(-x))
+
+    return pandas_udf(score, DoubleType())
+
+
+@query(
+    "udf_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(CAST(length(text) AS DOUBLE) / 100.0))), 6)
+               AS quality
+    FROM documents
+    """,
+)
+def udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (L1): length-sigmoid quality score per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    udf = _sigmoid_len_score()
+    return docs.select(
+        "doc_id", F.round(udf(F.col("text")), 6).alias("quality")
+    )
