@@ -1,0 +1,105 @@
+"""Multimodal column operators (SURVEY.md §2.J8; BASELINE.json mandate).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct — the Spark-side plumbing (schema, partitioning, Arrow batch
+shape through mapInPandas) is real and tested; the actual codec work is
+STUBBED (this container ships no image/audio libraries): decode either
+raises NotImplementedError (real-codec path) or produces a
+deterministic fake derived from the payload bytes, so tests can assert
+the full pipeline shape end-to-end.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a
+time (mapInPandas is a streaming iterator — nothing accumulates);
+metadata-only operations (filter by mime, size stats) never touch the
+payload column thanks to parquet column pruning.  Batch size is
+bounded via spark.sql.execution.arrow.maxRecordsPerBatch when payloads
+are large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed blob reference: where it lives, what it is, how big it is.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+_MIMES = ["image/png", "audio/wav", "video/mp4"]
+
+
+def attach_media_columns(docs: DataFrame) -> DataFrame:
+    """Derive a multimodal table from documents: payload bytes + typed
+    metadata struct (fixtures carry no real media — FIXTURES.md)."""
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("mem://docs/"), F.col("doc_id")).alias("uri"),
+            mime.alias("mime"),
+            F.length(payload).cast("long").alias("size_bytes"),
+        ).alias("media"),
+    )
+
+
+def decode_media(media_df: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """J8 'decode' via mapInPandas (L4 surface): payload → features.
+
+    With ``real_codecs=True`` this is where PIL/ffmpeg would run — it
+    raises NotImplementedError here by design.  The default produces
+    deterministic fake dimensions from the byte length so the Arrow
+    batch plumbing is fully exercised.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_codecs:
+                raise NotImplementedError(
+                    "codec libraries unavailable in this container; "
+                    "plug PIL/torchaudio/ffmpeg here"
+                )
+            n_bytes = pdf["payload"].map(len).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["media"].map(lambda m: m["mime"]),
+                    "n_bytes": n_bytes,
+                    "width": (16 + n_bytes % 64).astype("int32"),
+                    "height": (16 + (n_bytes // 2) % 64).astype("int32"),
+                }
+            )
+
+    return media_df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def media_stats(media_df: DataFrame) -> DataFrame:
+    """Metadata-only profile (payload column pruned at scan)."""
+    return media_df.groupBy(F.col("media.mime").alias("mime")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("media.size_bytes")).alias("total_bytes"),
+    )

@@ -43,6 +43,7 @@ _MODULES = (
     "insight_spark.queries.setops",
     "insight_spark.queries.text_extra",
     "insight_spark.queries.vectors_extra",
+    "insight_spark.queries.misc",
 )
 
 _loaded = False

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_spark.operators.dedup import exact_dedup, near_dedup_minhash
+from insight_spark.operators.text import tokenize
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -35,3 +36,68 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return near_dedup_minhash(docs, threshold=0.5)
+
+
+#: English marker words for the n-gram language heuristic (shared with
+#: the oracle SQL verbatim).
+_EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_EN_SQL = ", ".join(f"'{w}'" for w in _EN_MARKERS)
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(CAST(len(list_filter(l, t -> t IN ({_EN_SQL}))) AS DOUBLE)
+                 / NULLIF(len(l), 0), 6) AS en_score,
+           CASE WHEN CAST(len(list_filter(l, t -> t IN ({_EN_SQL}))) AS DOUBLE)
+                     / NULLIF(len(l), 0) > 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM toks
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (LLM-pipeline mandate): English marker-word
+    ratio per document.  A real system swaps the marker list for per-
+    language n-gram profiles; the Spark shape (rowwise array filter, no
+    UDF, no shuffle) is the scale path either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_en = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
+    score = n_en.cast("double") / F.nullif(F.size(toks), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("en_score"),
+        F.when(score > 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (LLM-pipeline mandate): BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation) vs whitespace count.
+    Pattern kept to the RE2/Java-safe shared dialect (SURVEY §7.4.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # group 0 = whole match (the pattern has no capture groups)
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
+    )

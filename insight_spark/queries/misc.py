@@ -1,0 +1,241 @@
+"""Remaining batch-surface queries (SURVEY.md §2.C8, F4, H12, J8, L2-L5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from insight_spark.operators.multimodal import attach_media_columns, decode_media
+from insight_spark.queries import query
+from insight_spark.sources import load_table, register_views
+
+
+@query(
+    "range_join_clicks",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <  p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (C8): clicks in the 10 minutes before each
+    purchase.  Equi key (user_id) + range predicate → shuffle on the
+    equi key only; at scale add event-time bucketing as a prefilter
+    (SURVEY.md §4.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    return (
+        p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c.ts") < F.col("p.ts")),
+            "left",
+        )
+        .groupBy(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("p.user_id").alias("user_id"),
+        )
+        .agg(F.count(F.col("c.event_id")).alias("n_recent_clicks"))
+    )
+
+
+@query(
+    "offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (F4): page 2 of the order listing, total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+           'k,u' AS keys_csv,
+           2 AS n_entries
+    FROM events
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/access (H12): build a map from parsed props +
+    user id, read it back.  The oracle checks the recovered values —
+    map round-tripping must be lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.map_concat(
+        F.create_map(F.lit("k"), k),
+        F.create_map(F.lit("u"), F.col("user_id")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+def _wavg_udf():
+    """L2 grouped-agg pandas UDF: k-weighted mean of value.
+
+    Deterministic under shuffle: products are sorted before summation,
+    so the float accumulation order is independent of row arrival.
+    """
+
+    def wavg(v: pd.Series, k: pd.Series) -> float:
+        import numpy as np
+
+        prod = (v * k).to_numpy()
+        num = float(np.sum(np.sort(prod)))
+        den = float(k.sum())
+        return num / den
+
+    return pandas_udf(wavg, "double")
+
+
+@query(
+    "grouped_agg_udf",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k') AS INTEGER)
+                              AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE),
+                 6) AS wavg_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 0
+    GROUP BY event_type
+    """,
+)
+def grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (L2): weighted average per type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = ev.select("event_type", "value", k.alias("k")).filter(
+        F.col("k").isNotNull() & (F.col("k") > 0)
+    )
+    wavg = _wavg_udf()
+    return base.groupBy("event_type").agg(
+        F.round(wavg("value", "k"), 6).alias("wavg_value")
+    )
+
+
+@query(
+    "grouped_map_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (L3): per-user stats computed in a
+    vectorized Python function (np.median == quantile_cont(0.5))."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "median_value": [float(np.median(pdf["value"].to_numpy()))],
+            }
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_events long, median_value double"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("median_value", 6).alias("median_value")
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           CAST(16 + length(text) % 64 AS INTEGER) AS width,
+           CAST(16 + (length(text) // 2) % 64 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline (J8 + L4): binary payload + typed metadata →
+    mapInPandas 'decode' (stubbed codec, deterministic fake dims).
+
+    The oracle recomputes the fake-decode formula from the text length,
+    proving the payload/metadata plumbing is lossless end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs)
+    return decode_media(media)
+
+
+def _tokenize_udtf():
+    """L5 Python UDTF: lateral-expand text into (idx, token) rows."""
+    from pyspark.sql.functions import udtf
+
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    return udtf(TokenizeUDTF, returnType="idx int, token string")
+
+
+@query(
+    "udtf_tokens",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, l[i] AS token
+    FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+    """,
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral expansion (L5), checked against pure-SQL
+    unnest — Python str.split() ≡ regex \\s+ split with empties dropped."""
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("tokenize_udtf", _tokenize_udtf())
+    return spark.sql(
+        """
+        SELECT doc_id, t.idx, t.token
+        FROM documents, LATERAL tokenize_udtf(text) t
+        WHERE doc_id < 50
+        """
+    )

@@ -1,0 +1,138 @@
+"""Sinks (SURVEY.md §2.A6-A8, A10).
+
+The reference serves from Elasticsearch (search/suggest) and PostgreSQL
+(aggregates) [SURVEY.md §0.1 R:high].  Offline, both are emulated with
+layouts that preserve the *access pattern* the serving stores provide,
+so swapping in the real connectors (``format("es")``,
+``.write.jdbc``) is a one-line change per sink:
+
+- search-index sink → bucketed+sorted parquet table (segment/shard
+  layout) + an inverted-index posting table (term → sorted doc ids):
+  the two structures an ES index materializes.
+- jdbc sink → parquet + a generated DDL file recording the table
+  schema that would be issued to PG.
+
+Scale notes: ``partitionBy`` on write gives partition pruning to every
+downstream reader; ``bucketBy`` pre-shuffles once at write time so
+later term lookups and doc joins are shuffle-free.  The posting-list
+build is explode + groupBy — the same bounded-key shuffle shape as
+term_freq.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.text import tokenize
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """A6: partitioned parquet sink (hive-style directory pruning)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_search_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    table_prefix: str = "search_idx",
+) -> dict[str, str]:
+    """A7: search-index sink emulation (the ES role).
+
+    Writes (1) the doc store, bucketed by doc_id and sorted within
+    buckets — ES's doc segments; (2) the inverted index: one row per
+    term with a sorted posting list of doc ids and the df — ES's term
+    dictionary + postings.  Returns the two table names registered in
+    the session catalog (bucketed tables must go through the catalog).
+    """
+    doc_table = f"{table_prefix}_docs"
+    post_table = f"{table_prefix}_postings"
+
+    # external tables (explicit path): bucketing metadata lives in the
+    # catalog, data at out_dir — no static warehouse conf needed
+    (
+        docs.write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", os.path.join(out_dir, doc_table))
+        .format("parquet")
+        .saveAsTable(doc_table)
+    )
+
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("posting"),
+            F.count("*").alias("df"),
+        )
+    )
+    (
+        postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .option("path", os.path.join(out_dir, post_table))
+        .format("parquet")
+        .saveAsTable(post_table)
+    )
+    return {"docs": doc_table, "postings": post_table}
+
+
+def search_term_lookup(spark: SparkSession, post_table: str, term: str) -> DataFrame:
+    """Serving-side read of the A7 index: posting list for one term.
+    Bucket pruning keeps this a single-bucket scan."""
+    return spark.table(post_table).filter(F.col("term") == term)
+
+
+def write_jdbc_standin(
+    df: DataFrame, out_dir: str, table: str, mode: str = "overwrite"
+) -> str:
+    """A8: PG sink stand-in — parquet payload + the DDL that would be
+    issued over JDBC (offline env has no PG; ``df.write.jdbc(url,
+    table, properties)`` is the production call)."""
+    path = os.path.join(out_dir, table)
+    df.write.mode(mode).parquet(path)
+    ddl_cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    ddl = f"CREATE TABLE {table} (\n  {ddl_cols}\n);\n"
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_ddl.sql"), "w") as fh:
+        fh.write(ddl)
+    return path
+
+
+def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
+    """A10/K8: idempotent micro-batch upsert into a parquet serving dir.
+
+    Returns a ``foreachBatch`` function: each micro-batch overwrites
+    the keys it contains (read-merge-write on the serving copy) —
+    the same upsert contract an ES/PG sink gives, exactly-once per
+    micro-batch via the checkpoint's batch id.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        path = os.path.join(out_dir, "serving")
+        new = batch_df.dropDuplicates(key_cols)
+        try:
+            current = spark.read.parquet(path)
+            merged = current.join(
+                new.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(new)
+        except Exception:
+            merged = new
+        tmp = os.path.join(out_dir, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+
+    return upsert

@@ -1,0 +1,179 @@
+"""Streaming K-ops (SURVEY.md §2.K) — Structured Streaming forms.
+
+The reference's bus is Apache Pulsar (SURVEY.md §0.1); offline, the
+stand-in source is the file stream source — same micro-batch semantics
+(offset log + exactly-once file tracking in the checkpoint), different
+connector.  On a cluster the only change is
+``readStream.format("pulsar")`` and the service URL.
+
+Stream-batch unification is the design rule: every streaming op here is
+the *same DataFrame expression* as its batch twin in
+``insight_spark.queries`` — the batch form is DuckDB-oracled, and
+tests/test_streaming.py proves the streaming execution converges to the
+batch result over the same rows (SURVEY.md §5.3.4).
+
+Scale posture: all stateful ops carry a watermark (unbounded state is a
+config error at 100 TB — SURVEY.md §4.3); state is keyed by
+(user, window), bounded by watermark eviction; at real scale the state
+store backend is RocksDB
+(``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema *after* the ns-ts repair (streams carry proper timestamps).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def prepare_stream_input(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> list[str]:
+    """Split the events fixture into n ts-ordered parquet chunks.
+
+    Stands in for a Pulsar topic's ordered arrival; chunk boundaries
+    are event-time ordered so watermarks advance realistically.  Files
+    are written one per chunk so tests can drip-feed them.
+    """
+    from insight_spark.sources import load_table
+
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    # single-partition window is fine here: test-prep only, small data
+    chunks = ev.withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(1, n_chunks + 1):
+        staging = os.path.join(out_dir, f"_staging_{i}")
+        chunks.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        # the stream source lists plain files, not directories — surface
+        # the single part file as <out_dir>/chunk_i.parquet
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"chunk_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        paths.append(dest)
+    return paths
+
+
+def write_single_parquet(df: DataFrame, dest_file: str) -> str:
+    """Materialize a DataFrame as ONE plain parquet file (stream-source
+    arrival unit — the file source lists files, not directories)."""
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="_single_pq_")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    os.makedirs(os.path.dirname(dest_file), exist_ok=True)
+    shutil.move(part, dest_file)
+    shutil.rmtree(staging, ignore_errors=True)
+    return dest_file
+
+
+def read_events_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """A9: file-source stream of events (Pulsar stand-in).
+
+    ``maxFilesPerTrigger=1`` gives one micro-batch per arriving file,
+    matching per-ingestion processing.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """K1 streaming: tumbling 1-hour counts with watermark.
+
+    Identical expression to the batch ``events_hourly`` query; the
+    watermark bounds window state and drops late rows (K4).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """K3 streaming: native session windows with watermark.
+
+    ``session_window`` merges events within ``gap``; state per open
+    session, evicted once the watermark passes the session close.
+    """
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """K5: drop duplicate event_ids within the watermark horizon —
+    bounded-state streaming twin of exact dedup (J5)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """K8/A10: drive a stream to completion into an in-memory sink.
+
+    ``processAllAvailable`` drains every pending file (test harness
+    use); production sinks go through ``foreachBatch`` upserts instead
+    (see sinks.foreach_batch_upsert).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,96 @@
+"""Sink emulations (A6-A8, A10) and the multimodal pipeline (J8)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from insight_spark.operators.multimodal import (
+    attach_media_columns,
+    decode_media,
+    media_stats,
+)
+from insight_spark.sources import load_table
+from insight_spark.sources.sinks import (
+    foreach_batch_upsert,
+    search_term_lookup,
+    write_jdbc_standin,
+    write_partitioned,
+    write_search_index,
+)
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must only read that partition dir
+    en = back.filter(F.col("lang") == "en")
+    assert en.count() == docs.filter(F.col("lang") == "en").count()
+    assert os.path.isdir(os.path.join(out, "lang=en"))
+
+
+def test_search_index_sink_and_lookup(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    tables = write_search_index(spark, docs, str(tmp_path), n_buckets=4)
+    postings = spark.table(tables["postings"])
+    one = search_term_lookup(spark, tables["postings"], "the").collect()
+    assert len(one) == 1
+    posting = one[0]["posting"]
+    assert posting == sorted(posting), "posting list must be sorted"
+    assert one[0]["df"] == len(posting)
+    # every posted doc really contains the term
+    docs_with_the = {
+        r["doc_id"]
+        for r in docs.filter(F.col("text").contains("the")).collect()
+    }
+    assert set(posting) <= docs_with_the
+    spark.sql(f"DROP TABLE IF EXISTS {tables['docs']}")
+    spark.sql(f"DROP TABLE IF EXISTS {tables['postings']}")
+
+
+def test_jdbc_standin_writes_ddl(spark, tmp_path):
+    profile = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    path = write_jdbc_standin(profile, str(tmp_path), "lang_profile")
+    ddl = open(os.path.join(path, "_ddl.sql")).read()
+    assert "CREATE TABLE lang_profile" in ddl and "n_docs bigint" in ddl
+    assert spark.read.parquet(path).count() == profile.count()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    out = str(tmp_path / "serving_out")
+    upsert = foreach_batch_upsert(out, ["user_id"])
+    ev = load_table(spark, SF_DIR, "events")
+    b1 = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    upsert(b1, 0)
+    upsert(b1, 1)  # replay: same batch again must not duplicate keys
+    served = spark.read.parquet(os.path.join(out, "serving"))
+    assert served.count() == b1.count()
+    assert served.select("user_id").distinct().count() == b1.count()
+
+
+def test_multimodal_plumbing(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = attach_media_columns(docs)
+    # metadata ops never need the payload (column pruning)
+    stats = media_stats(media).collect()
+    assert {r["mime"] for r in stats} == {"image/png", "audio/wav", "video/mp4"}
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    r0 = {r["doc_id"]: r for r in rows}[0]
+    assert r0["width"] == 16 + r0["n_bytes"] % 64
+
+    # the real-codec path is an explicit stub
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media, real_codecs=True).collect()

@@ -1,0 +1,170 @@
+"""Stream-batch equivalence harness (SURVEY.md §5.3.4).
+
+Each K-op runs twice over the same events: once as a plain batch
+DataFrame, once micro-batched through the file stream source (one file
+per trigger).  Final states must be equal — the core stream-batch
+unification guarantee.  Late-data: replaying with a file delayed past
+the watermark must drop its rows (K4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from insight_spark.sources import load_table
+from insight_spark.streaming import (
+    hourly_counts_stream,
+    prepare_stream_input,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_dedup,
+)
+from insight_spark.streaming.core import write_single_parquet
+from tests.conftest import SF_DIR
+from tests.oracle_harness import canonical_rows
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir = os.path.join(str(base), "input")
+    prepare_stream_input(spark, SF_DIR, in_dir, n_chunks=4)
+    return {"in_dir": in_dir, "base": str(base)}
+
+
+def _canon(df):
+    return canonical_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_hourly_counts_stream_matches_batch(spark, stream_env):
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        hourly_counts_stream(stream),
+        "hourly_stream",
+        os.path.join(stream_env["base"], "ckpt_hourly"),
+        output_mode="append",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match its batch twin exactly
+    emitted = _canon(result)
+    batch_canon = set(_canon(batch))
+    assert len(emitted) > 0, "stream emitted nothing"
+    for row in emitted:
+        assert row in batch_canon, f"stream row not in batch result: {row}"
+
+
+def test_session_window_stream_matches_batch(spark, stream_env):
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        sessionize_stream(stream),
+        "session_stream",
+        os.path.join(stream_env["base"], "ckpt_session"),
+        output_mode="append",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    emitted = _canon(result)
+    batch_canon = set(_canon(batch))
+    assert len(emitted) > 0
+    for row in emitted:
+        assert row in batch_canon, f"stream session not in batch result: {row}"
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """K5: every event duplicated in-stream (within the watermark
+    horizon, the Pulsar-redelivery case) → output equals the batch
+    distinct set, no duplicates.
+
+    Re-deliveries that arrive *after* the watermark passed their event
+    time are late-dropped rather than dup-dropped — either way they add
+    nothing, which is the semantic contract.
+    """
+    ev = load_table(spark, SF_DIR, "events")
+    dup_dir = str(tmp_path / "dup_input")
+    # each file carries its chunk twice (immediate redelivery), and the
+    # whole file is re-delivered right after (cross-batch redelivery)
+    bounds = [("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-02-01")]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        doubled = chunk.union(chunk)
+        write_single_parquet(doubled, os.path.join(dup_dir, f"{i}_a.parquet"))
+        write_single_parquet(doubled, os.path.join(dup_dir, f"{i}_b.parquet"))
+
+    stream = read_events_stream(spark, dup_dir)
+    result = run_stream_to_memory(
+        spark,
+        stream_dedup(stream),
+        "dedup_stream",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    n_unique_batch = ev.count()
+    got = result.count()
+    assert result.select("event_id").distinct().count() == got, "dups leaked"
+    assert got == n_unique_batch, f"expected {n_unique_batch} unique, got {got}"
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """K4: a file arriving with event-times far behind the advanced
+    watermark must not change closed windows."""
+    ev = load_table(spark, SF_DIR, "events")
+    on_time = ev.filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+
+    in_dir = str(tmp_path / "late_input")
+    write_single_parquet(on_time, os.path.join(in_dir, "f1.parquet"))
+
+    stream = read_events_stream(spark, in_dir)
+    agg = hourly_counts_stream(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    n_before = spark.table("late_stream").count()
+
+    # now the late file arrives: all its events are days behind the
+    # watermark (max on-time ts - 1h), so no new windows may appear
+    write_single_parquet(late, os.path.join(in_dir, "f2.parquet"))
+    q.processAllAvailable()
+    n_after = spark.table("late_stream").count()
+    q.stop()
+
+    assert n_before > 0
+    assert n_after == n_before, "late rows leaked past the watermark"
