@@ -47,6 +47,80 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """SimHash document fingerprints (LLM-pipeline dedup mandate).
+
+    Classic Charikar simhash over the distinct-token set: each token
+    votes ±1 on every bit of its hash; the fingerprint bit is the sign
+    of the vote sum.  Near-duplicate docs land at small Hamming
+    distance.
+
+    Cross-engine determinism: the per-token hash is the first
+    ``n_bits/4`` hex nibbles of md5(token) — identical in Spark and
+    DuckDB — so the whole operator is value-oracle-checkable (unlike
+    xxhash64-based sketches).  Everything is JVM-side SQL: explode →
+    16 conditional sums in ONE hash aggregate (single shuffle on
+    doc_id) → bit recombination.  At 100 TB this is a word-count-shaped
+    job; no driver state, no UDF.
+    """
+    assert n_bits % 4 == 0
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+    ).withColumn("_h", F.md5(F.col("_t")))
+    # vote_i = sum over tokens of (2*bit_i - 1), bit_i from md5 nibbles
+    votes = [
+        F.sum(
+            F.expr(
+                f"(instr('0123456789abcdef', substr(_h, {j + 1}, 1)) - 1)"
+                f" div {2 ** b} % 2 * 2 - 1"
+            )
+        ).alias(f"_v{j * 4 + b}")
+        for j in range(n_bits // 4)
+        for b in range(4)
+    ]
+    summed = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"_v{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return summed.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_oracle_sql(n_bits: int = 16) -> str:
+    """DuckDB SQL computing identical fingerprints (same md5-nibble hash)."""
+    assert n_bits % 4 == 0
+    votes = ",\n           ".join(
+        f"SUM((strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        f" // {2 ** b} % 2 * 2 - 1) AS v{j * 4 + b}"
+        for j in range(n_bits // 4)
+        for b in range(4)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+               )) AS t
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+    """
+
+
 def minhash_signature(tokens: Column, n_hashes: int, seed: int = 42) -> Column:
     """J6: MinHash signature — array of per-seed minimum token hashes.
 

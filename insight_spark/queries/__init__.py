@@ -44,6 +44,7 @@ _MODULES = (
     "insight_spark.queries.text_extra",
     "insight_spark.queries.vectors_extra",
     "insight_spark.queries.misc",
+    "insight_spark.queries.pipeline_extra",
 )
 
 _loaded = False

@@ -1,0 +1,260 @@
+"""LLM-pipeline dedup/ANN variants + K2/K3 batch forms + D13.
+
+Fills the remaining SURVEY.md §2 rows: SimHash near-dup (J6 family),
+embedding-cosine near-dup, LSH-bucketed ANN (J3 scale path, rows-only),
+n-gram Jaccard (I4+J7), sliding/session windows (K2/K3 batch forms),
+GROUPING SETS (D13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.dedup import (
+    jaccard,
+    simhash_fingerprints,
+    simhash_oracle_sql,
+)
+from insight_spark.operators.similarity import cosine, lsh_bucket_join
+from insight_spark.operators.text import ngrams, tokenize
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+MONEY = "decimal(38,6)"
+
+
+@query(
+    "simhash_near_dup",
+    oracle=simhash_oracle_sql(16)
+    + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming distance of adjacent doc pairs.
+
+    The fingerprint uses an md5-nibble hash so the whole sketch is
+    value-oracle-checkable cross-engine (operators/dedup.py).  At scale:
+    one shuffle to build fingerprints (16 bytes/doc), then candidate
+    pairing is by fingerprint band — here adjacent ids keep the oracle
+    exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON b.vec_id > a.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup mandate).
+
+    Exact all-pairs form — the correctness baseline.  The 100 TB path
+    swaps in the LSH bucket prefilter (ann_lsh_topk below /
+    operators/similarity.lsh_bucket_join): same scoring, candidate set
+    shrunk from O(N²) to same-bucket pairs.  Threshold 0.4 sits in the
+    top tail of the fixture's near-random vectors (max pairwise ≈ 0.51).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v"))
+    sim = F.round(cosine(F.col("a_v"), F.col("b_v")), 6)
+    return (
+        a.join(b, F.col("b_id") > F.col("a_id"))
+        .select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: xxhash64 bucketing not DuckDB-expressible
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn via random-hyperplane LSH buckets (J3 scale path).
+
+    Deterministic (seeded hyperplanes), but the bucket hash is
+    xxhash64-based → rows-only driver check; recall vs the exact
+    knn_cosine_topk is asserted in tests/test_pipeline_extra.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    return lsh_bucket_join(queries, corpus, k=5, n_planes=4)
+
+
+@query(
+    "ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 END, 6) AS trigram_jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard of adjacent doc pairs (I4 + J7 — the
+    n-gram near-dup signal from the dedup mandate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams(tokenize(F.col("text")), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    return a.join(b, F.col("b_id") == F.col("a_id") + 1).select(
+        "a_id",
+        "b_id",
+        F.round(jaccard(F.col("a_s"), F.col("b_s")), 6).alias("trigram_jaccard"),
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE * s
+               AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events, unnest([0, 1]) AS t(s)
+    GROUP BY 1
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min window, 5-min slide (K2 batch form).
+
+    Each event lands in exactly 2 epoch-aligned windows; the oracle
+    materializes both shifted 5-min buckets.  Streaming form: identical
+    expression under readStream + watermark (insight_spark.streaming).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows, 30-min gap (K3 batch form).
+
+    ``F.session_window`` merges events whose windows overlap (strict
+    ``<`` gap); the oracle reproduces that with lag-gap sessionization.
+    Streaming form: same expression + withWatermark (state-store backed,
+    tests/test_streaming.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (D13): per-status, per-priority, and grand totals
+    in one pass (Spark expands to a single expand+hash-agg, one
+    shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "sum_price")
+    )

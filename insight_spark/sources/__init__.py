@@ -2,9 +2,20 @@
 
 from insight_spark.sources.parquet import (
     TABLES,
+    from_rows,
     load_table,
     load_tables,
+    read_csv,
+    read_json,
     register_views,
 )
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "from_rows",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "register_views",
+]

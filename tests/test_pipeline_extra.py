@@ -1,0 +1,89 @@
+"""Tests for the LLM-pipeline extras: SimHash, ANN recall, scans (A3/A4).
+
+Oracle parity for the new declared queries is covered by
+test_oracle_parity.py; here we check the properties the oracle can't:
+sketch behavior and approximate-path recall.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from insight_spark.operators.dedup import simhash_fingerprints
+from insight_spark.operators.similarity import knn_topk, lsh_bucket_join
+from insight_spark.sources import load_table, read_csv, read_json
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert 0 <= fps[1] < 2**16
+
+
+def test_simhash_near_docs_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " lambda")],  # one token added
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert bin(fps[1] ^ fps[2]).count("1") <= 4
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    exact = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in knn_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in lsh_bucket_join(queries, corpus, k=5, n_planes=4).collect()
+    }
+    # every query returns k rows; recall is approximate but must be real
+    assert len(approx) == 50
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_csv_scan_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    out = os.path.join(str(tmp_path), "nation_csv")
+    nation.write.option("header", True).csv(out)
+    back = read_csv(
+        spark,
+        out,
+        schema="n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    )
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in nation.collect()
+    }
+
+
+def test_json_scan_roundtrip(spark, tmp_path):
+    region = load_table(spark, SF, "region")
+    out = os.path.join(str(tmp_path), "region_json")
+    region.write.json(out)
+    back = read_json(spark, out, schema=region.schema)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
