@@ -53,10 +53,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = registry[name]
-        fn(spark, sf_dir).collect()  # cold
+        # BASELINE.md protocol: one DataFrame per query; cold_s = first
+        # collect (plan + codegen + execute), warm_s = immediate second
+        # collect of the same plan (steady-state execution).
+        df = registry[name](spark, sf_dir)
+        df.collect()  # cold
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()  # warm
+        df.collect()  # warm
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -17,6 +17,7 @@ the parquet reader's, unchanged by this layer.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,21 +45,38 @@ def _repair_events(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Sessions whose semantic confs were already asserted (conf.set is an
+#: RPC; doing it per load_table cost ~0.3 s/query at bench scale).
+_conf_done: weakref.WeakSet = weakref.WeakSet()
+
+#: Plan cache: fixture dirs are immutable, so the analyzed DataFrame
+#: (schema + repair projection) is reusable across queries on the same
+#: session — skips the parquet footer/schema RPC on every re-load.
+_df_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table by name, applying any schema repair.
 
-    Re-asserts the runtime-settable semantic confs (UTC timezone,
-    nanosAsLong) so correctness holds even on a session the engine did
-    not build (the driver passes its own SparkSession).
+    Asserts the runtime-settable semantic confs (UTC timezone,
+    nanosAsLong) once per session so correctness holds even on a session
+    the engine did not build (the driver passes its own SparkSession).
     """
     from insight_spark.engine import SEMANTIC_CONF
 
-    for k, v in SEMANTIC_CONF.items():
-        spark.conf.set(k, v)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _repair_events(df)
-    return df
+    if spark not in _conf_done:
+        for k, v in SEMANTIC_CONF.items():
+            spark.conf.set(k, v)
+        _conf_done.add(spark)
+
+    cache = _df_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _repair_events(df)
+        cache[key] = df
+    return cache[key]
 
 
 def load_tables(
