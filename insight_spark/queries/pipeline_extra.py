@@ -232,6 +232,52 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nulls_ordering",
+    oracle="""
+    SELECT event_id, nullif(event_type, 'click') AS et
+    FROM events
+    ORDER BY et DESC NULLS LAST, event_id
+    LIMIT 50
+    """,
+)
+def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST/LAST ordering (F2) with a unique tie-break (§7.4.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id", F.nullif(F.col("event_type"), F.lit("click")).alias("et")
+        )
+        .orderBy(F.desc_nulls_last("et"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "sql_registered_udf",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(CAST(length(text) AS DOUBLE) / 100.0))), 6)
+               AS quality
+    FROM documents
+    """,
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF registration (L6): the L1 pandas UDF registered via
+    ``spark.udf.register`` and invoked from ``spark.sql`` — the SQL-string
+    entry path of SURVEY.md §3.2."""
+    from insight_spark.queries.vectors_extra import _sigmoid_len_score
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_l6_documents"
+    )
+    spark.udf.register("quality_score", _sigmoid_len_score())
+    return spark.sql(
+        "SELECT doc_id, ROUND(quality_score(text), 6) AS quality"
+        " FROM _l6_documents"
+    )
+
+
+@query(
     "grouping_sets_agg",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
