@@ -12,9 +12,9 @@ Layout
 - ``engine``      session builder + config contract (SURVEY.md §7.2)
 - ``sources``     readers (parquet incl. ns-ts repair, csv, json, memory),
                   sinks (parquet, search-index emulation, jdbc stand-in)
-- ``operators``   relational / window / text / similarity / dedup operators
-- ``functions``   scalar & vector expression helpers, oracle dialect map
-- ``plans``       plan introspection (broadcast/pushdown assertions)
+- ``operators``   relational / window / text / similarity / dedup /
+                  multimodal / partitioning operators
+- ``pipelines``   end-to-end job compositions (the reference's ETL jobs)
 - ``streaming``   Structured Streaming forms of the K-ops
 - ``queries``     the declared query registry backing ``__spark_entry__``
 """

@@ -40,6 +40,9 @@ LOCAL_PERF_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # bucketed tables (operators/partitioning.py) register here; keep the
+    # warehouse out of the repo tree
+    "spark.sql.warehouse.dir": "/tmp/insight_spark_warehouse",
 }
 
 

@@ -1,0 +1,77 @@
+"""Physical-layout operators: bucketing and skew salting (SURVEY §4.3).
+
+These are the knobs the 100 TB posture actually turns:
+
+- **Bucketed tables** co-locate both sides of a recurring large-large
+  join (fact ⋈ fact on the same key): each side is pre-hash-partitioned
+  into the same bucket count at write time, so the join runs with ZERO
+  runtime exchange — the dominant shuffle in a daily pipeline becomes a
+  one-time write cost (tests/test_partitioning.py asserts the
+  exchange-free plan).
+- **Salting** is the manual fallback for extreme key skew that AQE's
+  skew-join splitting can't fix (e.g. one key = 30% of rows joined to a
+  non-broadcastable side): the hot side spreads each key over
+  ``n_salts`` sub-keys, the other side replicates each row n_salts
+  times; result is identical, the hot partition is n_salts× smaller.
+  Deterministic (hash-derived salt, no RNG): safe under task retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    n_buckets: int = 8,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """A6+: persist as a bucketed (and optionally sorted) parquet table.
+
+    Bucketed tables register in the session catalog (bucket metadata
+    lives in the metastore, not the files).  Sorting within buckets
+    additionally removes the join's Sort — a bucketed+sorted pair
+    sort-merge-joins with no exchange and no sort.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_keys
+    )
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table)
+
+
+def salt_column(unique_col: str | Column, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of a unique column, so
+    re-executed tasks produce identical salts (no F.rand — RNG breaks
+    exactly-once under retry)."""
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.xxhash64(c), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    skewed_unique_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join, identical result to ``skewed.join(other,
+    on, how)``.
+
+    The skewed side gets a per-row deterministic salt; ``other`` is
+    replicated once per salt value (an ``explode`` of a literal range —
+    n_salts× its size, so use for moderately sized right sides or
+    per-key hot-spots).  The join key becomes (on, salt): the hot key's
+    rows now hash to n_salts different partitions.
+    """
+    s = skewed.withColumn("_salt", salt_column(skewed_unique_col, n_salts))
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return s.join(o, [on, "_salt"], how).drop("_salt")

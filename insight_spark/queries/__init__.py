@@ -45,6 +45,7 @@ _MODULES = (
     "insight_spark.queries.vectors_extra",
     "insight_spark.queries.misc",
     "insight_spark.queries.pipeline_extra",
+    "insight_spark.queries.functions_extra",
 )
 
 _loaded = False

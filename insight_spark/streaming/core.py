@@ -154,6 +154,49 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+#: Output schema of the K6 stateful operator.
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+#: State carried per user across micro-batches.
+_USER_STATE_SCHEMA = "n bigint, total double"
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """K6: custom per-key stateful operator via ``applyInPandasWithState``.
+
+    Maintains running (count, sum) per user across micro-batches — the
+    arbitrary-state surface the built-in windowed aggs can't express
+    (e.g. decaying counters, per-key ML state).  Each update emits the
+    user's new running totals; the LAST emission per user equals the
+    batch ``groupBy(user_id).agg(count, sum)`` (asserted in
+    tests/test_streaming.py).
+
+    Scale posture: state is one row of two numbers per user, partitioned
+    by the group key across executors; timeouts would evict idle keys
+    (not needed for the bounded fixture key space).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

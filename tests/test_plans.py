@@ -1,0 +1,79 @@
+"""Physical-plan regression tests (SURVEY §4) — the 100 TB posture.
+
+Correctness tests can't see a lost broadcast or an un-pushed filter;
+these assert the plan *shape* so a regression that would only hurt at
+scale fails at test time.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from insight_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        all_queries()[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_filter_agg_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_filter_agg")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "date filter not pushed"
+    assert "LessThan(l_quantity" in plan, "quantity filter not pushed"
+    # column pruning: the 16-column table reads only the 4 needed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read.count(":") <= 5, f"scan reads too many columns: {read}"
+    assert "l_comment" not in read
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_star")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join fell back to SMJ"
+
+
+def test_flagship_broadcasts_dims(spark):
+    plan = _plan(spark, "flagship_top_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-k not a single physical op"
+
+
+def test_topk_single_operator(spark):
+    plan = _plan(spark, "topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_rank_group_limit(spark):
+    plan = _plan(spark, "window_rank")
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k filter should short-circuit per group (InferWindowGroupLimit)"
+    )
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(spark, "sessionize")
+    # formatted output lists each node twice (tree + detail); count the
+    # detail lines, one per physical exchange
+    assert plan.count("Arguments: hashpartitioning") <= 1, (
+        "sessionize must share ONE user_id exchange across both window "
+        "passes and the final agg:\n" + plan
+    )
+
+
+def test_knn_broadcasts_queries_no_shuffle_of_corpus(spark):
+    plan = _plan(spark, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
+
+
+def test_no_query_collects_in_plan_building(spark):
+    """Operators must stay lazy: building every declared plan triggers
+    no Spark job except explicitly documented driver-side lookups."""
+    for name, fn in all_queries().items():
+        df = fn(spark, SF)  # must not raise, must return a DataFrame
+        assert df.columns, f"{name} returned no columns"

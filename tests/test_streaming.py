@@ -168,3 +168,45 @@ def test_late_data_dropped(spark, tmp_path):
 
     assert n_before > 0
     assert n_after == n_before, "late rows leaked past the watermark"
+
+
+def test_stateful_user_totals_converges_to_batch(spark, stream_env):
+    """K6: applyInPandasWithState running per-user totals — the last
+    update emitted per user must equal the batch groupBy aggregate."""
+    from insight_spark.streaming.core import user_totals_stateful
+
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        user_totals_stateful(stream),
+        "user_totals_stream",
+        os.path.join(stream_env["base"], "ckpt_stateful"),
+        output_mode="update",
+    )
+    # memory sink in update mode appends every emission; keep the last
+    # per user (max n_events — totals are monotone)
+    import pyspark.sql.window as W
+
+    w = W.Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0], f"count mismatch user {uid}"
+        assert abs(got[uid][1] - want[uid][1]) < 1e-4, f"sum mismatch user {uid}"
