@@ -94,3 +94,73 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_media(media, real_codecs=True).collect()
+
+
+def test_multimodal_resize_frames_features(spark):
+    """J8 mandate: resize / frame-sample / feature-extract plumbing."""
+    from insight_spark.operators.multimodal import (
+        attach_media_columns,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+    from insight_spark.operators.similarity import knn_topk
+    from insight_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = attach_media_columns(docs)
+
+    resized = resize_media(media, 8, 8).collect()
+    assert all(len(r["payload"]) == 64 for r in resized)
+    assert len(resized) == 50
+
+    frames = sample_frames(media, every_n_bytes=64)
+    per_doc = frames.groupBy("doc_id").count()
+    joined = per_doc.join(
+        media.select("doc_id", F.col("media.size_bytes").alias("sz")), "doc_id"
+    )
+    bad = joined.filter(
+        F.col("count") != F.ceil(F.col("sz") / 64)
+    ).count()
+    assert bad == 0, "frame count must be ceil(size/64) per doc"
+
+    feats = extract_features(media, dim=16)
+    row = feats.first()
+    assert len(row["features"]) == 16
+    # deterministic: second run identical
+    a = {r["doc_id"]: tuple(r["features"]) for r in feats.collect()}
+    b = {r["doc_id"]: tuple(r["features"]) for r in extract_features(media, 16).collect()}
+    assert a == b
+    # features flow into the real ANN operator
+    qs = feats.limit(3).select(
+        F.col("doc_id").alias("q_vec_id"), F.col("features").alias("q_embedding")
+    )
+    corpus = feats.select(
+        F.col("doc_id").alias("c_vec_id"), F.col("features").alias("c_embedding")
+    )
+    topk = knn_topk(qs, corpus, k=3).collect()
+    assert len(topk) == 9
+    # self-similarity tops each query's ranking
+    best = {r["q_vec_id"]: r["c_vec_id"] for r in topk if r["rank"] == 1}
+    for q, c in best.items():
+        assert q == c
+
+
+def test_soundex_known_values(spark):
+    """H3 second half: Spark soundex (no DuckDB equivalent — unit-tested
+    against published soundex codes instead of an oracle)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Ashcraft",), ("Tymczak",), ("Pfister",)],
+        "name string",
+    )
+    got = {r["name"]: r["sx"] for r in df.select("name", F.soundex("name").alias("sx")).collect()}
+    assert got == {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+    }
