@@ -96,6 +96,88 @@ def knn_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "c_embedding",
+    id_col: str = "c_vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: tag each vector with its nearest-centroid
+    cell id.
+
+    ``centroids(cell_id, centroid)`` is broadcast (K is small by
+    design — √N cells at scale), so assignment is a map-side nested
+    loop + per-row argmin: no shuffle of the corpus.  Rebuilding the
+    index = rerunning this projection.
+    """
+    from pyspark.sql import Window
+
+    d = l2_distance(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("cell_id"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_dist", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_dist", "_rn", "centroid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+) -> DataFrame:
+    """J3 scale path #2: IVF approximate knn (complements LSH).
+
+    Each query probes its ``n_probe`` nearest cells; candidates are the
+    vectors assigned there — an equi-join on ``cell_id`` instead of a
+    cross join, shrinking work from O(|Q|·N) to O(|Q|·N·n_probe/K).
+    Same scoring + deterministic tie-breaks as exact ``knn_topk``, so
+    recall is measurable against it (tests/test_pipeline_extra.py).
+    """
+    from pyspark.sql import Window
+
+    qd = l2_distance(F.col("q_embedding"), F.col("centroid"))
+    wq = Window.partitionBy("q_vec_id").orderBy(F.asc("_qdist"), F.asc("cell_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_qdist", qd)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("q_vec_id", "q_embedding", "cell_id")
+    )
+    score = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6)
+    pairs = indexed_corpus.join(F.broadcast(probes), "cell_id").select(
+        "q_vec_id", "c_vec_id", score.alias("cos_sim")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), F.asc("c_vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def seeded_centroids(corpus: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic coarse centroids: the first ``n_cells`` vectors by
+    id.  A trained quantizer (seeded KMeans) drops in here without
+    touching ivf_assign/ivf_topk — the IVF contract is just
+    ``(cell_id, centroid)``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_vec_id")
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(
+            (F.col("_rn") - 1).alias("cell_id"),
+            F.col("c_embedding").alias("centroid"),
+        )
+    )
+
+
 def lsh_bucket_join(
     queries: DataFrame,
     corpus: DataFrame,

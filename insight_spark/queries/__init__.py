@@ -46,6 +46,7 @@ _MODULES = (
     "insight_spark.queries.misc",
     "insight_spark.queries.pipeline_extra",
     "insight_spark.queries.functions_extra",
+    "insight_spark.queries.subqueries",
 )
 
 _loaded = False

@@ -110,6 +110,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_join(queries, corpus, k=5, n_planes=4)
 
 
+@query("ann_ivf_topk")  # rows-only: approximate (cell pruning), like ann_lsh
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn via IVF cells (J3 scale path #2).
+
+    Deterministic coarse quantizer + 2-cell probe; recall vs exact knn
+    asserted in tests/test_pipeline_extra.py.
+    """
+    from insight_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    cents = seeded_centroids(corpus, n_cells=8)
+    indexed = ivf_assign(corpus, cents)
+    return ivf_topk(queries, indexed, cents, k=5, n_probe=3)
+
+
 @query(
     "ngram_jaccard",
     oracle=r"""

@@ -87,3 +87,57 @@ def test_json_scan_roundtrip(spark, tmp_path):
     assert sorted(r["r_name"] for r in back.collect()) == sorted(
         r["r_name"] for r in region.collect()
     )
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    from insight_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    cents = seeded_centroids(corpus, 8)
+    indexed = ivf_assign(corpus, cents)
+    # partition property: every corpus vector lands in exactly one cell
+    assert indexed.count() == corpus.count()
+    assert indexed.select("c_vec_id").distinct().count() == corpus.count()
+
+    approx = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in ivf_topk(queries, indexed, cents, k=5, n_probe=3).collect()
+    }
+    exact = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in knn_topk(queries, corpus, k=5).collect()
+    }
+    assert len(approx) == 50  # k results per query
+    assert len(exact & approx) / len(exact) >= 0.3
+    # probing ALL cells must reproduce the exact result
+    full = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in ivf_topk(queries, indexed, cents, k=5, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_approx_percentile_error_bound(spark):
+    """D12 sketch property: approx within the declared rank tolerance."""
+    ev = load_table(spark, SF, "events")
+    row = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_med"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("appr_med"),
+        F.percentile("value", F.lit(0.9)).alias("exact_p90"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("appr_p90"),
+    ).first()
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).first()[0] or 1.0
+    )
+    assert abs(row["appr_med"] - row["exact_med"]) <= 0.05 * spread
+    assert abs(row["appr_p90"] - row["exact_p90"]) <= 0.05 * spread
