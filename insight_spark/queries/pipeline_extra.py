@@ -110,6 +110,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_join(queries, corpus, k=5, n_planes=4)
 
 
+@query(
+    "event_type_sequences",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(event_type)) AS types_sorted,
+           COUNT(*) AS n,
+           concat('{"user_id":', user_id, ',"n":', COUNT(*), '}') AS json_summary
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list (D10, array_sort both sides — Spark collect order is
+    nondeterministic) + to_json struct serialization (H14 write side;
+    the oracle reproduces Spark's compact JSON byte-for-byte)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types_sorted"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "user_id",
+        "types_sorted",
+        "n",
+        F.to_json(F.struct("user_id", "n")).alias("json_summary"),
+    )
+
+
 @query("ann_ivf_topk")  # rows-only: approximate (cell pruning), like ann_lsh
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn via IVF cells (J3 scale path #2).

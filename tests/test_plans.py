@@ -71,6 +71,13 @@ def test_knn_broadcasts_queries_no_shuffle_of_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
 
 
+def test_groupby_has_map_side_combine(spark):
+    plan = _plan(spark, "groupby_agg")
+    assert "partial_sum" in plan or "partial_count" in plan, (
+        "hash agg must run partial (map-side) before the exchange"
+    )
+
+
 def test_no_query_collects_in_plan_building(spark):
     """Operators must stay lazy: building every declared plan triggers
     no Spark job except explicitly documented driver-side lookups."""
