@@ -154,6 +154,44 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """K7+: stream-stream interval join (purchases ⋈ preceding clicks).
+
+    Both sides are watermarked; the join condition bounds event-time
+    distance, so each side's buffered state is evicted once the other
+    side's watermark passes the interval — bounded state, the canonical
+    Structured Streaming stream-stream join shape.  Batch twin:
+    ``range_join_clicks``-style interval self-join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
 #: Output schema of the K6 stateful operator.
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 #: State carried per user across micro-batches.

@@ -151,3 +151,33 @@ def test_sample_bounds_and_determinism(spark, frac):
         assert not s1
     if frac == 1.0:
         assert s1 == all_ids
+
+
+def test_sessionize_invariant_under_intra_session_shuffle(spark):
+    """SURVEY §5.3.3: permuting event arrival order (the window sorts by
+    ts anyway) must not change session boundaries."""
+    from insight_spark.operators.windows import sessionize
+
+    rows = [
+        (1, 100, "2024-01-01 10:00:00"),
+        (2, 100, "2024-01-01 10:10:00"),
+        (3, 100, "2024-01-01 10:20:00"),
+        (4, 100, "2024-01-01 12:00:00"),
+        (5, 200, "2024-01-01 10:05:00"),
+        (6, 200, "2024-01-01 11:30:00"),
+    ]
+    import random
+
+    shuffled = rows[:]
+    random.Random(3).shuffle(shuffled)
+
+    def sessions(data):
+        df = spark.createDataFrame(
+            [(e, u, t) for e, u, t in data], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = sessionize(df, key="user_id", ts="ts", gap_seconds=1800, tie="event_id")
+        return sorted(
+            (r["user_id"], r["event_id"], r["session_id"]) for r in out.collect()
+        )
+
+    assert sessions(rows) == sessions(shuffled)

@@ -210,3 +210,38 @@ def test_stateful_user_totals_converges_to_batch(spark, stream_env):
     for uid in want:
         assert got[uid][0] == want[uid][0], f"count mismatch user {uid}"
         assert abs(got[uid][1] - want[uid][1]) < 1e-4, f"sum mismatch user {uid}"
+
+
+def test_stream_stream_join_matches_batch(spark, stream_env):
+    """K7+: watermarked stream-stream interval join == batch interval
+    join over the same rows."""
+    from insight_spark.streaming.core import purchase_click_join_stream
+
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        purchase_click_join_stream(stream),
+        "ss_join_stream",
+        os.path.join(stream_env["base"], "ckpt_ssjoin"),
+        output_mode="append",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
+    got = _canon(result)
+    want = _canon(batch)
+    assert got == want, f"stream {len(got)} rows vs batch {len(want)}"
