@@ -235,6 +235,64 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_runtime_available() -> bool:
+    """True iff the ``transformWithStateInPandas`` runtime can start
+    (its Python state-server protocol needs ``google.protobuf``)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """K6 (Spark 4 form): per-key running totals via
+    ``transformWithStateInPandas`` — the ``StatefulProcessor`` API that
+    supersedes ``applyInPandasWithState``.
+
+    Same semantics as :func:`user_totals_stateful` (running count/sum
+    per user, last emission equals the batch aggregate), but state lives
+    in named, schema-typed handles (``getValueState``) with optional
+    TTL and timers — the surface a production decaying-counter or
+    per-key-model operator would use.  State is partitioned by the
+    group key across executors; the fixture key space is bounded, and
+    at real scale a TTL (``ttlDurationMs``) evicts idle keys.
+
+    Runtime requirement: Spark's TWS Python runner speaks a
+    protobuf-framed state-server protocol, so executing the returned
+    stream needs ``google.protobuf`` installed (check
+    :func:`tws_runtime_available` first).  Building the plan does not.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotals(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

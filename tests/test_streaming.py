@@ -245,3 +245,58 @@ def test_stream_stream_join_matches_batch(spark, stream_env):
     got = _canon(result)
     want = _canon(batch)
     assert got == want, f"stream {len(got)} rows vs batch {len(want)}"
+
+def test_tws_user_totals_converges_to_batch(spark, stream_env):
+    """K6 (Spark 4 StatefulProcessor): transformWithStateInPandas running
+    per-user totals — last emission per user == batch aggregate.
+
+    The TWS runtime needs google.protobuf (absent in this container) —
+    the plan still must BUILD here; execution is skipped without it.
+    """
+    from insight_spark.streaming.core import tws_runtime_available, user_totals_tws
+
+    if not tws_runtime_available():
+        stream0 = read_events_stream(spark, stream_env["in_dir"])
+        df = user_totals_tws(stream0)  # plan construction must succeed
+        assert df.isStreaming and set(df.columns) == {
+            "user_id",
+            "n_events",
+            "sum_value",
+        }
+        import pytest
+
+        pytest.skip("google.protobuf absent: TWS runtime cannot start")
+
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        user_totals_tws(stream),
+        "user_totals_tws_stream",
+        os.path.join(stream_env["base"], "ckpt_tws"),
+        output_mode="update",
+    )
+    import pyspark.sql.window as W
+
+    w = W.Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0], f"count mismatch user {uid}"
+        assert abs(got[uid][1] - want[uid][1]) < 1e-4, f"sum mismatch user {uid}"
