@@ -1,0 +1,126 @@
+"""Connected components over an edge DataFrame (dedup-cluster closure).
+
+The missing piece between near-duplicate *pairs* (operators/dedup.py)
+and a deduplicated *corpus*: pairs form a graph whose connected
+components are the duplicate clusters; the canonical document per
+cluster is the minimum id.  This is the standard final stage of a
+MinHash dedup pipeline at LLM-corpus scale.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Each round does (1) one hop of neighbor-min propagation (join edges to
+labels, groupBy min) and (2) one pointer-jumping step
+(``label := label(label)``), so label information doubles its reach per
+round — convergence in O(log(diameter)) rounds instead of
+O(diameter).  Every step is a join/groupBy on the vertex-id key: fully
+distributed, no driver state beyond the loop counter and a convergence
+count.
+
+Scale posture (100 TB corpus → billions of vertices):
+- lineage is truncated every round with ``localCheckpoint`` (eager) —
+  without it the plan doubles per iteration and the job dies on plan
+  compilation long before data volume matters; on a cluster use
+  ``checkpoint`` with a reliable checkpoint dir instead.
+- the label table is 2 longs per vertex; the edge table is bounded by
+  the candidate-pair stage (same-bucket pairs only, never all-pairs).
+- skew: a giant component's label key can hot-spot the groupBy; AQE
+  skew handling applies, and pointer jumping keeps round counts low
+  even for chain-shaped components (the worst case for plain
+  propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id reachable from it.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Returns (v, label) — vertices in the same component share a label,
+    and the label is the component's minimum vertex id (the canonical
+    id for dedup keep-rules).
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
+    (with pointer jumping, 25 rounds covers diameters up to ~2^25).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("w")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+
+    verts = sym.select(F.col("u").alias("v")).distinct()
+    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # one hop: every vertex takes min(own label, neighbors' labels)
+        msgs = sym.join(
+            labels.withColumnRenamed("v", "u"), "u"
+        ).select(F.col("w").alias("v"), "label")
+        # checkpoint BEFORE the self-join below: truncates the per-round
+        # lineage (else the plan doubles each iteration) and gives the
+        # self-join a clean LogicalRDD scan on both sides (a self-join
+        # on the raw union+agg plan trips attribute dedup).
+        hop = (
+            labels.union(msgs)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # pointer jump: label := label(label).  Labels are vertex ids,
+        # so the lookup table is `hop` itself; left join because a
+        # component minimum's own label row always exists but joins to
+        # itself (coalesce keeps it stable).
+        lookup = hop.select(
+            F.col("v").alias("_lv"), F.col("label").alias("_ll")
+        )
+        jump = (
+            hop.join(lookup, hop["label"] == lookup["_lv"], "left")
+            .select(
+                hop["v"],
+                F.coalesce(F.col("_ll"), hop["label"]).alias("label"),
+            )
+        )
+        changed = (
+            jump.alias("n")
+            .join(
+                labels.select(
+                    F.col("v").alias("_v"), F.col("label").alias("_old")
+                ),
+                F.col("n.v") == F.col("_v"),
+            )
+            .filter(F.col("n.label") != F.col("_old"))
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def canonical_assignment(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Dedup keep-rule: map every id to its cluster canonical (min id).
+
+    Ids that appear in no near-dup pair are their own canonical.
+    Returns (id_col, canonical_id) for ALL ids in ``all_ids``.
+    """
+    comp = connected_components(pairs, src=a_col, dst=b_col)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(comp, all_ids[id_col] == comp["v"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

@@ -47,6 +47,7 @@ _MODULES = (
     "insight_spark.queries.pipeline_extra",
     "insight_spark.queries.functions_extra",
     "insight_spark.queries.subqueries",
+    "insight_spark.queries.training",
 )
 
 _loaded = False

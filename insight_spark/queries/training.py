@@ -1,0 +1,207 @@
+"""Training-data pipeline queries (LLM-pipeline mandate, SURVEY §0.2).
+
+The corpus-preparation stages a 100 TB pretraining pipeline runs after
+near-dup detection: cluster closure → canonical selection,
+reproducible train/test splits, deterministic stratified sampling, and
+context-window packing.  All deterministic by construction (md5-based
+ordering/splitting — identical in Spark and DuckDB — instead of RNG),
+so results are bit-stable under any partitioning and re-run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.components import canonical_assignment
+from insight_spark.operators.dedup import jaccard
+from insight_spark.operators.text import tokenize
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+#: Unigram-jaccard threshold for the cluster demo edge set: adjacent-id
+#: doc pairs at ≥ 0.7 overlap chain into multi-hop components on the
+#: fixture corpus (median adjacent-pair jaccard is ~0.63).
+_TAU = 0.7
+
+
+def _adjacent_jaccard_edges(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id) edges: adjacent doc ids with unigram jaccard ≥ τ."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("s")
+    )
+    a = toks.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = toks.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .filter(jaccard(F.col("a_s"), F.col("b_s")) >= _TAU)
+        .select("a_id", "b_id")
+    )
+
+
+@query(
+    "near_dup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {_TAU}
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS w FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT u AS v, u AS w FROM edges
+        UNION
+        SELECT r.v, e.w
+        FROM reach r JOIN edges e ON e.u = r.w
+    )
+    SELECT d.doc_id,
+           coalesce(c.canonical_id, d.doc_id) AS canonical_id
+    FROM documents d
+    LEFT JOIN (SELECT v, MIN(w) AS canonical_id FROM reach GROUP BY v) c
+           ON c.v = d.doc_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster closure: near-dup pairs → connected components →
+    canonical (min-id) assignment for every document.
+
+    The Spark side runs the distributed iterative CC operator
+    (operators/components.py: min-label propagation + pointer jumping,
+    O(log diameter) rounds of join/groupBy); the oracle computes the
+    same transitive closure with a recursive CTE.  Chain-shaped
+    components (consecutive similar docs) exercise multi-hop closure,
+    the case a single self-join would get wrong.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _adjacent_jaccard_edges(docs)
+    return canonical_assignment(pairs, docs.select("doc_id"))
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~80/20 train/test split keyed on md5(doc_id).
+
+    Content-keyed hashing (not RNG, not row position) means the split
+    is stable across engines, re-runs, repartitioning, and corpus
+    appends — the property a training pipeline needs so that adding
+    documents never migrates existing ones between splits.  'cd' =
+    204/256 ≈ 0.797 of the hash space.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h2 < "cd", "train").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+    FROM ranked
+    WHERE rk <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample per language (B10 at
+    training-pipeline standards).
+
+    Rank docs within each stratum by md5(doc_id) — a fixed, uniform
+    pseudo-order — and keep the first ceil(0.2·n) per stratum.  Exact
+    per-stratum proportions, no RNG, oracle-hashable; one window
+    shuffle on the stratum key.  (``df.sampleBy`` gives the same shape
+    with Bernoulli sampling but engine-specific RNG — this form is the
+    reproducible variant a data pipeline should prefer.)
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).alias("n_lang"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+#: Context-window budget (whitespace tokens) for pack_token_budget.
+_PACK_BUDGET = 2048
+
+
+@query("pack_token_budget")  # rows-only: greedy packing is inherently
+# sequential per group; properties asserted in tests/test_training.py
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into context-window bins of ≤ 2048 tokens per
+    source (sequence packing for pretraining).
+
+    Greedy first-fit in doc_id order *within each source partition*: a
+    doc that would overflow the open bin starts a new one (docs larger
+    than the budget get a bin alone).  The scan is inherently
+    sequential per group — exactly what ``applyInPandas`` (L3) is for:
+    each source's docs stream through one Arrow-batched Python worker
+    while sources parallelize across executors.  At 100 TB the group
+    key is (source, shard) so no single group exceeds one worker.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, used = [], 0
+        bin_id = 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > _PACK_BUDGET:
+                bin_id += 1
+                used = 0
+            bins.append(bin_id)
+            used += n
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "source", "n_tokens", "bin_id"]]
+
+    return docs.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tokens int, bin_id long"
+    )
