@@ -110,6 +110,45 @@ def write_jdbc_standin(
     return path
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> str:
+    """Training-export sink: deterministic shard layout for a trainer.
+
+    Shard = md5(id) mod n_shards — content-keyed, so the layout is
+    reproducible across engines/re-runs and a trainer reading shard i
+    always sees the same documents (no RNG, no row-position
+    dependence).  Within a shard, rows are sorted by the same hash: a
+    stable pseudo-shuffle, which is what sequence-level training wants
+    (decorrelated neighbors, bit-identical every run).
+
+    One repartition on the shard key (each output file written by one
+    task), hive-partitioned by ``shard`` for pruning.  At 100 TB pick
+    n_shards ≈ total_bytes / target_file_size.
+    """
+    hashed = df.withColumn(
+        "_h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % n_shards).cast(
+            "int"
+        ),
+    )
+    (
+        hashed.repartition(n_shards, "shard")
+        .sortWithinPartitions("_h", id_col)
+        .drop("_h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
 def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
     """A10/K8: idempotent micro-batch upsert into a parquet serving dir.
 

@@ -136,3 +136,43 @@ def test_train_test_split_stable_under_append(spark):
     # sanity: both splits non-empty, train is the large side
     n_train = sum(1 for v in full.values() if v == "train")
     assert 0 < n_train < len(full) and n_train > len(full) / 2
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard, assignment
+    matches the md5 formula, and two writes are byte-stable."""
+    from insight_spark.sources import load_table
+    from insight_spark.sources.sinks import write_training_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, id_col="doc_id", n_shards=4)
+
+    back = spark.read.parquet(out)
+    n_docs = docs.count()
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    assert back.select("shard").distinct().count() == 4
+
+    expected = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 4
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    mismatch = (
+        back.select("doc_id", "shard")
+        .exceptAll(expected)
+        .count()
+    )
+    assert mismatch == 0
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, id_col="doc_id", n_shards=4)
+    back2 = spark.read.parquet(out2)
+    assert back.exceptAll(back2).count() == 0 and back2.exceptAll(back).count() == 0
