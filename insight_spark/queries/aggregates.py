@@ -268,3 +268,87 @@ def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (B10); fraction bound asserted in tests."""
     ev = load_table(spark, sf_dir, "events")
     return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id")
+
+
+@query(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status_col, n
+    FROM wide
+    UNPIVOT (n FOR status_col IN (n_open, n_finished, n_pending))
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot/melt (D16 inverse, Spark ≥3.4 ``unpivot``).
+
+    Round-trips the D16 pivot back to long form — unpivot is a
+    zero-shuffle projection (each row expands to k rows in place).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_open", "n_finished", "n_pending"],
+        "status_col",
+        "n",
+    )
+
+
+@query(
+    "explode_variants",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(list_filter(string_split_regex(text, '\s+'),
+                                       t -> t <> ''),
+                           t -> length(t) > 7) AS l
+        FROM documents
+    ),
+    padded AS (
+        SELECT doc_id,
+               CASE WHEN len(l) = 0 THEN [NULL] ELSE l END AS l2,
+               len(l) AS n
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(unnest(CASE WHEN n = 0 THEN [NULL] ELSE range(0, n) END)
+                AS INTEGER) AS pos,
+           unnest(l2) AS tok
+    FROM padded
+    """,
+)
+def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer (H11 full family): lateral expansion that KEEPS
+    rows whose array is empty (null pos/tok) — the outer semantics a
+    plain explode/unnest drops.  The oracle reproduces outer zip via
+    [NULL]-padding + parallel unnest."""
+    from insight_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            tokenize(F.col("text")), lambda t: F.length(t) > 7
+        ).alias("l"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode_outer("l").alias("pos", "tok")
+    )
