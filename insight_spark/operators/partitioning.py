@@ -75,3 +75,53 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return s.join(o, [on, "_salt"], how).drop("_salt")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """C8 scale path: time-interval join with NO equi key, without the
+    BroadcastNestedLoop/cartesian plan a raw theta join produces.
+
+    Matches pairs where ``right_ts ∈ [left_ts + lower_s, left_ts +
+    upper_s]`` (seconds, inclusive).  Both sides are bucketed into
+    interval-width epochs; the left side explodes to every bucket its
+    window overlaps (≤ 2 for a window no wider than the bucket), the
+    right side lands in exactly one, and the join becomes a shuffle
+    hash/sort-merge join on the bucket key followed by the exact range
+    filter.  Candidate pairs are bounded by per-bucket density instead
+    of |L|·|R| — the standard interval-bucketing rewrite (same idea as
+    Spark's stream-stream interval join state layout).
+
+    Column names must already be disjoint between the two sides (alias
+    before calling).  A right row joins each overlapping left bucket
+    exactly once, so no dedup is needed.
+    """
+    span = max(upper_s - lower_s, 1)
+    lsec = F.col(left_ts).cast("long")  # truncated: bucketing only
+    rsec = F.col(right_ts).cast("long")
+    l2 = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + lower_s) / span),
+                F.floor((lsec + upper_s) / span),
+            )
+        ),
+    )
+    r2 = right.withColumn("_bucket", F.floor(rsec / span))
+    # exact filter on the full-precision timestamps (the second-
+    # truncated buckets above are a superset prefilter: truncation
+    # can only widen the candidate window, never narrow it)
+    lo = F.timestamp_add("SECOND", F.lit(lower_s), F.col(left_ts))
+    hi = F.timestamp_add("SECOND", F.lit(upper_s), F.col(left_ts))
+    return (
+        l2.join(r2, "_bucket")
+        .filter((F.col(right_ts) >= lo) & (F.col(right_ts) <= hi))
+        .drop("_bucket")
+    )

@@ -239,3 +239,45 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50
         """
     )
+
+
+@query(
+    "interval_join_global",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.event_id) AS n_nearby_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts BETWEEN p.ts - INTERVAL 60 SECOND AND p.ts + INTERVAL 60 SECOND
+    GROUP BY p.event_id
+    """,
+)
+def interval_join_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key (C8 hard case): clicks by ANY
+    user within ±60 s of each purchase.
+
+    Uses the bucketed-interval rewrite
+    (operators/partitioning.bucketed_range_join) — shuffle join on
+    epoch buckets + exact filter — instead of the BroadcastNestedLoop
+    plan a raw theta join produces (plan-asserted in
+    tests/test_partitioning.py).  Purchases with no nearby click are
+    restored by a left join against the matched counts.
+    """
+    from insight_spark.operators.partitioning import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    matched = (
+        bucketed_range_join(p, c, "p_ts", "c_ts", -60, 60)
+        .groupBy("purchase_id")
+        .agg(F.count("click_id").alias("_n"))
+    )
+    return p.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_nearby_clicks"),
+    )

@@ -92,3 +92,32 @@ def test_salted_join_outer(spark):
     )
     plain = li.join(orders, "l_orderkey", "left")
     assert salted.count() == plain.count()
+
+
+def test_bucketed_range_join_matches_theta_and_avoids_bnlj(spark):
+    """The bucketed interval rewrite must (a) return exactly the naive
+    theta join's pairs, (b) plan as a shuffle join on the bucket key —
+    no BroadcastNestedLoop/cartesian."""
+    from insight_spark.operators.partitioning import bucketed_range_join
+    from insight_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    fast = bucketed_range_join(p, c, "p_ts", "c_ts", -60, 60).select(
+        "purchase_id", "click_id"
+    )
+    lo = F.timestamp_add("SECOND", F.lit(-60), F.col("p_ts"))
+    hi = F.timestamp_add("SECOND", F.lit(60), F.col("p_ts"))
+    naive = p.join(
+        c, (F.col("c_ts") >= lo) & (F.col("c_ts") <= hi)
+    ).select("purchase_id", "click_id")
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+    plan = _plan(fast)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
