@@ -352,3 +352,91 @@ def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", F.posexplode_outer("l").alias("pos", "tok")
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/null/distinct counts and
+    min/max (the SUMMARIZE surface a pipeline runs before ingesting a
+    new source).  One pass over the table — all per-column aggregates
+    fuse into a single hash-aggregate stage; doubles go through
+    DECIMAL(18,2) before stringifying (engine-independent rendering,
+    SURVEY §7.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile_struct(col: str, minmax) -> F.Column:
+        return F.struct(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax(F.min(col)).alias("min_v"),
+            minmax(F.max(col)).alias("max_v"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_dec = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+    profiled = orders.agg(
+        F.array(
+            profile_struct("o_orderkey", as_str),
+            profile_struct("o_custkey", as_str),
+            profile_struct("o_orderstatus", as_str),
+            profile_struct("o_totalprice", as_dec),
+        ).alias("p")
+    )
+    return profiled.select(F.explode("p").alias("r")).select("r.*")
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value (profiling companion to
+    table_profile): floor-division bucketing keeps the bucket function
+    identical across engines — one hash aggregate, bucket count bounded
+    by the value range, never by row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / 50).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+        )
+    )
