@@ -173,3 +173,46 @@ def prefix_suggest(
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(k)
     )
+
+
+#: PII patterns (RE2/POSIX-safe, shared dialect — SURVEY §7.4.5).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def scrub_pii(c: Column) -> Column:
+    """Corpus-hygiene redaction: replace email/phone/SSN spans with
+    typed placeholders (``<EMAIL>``, ``<PHONE>``, ``<SSN>``).
+
+    Pure ``regexp_replace`` chain — JVM-side, codegen-fused, zero
+    shuffle; order matters (SSN before phone: an SSN is also a
+    phone-shaped digit run).
+    """
+    out = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ssn"], "<SSN>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return out
+
+
+def pii_counts(c: Column) -> Column:
+    """Struct of per-category PII match counts (audit metric for the
+    scrub stage).  Counts follow the same precedence as
+    :func:`scrub_pii` (each category counted on text already redacted
+    by the earlier ones), so an SSN never double-counts as a phone."""
+    email_n = F.size(
+        F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), F.lit(0))
+    )
+    after_email = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    ssn_n = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PATTERNS["ssn"]), F.lit(0))
+    )
+    after_ssn = F.regexp_replace(after_email, PII_PATTERNS["ssn"], "<SSN>")
+    phone_n = F.size(
+        F.regexp_extract_all(after_ssn, F.lit(PII_PATTERNS["phone"]), F.lit(0))
+    )
+    return F.struct(
+        email_n.alias("email"), phone_n.alias("phone"), ssn_n.alias("ssn")
+    )

@@ -353,3 +353,65 @@ def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("props_s.k") > 50, 1).otherwise(0)
         ).alias("n_k_gt50"),
     )
+
+
+@query(
+    "doc_quality_signals",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, l,
+               list_transform(range(1, greatest(len(l) - 1, 1)),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(l, t -> list_contains([{_STOP_SQL}], t)))
+                      AS DOUBLE) / len(l), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+               AS distinct_token_ratio,
+           ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                       / greatest(len(g3), 1), 6) AS trigram_repetition
+    FROM grams
+    WHERE len(l) > 0
+    """,
+)
+def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (LLM corpus-hygiene mandate):
+    stopword ratio, distinct-token ratio, and trigram repetition (the
+    boilerplate/spam detector — 1 − distinct/total 3-grams).
+
+    All JVM higher-order functions over the token array — one
+    projection, no shuffle, no UDF; filter thresholds compose on top
+    (e.g. drop docs with repetition > 0.5) with full predicate
+    pushdown.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    g3 = ngrams(toks, 3)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return (
+        docs.select("doc_id", toks.alias("l"), g3.alias("g3"))
+        .filter(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.size(F.filter(F.col("l"), lambda t: F.array_contains(stop_arr, t))).cast("double")
+                / F.size("l"),
+                6,
+            ).alias("stopword_ratio"),
+            F.round(
+                F.size(F.array_distinct("l")).cast("double") / F.size("l"), 6
+            ).alias("distinct_token_ratio"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("g3")).cast("double")
+                / F.greatest(F.size("g3"), F.lit(1)),
+                6,
+            ).alias("trigram_repetition"),
+        )
+    )

@@ -141,3 +141,30 @@ def test_approx_percentile_error_bound(spark):
     )
     assert abs(row["appr_med"] - row["exact_med"]) <= 0.05 * spread
     assert abs(row["appr_p90"] - row["exact_p90"]) <= 0.05 * spread
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """PII scrub: emails/phones/SSNs replaced by typed placeholders,
+    clean text untouched, counts audit the redactions."""
+    from insight_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org for details"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "perfectly clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id",
+        scrub_pii(F.col("text")).alias("clean"),
+        pii_counts(F.col("text")).alias("counts"),
+    )
+    got = {r["id"]: (r["clean"], r["counts"].asDict()) for r in df.collect()}
+    assert got[1][0] == "contact me at <EMAIL> for details"
+    assert got[1][1] == {"email": 1, "phone": 0, "ssn": 0}
+    assert got[2][0] == "call <PHONE> tomorrow"
+    assert got[2][1]["phone"] == 1
+    assert got[3][0] == "ssn <SSN> on file"
+    assert got[3][1] == {"email": 0, "phone": 0, "ssn": 1}
+    assert got[4][0] == rows[3][1]
+    assert got[4][1] == {"email": 0, "phone": 0, "ssn": 0}
