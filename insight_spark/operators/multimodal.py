@@ -199,3 +199,42 @@ def media_stats(media_df: DataFrame) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("media.size_bytes")).alias("total_bytes"),
     )
+
+
+def payload_entropy_arrow(media_df: DataFrame) -> DataFrame:
+    """L4 (mapInArrow): per-item byte-entropy of the binary payload.
+
+    Operates directly on Arrow RecordBatches — no pandas conversion at
+    all, the zero-copy path for binary-heavy columns where even the
+    Arrow→pandas hop costs memory bandwidth.  Same iterator contract as
+    mapInPandas: constant memory per task regardless of partition size.
+    """
+    import math
+
+    import pyarrow as pa
+
+    def entropy(batches):
+        for batch in batches:
+            ids, ents = [], []
+            id_col = batch.column("doc_id")
+            payload_col = batch.column("payload")
+            for i in range(batch.num_rows):
+                ids.append(id_col[i].as_py())
+                payload = payload_col[i].as_py() or b""
+                if payload:
+                    freq: dict[int, int] = {}
+                    for b in payload:
+                        freq[b] = freq.get(b, 0) + 1
+                    n = len(payload)
+                    h = -sum(
+                        (c / n) * math.log2(c / n) for c in freq.values()
+                    )
+                else:
+                    h = 0.0
+                ents.append(round(h, 6))
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()), pa.array(ents, pa.float64())],
+                names=["doc_id", "byte_entropy"],
+            )
+
+    return media_df.mapInArrow(entropy, "doc_id long, byte_entropy double")

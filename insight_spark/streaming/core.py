@@ -316,3 +316,18 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """K2 streaming: 10-min window sliding every 5 min, watermarked.
+
+    Identical expression to the batch ``sliding_window_counts`` query
+    (each event belongs to exactly 2 overlapping epoch-aligned
+    windows); state per open (window, ) group, evicted by watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

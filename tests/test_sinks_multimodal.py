@@ -164,3 +164,21 @@ def test_soundex_known_values(spark):
         "Tymczak": "T522",
         "Pfister": "P236",
     }
+
+
+def test_payload_entropy_arrow(spark):
+    """L4 mapInArrow: entropy in [0, 8], deterministic, one row per item."""
+    from insight_spark.operators.multimodal import (
+        attach_media_columns,
+        payload_entropy_arrow,
+    )
+    from insight_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = attach_media_columns(docs)
+    out = payload_entropy_arrow(media)
+    rows = {r["doc_id"]: r["byte_entropy"] for r in out.collect()}
+    assert len(rows) == 50
+    assert all(0.0 <= v <= 8.0 for v in rows.values())
+    rows2 = {r["doc_id"]: r["byte_entropy"] for r in out.collect()}
+    assert rows == rows2

@@ -300,3 +300,29 @@ def test_tws_user_totals_converges_to_batch(spark, stream_env):
     for uid in want:
         assert got[uid][0] == want[uid][0], f"count mismatch user {uid}"
         assert abs(got[uid][1] - want[uid][1]) < 1e-4, f"sum mismatch user {uid}"
+
+
+def test_sliding_window_stream_matches_batch(spark, stream_env):
+    """K2: sliding-window streaming agg — every watermark-closed window
+    emitted in append mode must equal its batch twin."""
+    from insight_spark.streaming.core import sliding_counts_stream
+
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        sliding_counts_stream(stream),
+        "sliding_stream",
+        os.path.join(stream_env["base"], "ckpt_sliding"),
+        output_mode="append",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    emitted = _canon(result)
+    batch_canon = set(_canon(batch))
+    assert len(emitted) > 0, "stream emitted nothing"
+    for row in emitted:
+        assert row in batch_canon, f"stream row not in batch result: {row}"
