@@ -32,6 +32,20 @@ def money(c: Column | str) -> Column:
     return F.col(c).cast(MONEY) if isinstance(c, str) else c.cast(MONEY)
 
 
+def money_out(c: Column | str, digits: int = 6) -> Column:
+    """Final projection for DECIMAL accumulators: rounded double.
+
+    Accumulate in DECIMAL(38,6) (exact, order-independent), but never
+    ship DecimalType in a query's output schema — the external driver's
+    value hash renders Spark vs DuckDB decimals differently and fails
+    ``hash_match`` on byte-identical values (VERDICT.md r1).  The
+    ``round(cast(double), 6)`` formula is the proven hash-stable pattern;
+    mirror ``ROUND(CAST(x AS DOUBLE), 6)`` in the oracle SQL.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col.cast("double"), digits)
+
+
 def decimal_avg(sum_col: Column, count_col: Column, digits: int = 6) -> Column:
     """Deterministic mean: exact decimal sum / count, rounded as double.
 

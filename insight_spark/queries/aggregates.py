@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_spark.operators.relational import MONEY
+from insight_spark.operators.relational import MONEY, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -167,7 +167,7 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(r_name, 'ALL') AS region_g,
            COALESCE(n_name, 'ALL') AS nation_g,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_revenue,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -192,13 +192,13 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast(MONEY)).alias("total_revenue"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("_total_revenue"),
             F.count("*").alias("n_orders"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_g"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_g"),
-            "total_revenue",
+            money_out("_total_revenue").alias("total_revenue"),
             "n_orders",
         )
     )
@@ -210,7 +210,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status_g,
            COALESCE(o_orderpriority, 'ALL') AS priority_g,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -222,7 +222,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(MONEY)).alias("total_revenue"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("_total_revenue"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status_g"),
@@ -230,7 +230,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "priority_g"
             ),
             "n_orders",
-            "total_revenue",
+            money_out("_total_revenue").alias("total_revenue"),
         )
     )
 
@@ -263,11 +263,27 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_events")  # rows-only: Bernoulli RNG is engine-specific
+@query(
+    "sample_events",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
 def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling (B10); fraction bound asserted in tests."""
+    """Deterministic ~10% Bernoulli-style sample (B10).
+
+    Content-keyed md5-threshold instead of engine RNG ('1a' = 26/256 ≈
+    0.102 of the hash space) — identical row set in any engine, under
+    any partitioning, across re-runs and appends; exactly
+    oracle-expressible (same trick as train_test_split).  For sampling
+    where cross-engine stability is NOT needed, plain
+    ``df.sample(fraction, seed)`` remains the cheaper scan-local path.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id")
+    h2 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    return ev.filter(h2 < "1a").select("event_id", "user_id")
 
 
 @query(
@@ -418,7 +434,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1
@@ -437,6 +453,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).alias("_sum_value"),
         )
+        .select("bucket", "n", money_out("_sum_value").alias("sum_value"))
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_spark.operators.relational import MONEY
+from insight_spark.operators.relational import MONEY, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -81,7 +81,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -94,12 +94,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).alias("_sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            money_out("_sum_value").alias("sum_value"),
         )
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from insight_spark.operators.relational import money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -51,7 +52,7 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            COUNT(o_orderkey) AS n_orders,
-           SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(38,6))) AS total_spend
+           ROUND(CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spend
     FROM customer
     LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
@@ -68,8 +69,9 @@ def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.sum(
                 F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(38,6)")
-            ).alias("total_spend"),
+            ).alias("_total_spend"),
         )
+        .select("c_custkey", "n_orders", money_out("_total_spend").alias("total_spend"))
     )
 
 

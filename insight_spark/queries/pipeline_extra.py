@@ -16,6 +16,7 @@ from insight_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_oracle_sql,
 )
+from insight_spark.operators.relational import money_out
 from insight_spark.operators.similarity import cosine, lsh_bucket_join
 from insight_spark.operators.text import ngrams, tokenize
 from insight_spark.queries import query
@@ -210,7 +211,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
     FROM events, unnest([0, 1]) AS t(s)
     GROUP BY 1
     """,
@@ -228,13 +229,13 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).alias("_sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "n_events",
             "n_users",
-            "sum_value",
+            money_out("_sum_value").alias("sum_value"),
         )
     )
 
@@ -256,7 +257,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -273,13 +274,13 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(MONEY)).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).alias("_sum_value"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             "n_events",
-            "sum_value",
+            money_out("_sum_value").alias("sum_value"),
         )
     )
 
@@ -335,7 +336,7 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -353,7 +354,12 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast(MONEY)).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("_sum_price"),
         )
-        .select("o_orderstatus", "o_orderpriority", "n", "sum_price")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            money_out("_sum_price").alias("sum_price"),
+        )
     )

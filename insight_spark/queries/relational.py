@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_spark.operators.relational import MONEY, money
+from insight_spark.operators.relational import MONEY, money, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -23,14 +23,14 @@ def _disc_price() -> F.Column:
     "flagship_top_customers",
     oracle="""
     SELECT c_custkey, c_name, r_name,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY c_custkey, c_name, r_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) DESC, c_custkey
     LIMIT 10
     """,
 )
@@ -51,16 +51,19 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("c_custkey", "c_name", "r_name")
-        .agg(F.sum(_disc_price()).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(_disc_price()).alias("_revenue"))
+        .orderBy(F.desc("_revenue"), F.asc("c_custkey"))
         .limit(10)
+        .select(
+            "c_custkey", "c_name", "r_name", money_out("_revenue").alias("revenue")
+        )
     )
 
 
 @query(
     "scan_filter_agg",
     oracle="""
-    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -82,20 +85,20 @@ def scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(MONEY)).alias(
-            "revenue"
+            "_revenue"
         ),
         F.count("*").alias("n_rows"),
-    )
+    ).select(money_out("_revenue").alias("revenue"), "n_rows")
 
 
 @query(
     "groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,6)))      AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6)      AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_charge,
            COUNT(*) AS count_order,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
@@ -128,10 +131,10 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
+        money_out("sum_qty").alias("sum_qty"),
+        money_out("sum_base_price").alias("sum_base_price"),
+        money_out("sum_disc_price").alias("sum_disc_price"),
+        money_out("sum_charge").alias("sum_charge"),
         "count_order",
         F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias(
             "avg_qty"
@@ -149,7 +152,7 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star",
     oracle="""
     SELECT r_name,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_revenue,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -170,8 +173,11 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(money("o_totalprice")).alias("total_revenue"),
+            F.sum(money("o_totalprice")).alias("_total_revenue"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "r_name", money_out("_total_revenue").alias("total_revenue"), "n_orders"
         )
     )
 
@@ -181,7 +187,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -197,8 +203,9 @@ def join_fact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(_disc_price()).alias("revenue"),
+            F.sum(_disc_price()).alias("_revenue"),
         )
+        .select("o_orderpriority", "n_items", money_out("_revenue").alias("revenue"))
     )
 
 
@@ -206,11 +213,11 @@ def join_fact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk",
     oracle="""
     SELECT o_custkey,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_custkey
-    ORDER BY revenue DESC, o_custkey
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) DESC, o_custkey
     LIMIT 10
     """,
 )
@@ -222,7 +229,8 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(_disc_price()).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .agg(F.sum(_disc_price()).alias("_revenue"))
+        .orderBy(F.desc("_revenue"), F.asc("o_custkey"))
         .limit(10)
+        .select("o_custkey", money_out("_revenue").alias("revenue"))
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from insight_spark.operators.relational import MONEY
+from insight_spark.operators.relational import MONEY, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -54,10 +54,10 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            lag(value) OVER w AS prev_value,
            lead(value) OVER w AS next_value,
-           SUM(CAST(value AS DECIMAL(38,6))) OVER
-               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
-           SUM(CAST(value AS DECIMAL(38,6))) OVER
-               (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS slide_sum3,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS run_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+               (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS slide_sum3,
            first_value(value) OVER
                (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
            last_value(value) OVER
@@ -85,8 +85,8 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        F.sum(val_dec).over(run).alias("run_sum"),
-        F.sum(val_dec).over(slide).alias("slide_sum3"),
+        money_out(F.sum(val_dec).over(run)).alias("run_sum"),
+        money_out(F.sum(val_dec).over(slide)).alias("slide_sum3"),
         F.first("value").over(full).alias("first_val"),
         F.last("value").over(full).alias("last_val"),
         F.nth_value("value", 3).over(full).alias("third_val"),
@@ -98,7 +98,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            COUNT(*) OVER w AS n_last_hour,
-           SUM(CAST(value AS DECIMAL(38,6))) OVER w AS sum_last_hour
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS sum_last_hour
     FROM events
     WINDOW w AS (
         PARTITION BY user_id
@@ -122,5 +122,5 @@ def range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count("*").over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast(MONEY)).over(w).alias("sum_last_hour"),
+        money_out(F.sum(F.col("value").cast(MONEY)).over(w)).alias("sum_last_hour"),
     )
