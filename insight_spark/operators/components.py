@@ -39,6 +39,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
@@ -46,6 +47,12 @@ def connected_components(
     Returns (v, label) — vertices in the same component share a label,
     and the label is the component's minimum vertex id (the canonical
     id for dedup keep-rules).
+
+    The convergence count (a driver-sync job barrier) runs every
+    ``check_every`` rounds, not every round — at scale each sync stalls
+    the whole cluster, and propagation rounds are idempotent once
+    converged, so the only cost of batching is ≤ check_every-1 cheap
+    extra rounds after the fixpoint (VERDICT r1 perf item 3).
 
     Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
     (with pointer jumping, 25 rounds covers diameters up to ~2^25).
@@ -57,7 +64,7 @@ def connected_components(
     verts = sym.select(F.col("u").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # one hop: every vertex takes min(own label, neighbors' labels)
         msgs = sym.join(
             labels.withColumnRenamed("v", "u"), "u"
@@ -86,20 +93,23 @@ def connected_components(
                 F.coalesce(F.col("_ll"), hop["label"]).alias("label"),
             )
         )
-        changed = (
-            jump.alias("n")
-            .join(
-                labels.select(
-                    F.col("v").alias("_v"), F.col("label").alias("_old")
-                ),
-                F.col("n.v") == F.col("_v"),
+        if it % check_every == check_every - 1 or it == max_iter - 1:
+            changed = (
+                jump.alias("n")
+                .join(
+                    labels.select(
+                        F.col("v").alias("_v"), F.col("label").alias("_old")
+                    ),
+                    F.col("n.v") == F.col("_v"),
+                )
+                .filter(F.col("n.label") != F.col("_old"))
+                .count()
             )
-            .filter(F.col("n.label") != F.col("_old"))
-            .count()
-        )
-        labels = jump
-        if changed == 0:
-            return labels
+            labels = jump
+            if changed == 0:
+                return labels
+        else:
+            labels = jump
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

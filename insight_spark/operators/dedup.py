@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from insight_spark.operators.text import tokenize
+from insight_spark.operators.text import ngrams, tokenize
 
 
 def content_hash(c: Column) -> Column:
@@ -149,21 +149,27 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """J6: MinHash+LSH near-duplicate pairs, exact-verified.
 
-    shingles → minhash signature → band buckets → same-bucket candidate
-    pairs (a<b) → exact token-set Jaccard verification ≥ threshold.
-    Returns (a_id, b_id, jaccard_sim).  At scale every stage is a
-    shuffle on bounded keys: band-bucket cardinality ~ corpus size, and
-    the self-join happens per bucket, not globally.
+    shingles (``shingle_n``-gram word sequences, the GPT-3/Gopher-style
+    dedup unit — unigram sets over-match templated corpora) → minhash
+    signature → band buckets → same-bucket candidate id pairs (a<b),
+    deduped as bare (long, long) ids → shingle sets joined back →
+    exact Jaccard verification ≥ threshold.  Returns
+    (a_id, b_id, jaccard_sim).
+
+    At scale every stage is a shuffle on bounded keys: band-bucket
+    cardinality ~ corpus size, the self-join happens per bucket, and
+    the pair-dedup shuffle moves 16-byte id pairs — the (possibly
+    large) shingle arrays are shuffled once per side by the
+    verification joins, never through the band join.
     """
     rows_per_band = n_hashes // n_bands
+    shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
     toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(tokenize(F.col(text_col))).alias("_tokens"),
-    ).withColumn("_sig", minhash_signature(F.col("_tokens"), n_hashes, seed))
+        F.col(id_col).alias("_id"), shingles.alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed))
 
     bands = toks.select(
         "_id",
-        "_tokens",
         F.posexplode(
             F.array(
                 *[
@@ -180,25 +186,25 @@ def near_dedup_minhash(
         ).alias("_band", "_bucket"),
     )
 
-    left = bands.select(
-        F.col("_id").alias("a_id"),
-        F.col("_tokens").alias("_a_tokens"),
-        "_band",
-        "_bucket",
-    )
-    right = bands.select(
-        F.col("_id").alias("b_id"),
-        F.col("_tokens").alias("_b_tokens"),
-        "_band",
-        "_bucket",
-    )
     cand = (
-        left.join(right, ["_band", "_bucket"])
+        bands.select(F.col("_id").alias("a_id"), "_band", "_bucket")
+        .join(
+            bands.select(F.col("_id").alias("b_id"), "_band", "_bucket"),
+            ["_band", "_bucket"],
+        )
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "_a_tokens", "_b_tokens")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sim = jaccard(F.col("_a_tokens"), F.col("_b_tokens"))
+    sets = toks.select("_id", "_sh")
+    cand = cand.join(
+        sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a_sh")),
+        "a_id",
+    ).join(
+        sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_b_sh")),
+        "b_id",
+    )
+    sim = jaccard(F.col("_a_sh"), F.col("_b_sh"))
     return (
         cand.withColumn("jaccard_sim", F.round(sim, 6))
         .filter(F.col("jaccard_sim") >= threshold)

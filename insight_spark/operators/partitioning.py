@@ -53,6 +53,13 @@ def salt_column(unique_col: str | Column, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n_salts)).cast("int")
 
 
+#: Join types for which replicating ``other`` per salt preserves exact
+#: join semantics.  Outer forms (right/full) would emit every unmatched
+#: right-side row once per salt replica — wrong by n_salts×.
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                  "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -62,14 +69,27 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join, identical result to ``skewed.join(other,
-    on, how)``.
+    on, how)`` for left-preserving join types.
 
     The skewed side gets a per-row deterministic salt; ``other`` is
     replicated once per salt value (an ``explode`` of a literal range —
     n_salts× its size, so use for moderately sized right sides or
     per-key hot-spots).  The join key becomes (on, salt): the hot key's
     rows now hash to n_salts different partitions.
+
+    Only inner/left/left_semi/left_anti are supported: for right/full
+    outer joins each unmatched ``other`` row would surface once per salt
+    replica (n_salts duplicates), so those forms raise — salt the other
+    side or fall back to AQE skew-join handling instead.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOW
+    }:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_HOW)} join types; "
+            f"got how={how!r} (outer forms would duplicate unmatched "
+            f"right-side rows n_salts times)"
+        )
     s = skewed.withColumn("_salt", salt_column(skewed_unique_col, n_salts))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

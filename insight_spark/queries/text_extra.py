@@ -374,8 +374,10 @@ def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DOUBLE) / len(l), 6) AS stopword_ratio,
            ROUND(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
                AS distinct_token_ratio,
-           ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
-                       / greatest(len(g3), 1), 6) AS trigram_repetition
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                           / len(g3), 6)
+           END AS trigram_repetition
     FROM grams
     WHERE len(l) > 0
     """,
@@ -407,11 +409,18 @@ def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.size(F.array_distinct("l")).cast("double") / F.size("l"), 6
             ).alias("distinct_token_ratio"),
-            F.round(
-                1.0
-                - F.size(F.array_distinct("g3")).cast("double")
-                / F.greatest(F.size("g3"), F.lit(1)),
-                6,
-            ).alias("trigram_repetition"),
+            # short docs (< 3 tokens) have zero trigrams — that is "no
+            # repetition evidence" (0.0), not maximal boilerplate (1.0);
+            # a repetition>τ hygiene filter must not drop 1-2 token docs
+            F.when(F.size("g3") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.size(F.array_distinct("g3")).cast("double")
+                    / F.size("g3"),
+                    6,
+                )
+            )
+            .alias("trigram_repetition"),
         )
     )

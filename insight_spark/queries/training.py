@@ -167,24 +167,35 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Context-window budget (whitespace tokens) for pack_token_budget.
 _PACK_BUDGET = 2048
 
+#: Salt width for the packing group key.  A 100 TB corpus with one
+#: dominant source would otherwise funnel into a single Arrow worker
+#: (VERDICT r1 perf item 2); (source, shard) caps any group at
+#: |source| / _PACK_SHARDS docs.  Raise at scale (corpus_rows /
+#: (shards × sources) should fit one worker comfortably).
+_PACK_SHARDS = 8
+
 
 @query("pack_token_budget")  # rows-only: greedy packing is inherently
 # sequential per group; properties asserted in tests/test_training.py
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into context-window bins of ≤ 2048 tokens per
-    source (sequence packing for pretraining).
+    (source, shard) group (sequence packing for pretraining).
 
-    Greedy first-fit in doc_id order *within each source partition*: a
-    doc that would overflow the open bin starts a new one (docs larger
-    than the budget get a bin alone).  The scan is inherently
-    sequential per group — exactly what ``applyInPandas`` (L3) is for:
-    each source's docs stream through one Arrow-batched Python worker
-    while sources parallelize across executors.  At 100 TB the group
-    key is (source, shard) so no single group exceeds one worker.
+    Greedy first-fit in doc_id order *within each group*: a doc that
+    would overflow the open bin starts a new one (docs larger than the
+    budget get a bin alone).  The scan is inherently sequential per
+    group — exactly what ``applyInPandas`` (L3) is for: each group's
+    docs stream through one Arrow-batched Python worker while groups
+    parallelize across executors.  The shard salt
+    (``xxhash64(doc_id) % _PACK_SHARDS``, deterministic) bounds the
+    largest group, so a skewed source never serializes the stage; bins
+    are identified by (source, shard, bin_id) and stay within shards,
+    costing at most one partially-filled bin per shard.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
+        F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
         F.size(tokenize(F.col("text"))).alias("n_tokens"),
     )
 
@@ -200,8 +211,8 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             bins.append(bin_id)
             used += n
         pdf["bin_id"] = bins
-        return pdf[["doc_id", "source", "n_tokens", "bin_id"]]
+        return pdf[["doc_id", "source", "shard", "n_tokens", "bin_id"]]
 
-    return docs.groupBy("source").applyInPandas(
-        pack, "doc_id long, source string, n_tokens int, bin_id long"
+    return docs.groupBy("source", "shard").applyInPandas(
+        pack, "doc_id long, source string, shard long, n_tokens int, bin_id long"
     )

@@ -68,6 +68,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for k, v in SEMANTIC_CONF.items():
             spark.conf.set(k, v)
         _conf_done.add(spark)
+    else:
+        # cheap re-check (conf.get is a local lookup, no RPC): a caller
+        # that mutated a semantic conf mid-session (e.g. timeZone in a
+        # test) must not silently load tables under drifted semantics
+        for k, v in SEMANTIC_CONF.items():
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
 
     cache = _df_cache.setdefault(spark, {})
     key = (sf_dir, name)

@@ -121,3 +121,20 @@ def test_bucketed_range_join_matches_theta_and_avoids_bnlj(spark):
 
     plan = _plan(fast)
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    """right/full outer would duplicate unmatched right rows n_salts
+    times (each replica survives the join unmatched) — must raise."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(
+                li, orders, on="l_orderkey",
+                skewed_unique_col="l_linenumber", how=how,
+            )

@@ -82,19 +82,26 @@ def test_canonical_assignment_covers_all_ids(spark):
 
 
 def test_pack_token_budget_properties(spark):
-    """Greedy packing invariants: every doc packed exactly once; no bin
-    over budget unless it holds a single oversized doc; bin ids dense
-    from 0 per source in doc_id order."""
-    from insight_spark.queries.training import _PACK_BUDGET, pack_token_budget
+    """Greedy packing invariants under the (source, shard) salted key:
+    every doc packed exactly once; no bin over budget unless it holds a
+    single oversized doc; bin ids dense from 0 per (source, shard) in
+    doc_id order; shard is the deterministic xxhash64 salt."""
+    from insight_spark.queries.training import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        pack_token_budget,
+    )
 
     out = pack_token_budget(spark, SF_DIR).collect()
     docs_seen = [r["doc_id"] for r in out]
     assert len(docs_seen) == len(set(docs_seen)) > 0
+    assert all(0 <= r["shard"] < _PACK_SHARDS for r in out)
 
-    by_source: dict[str, list] = {}
+    by_group: dict[tuple, list] = {}
     for r in out:
-        by_source.setdefault(r["source"], []).append(r)
-    for source, rows in by_source.items():
+        by_group.setdefault((r["source"], r["shard"]), []).append(r)
+    assert len(by_group) > 1, "shard salt produced a single group"
+    for group, rows in by_group.items():
         rows.sort(key=lambda r: r["doc_id"])
         bins: dict[int, int] = {}
         for r in rows:
@@ -102,7 +109,7 @@ def test_pack_token_budget_properties(spark):
         for bin_id, total in bins.items():
             n_docs = sum(1 for r in rows if r["bin_id"] == bin_id)
             assert total <= _PACK_BUDGET or n_docs == 1, (
-                f"{source} bin {bin_id}: {total} tokens in {n_docs} docs"
+                f"{group} bin {bin_id}: {total} tokens in {n_docs} docs"
             )
         # bin ids are 0..max contiguous and non-decreasing in doc order
         seq = [r["bin_id"] for r in rows]
