@@ -73,8 +73,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_histogram",
     "window_frames",
     "range_frame_hour",
-    # newly deterministic (md5-threshold) — was rows-only in r1
+    # newly deterministic / newly oracled — were rows-only error rows in r1
     "sample_events",
+    "distinct_exact_approx",
+    "approx_value_percentiles",
     # never driver-checked in r1: UDF/UDTF surface (L1-L6)
     "udf_quality_score",
     "grouped_agg_udf",
@@ -100,9 +102,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "map_ops",
     "json_struct_extract",
     "levenshtein_names",
-    "array_ops",
     # never checked: text / search
-    "cooccurrence_top",
     "bm25_search",
     "doc_quality_signals",
     # never checked: vectors

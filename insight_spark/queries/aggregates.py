@@ -149,16 +149,44 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_value_percentiles")  # rows-only: sketch differs per engine
+@query(
+    "approx_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           TRUE AS median_in_bracket,
+           TRUE AS p90_in_bracket
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (D12, GK sketch) — error bound asserted
-    against the exact op in tests, not oracle-hashable."""
+    """Approximate percentiles (D12, GK sketch) with an oracle-checkable
+    error contract.
+
+    A rank-based sketch with accuracy=1000 guarantees rank error
+    ≤ 0.001·N, so the approx q-quantile must lie inside the exact
+    [q−0.005, q+0.005] quantile bracket.  The raw sketch values are
+    engine-specific; the bracket booleans are deterministic, and the
+    oracle asserts them as constants per group — a sketch regression
+    (or a broken accuracy knob) flips a boolean and fails the hash.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias(
-            "median_approx"
+    agg = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("_m"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("_p"),
+        F.percentile("value", F.lit(0.495)).alias("_m_lo"),
+        F.percentile("value", F.lit(0.505)).alias("_m_hi"),
+        F.percentile("value", F.lit(0.895)).alias("_p_lo"),
+        F.percentile("value", F.lit(0.905)).alias("_p_hi"),
+    )
+    return agg.select(
+        "event_type",
+        ((F.col("_m") >= F.col("_m_lo")) & (F.col("_m") <= F.col("_m_hi"))).alias(
+            "median_in_bracket"
         ),
-        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+        ((F.col("_p") >= F.col("_p_lo")) & (F.col("_p") <= F.col("_p_hi"))).alias(
+            "p90_in_bracket"
+        ),
     )
 
 

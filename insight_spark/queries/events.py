@@ -32,16 +32,37 @@ def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_exact_approx")  # rows-only: HLL sketches differ per engine
+@query(
+    "distinct_exact_approx",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
 def distinct_exact_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + approx distinct (D5/D6).  The HyperLogLog estimate is
-    engine-specific, so no value oracle (SURVEY.md §7.4.6); the
-    approx-vs-exact error bound is asserted in tests instead."""
+    """Exact + approx distinct (D5/D6).
+
+    The raw HyperLogLog estimate is engine-specific, so instead of
+    shipping it, the query ships the *error-bound assertion*: the
+    sketch (rsd 0.02) must land within 5% of the exact count.  The
+    oracle states the bound as a constant TRUE — Spark recomputes it
+    from the live sketch, so a sketch regression breaks the value hash.
+    This upgrades D6 from a rows-only check to a real oracle row
+    (SURVEY.md §7.4.6 refinement).
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    agg = ev.agg(
         F.countDistinct("user_id").alias("n_users"),
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.approx_count_distinct("user_id", 0.02).alias("_n_users_approx"),
         F.count("*").alias("n_events"),
+    )
+    rel_err = F.abs(F.col("_n_users_approx") - F.col("n_users")) / F.col(
+        "n_users"
+    )
+    return agg.select(
+        "n_users", "n_events", (rel_err <= 0.05).alias("approx_within_5pct")
     )
 
 
