@@ -1,0 +1,120 @@
+"""Pure-Python minimal codecs for the multimodal real-decode path (J8).
+
+The container ships no PIL/ffmpeg/torchaudio, so the J8 "real codec"
+branch was a NotImplementedError gate in round 1.  Two formats are
+simple enough to implement from their public specs with zero deps,
+which makes the real-codec branch *exercisable and testable*:
+
+- **BMP** (Windows V3, uncompressed 24-bit): 14-byte file header
+  ('BM', pixel-array offset) + 40-byte BITMAPINFOHEADER (width,
+  height, bpp, compression=0); pixel rows are bottom-up, BGR, padded
+  to 4-byte boundaries.
+- **WAV** (RIFF PCM 16-bit): 'RIFF'/'WAVE' header, 'fmt ' chunk
+  (audio_format=1, channels, sample rate, bits), 'data' chunk of
+  little-endian int16 samples.
+
+Everything else (PNG/JPEG/MP4/...) still requires real libraries and
+keeps the explicit NotImplementedError — the point is that the decode
+*pipeline* (schema, Arrow batching, per-mime dispatch, padding/stride
+arithmetic) runs for real on at least two formats, so swapping in PIL
+or ffmpeg later only changes the per-format parser body.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def encode_bmp(width: int, height: int, pixel: int) -> bytes:
+    """Uncompressed 24-bit BMP with every RGB channel set to ``pixel``.
+
+    Constant fill keeps the expected mean luma exactly ``pixel`` — but
+    only if the decoder strips the per-row padding correctly, which is
+    what the round-trip tests and the oracle check.
+    """
+    assert 0 <= pixel <= 255
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_data = (bytes([pixel] * row_bytes) + b"\x00" * pad) * height
+    offset = 14 + 40
+    file_size = offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """Parse an uncompressed 24-bit BMP → (width, height, mean_luma).
+
+    Mean is over the R/G/B bytes of the pixel array, excluding row
+    padding — including padding is the classic stride bug this decoder
+    is tested against.
+    """
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    total = 0
+    for r in range(height):
+        row = data[offset + r * stride : offset + r * stride + row_bytes]
+        total += sum(row)
+    n = row_bytes * height
+    return width, height, (total / n if n else 0.0)
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """PCM 16-bit WAV from int16 samples (interleaved if multichannel)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        n_channels * 2, 16,
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_len = 4 + len(fmt) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data_chunk
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int]:
+    """Parse PCM-16 WAV → (n_channels, sample_rate, n_samples,
+    first_sample).  Walks RIFF chunks, so extra chunks (LIST, fact)
+    before 'data' are handled."""
+    riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    n_samples = first_sample = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_format, n_channels, sample_rate = struct.unpack_from(
+                "<HHI", data, body
+            )
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_format}, bits={bits})")
+        elif cid == b"data":
+            if n_channels is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_samples = size // (2 * n_channels)
+            first_sample = (
+                struct.unpack_from("<h", data, body)[0] if size >= 2 else 0
+            )
+        pos = body + size + size % 2  # chunks are word-aligned
+    if n_samples is None:
+        raise ValueError("WAV missing data chunk")
+    return n_channels, sample_rate, n_samples, first_sample

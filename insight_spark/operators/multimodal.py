@@ -238,3 +238,93 @@ def payload_entropy_arrow(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInArrow(entropy, "doc_id long, byte_entropy double")
+
+
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("first_sample", T.IntegerType()),
+    ]
+)
+
+
+def attach_real_media_columns(docs: DataFrame) -> DataFrame:
+    """Like attach_media_columns, but the payloads are REAL media bytes:
+    valid uncompressed BMP images and PCM WAV audio synthesized
+    deterministically from doc_id (operators/codecs.py), plus opaque
+    mp4-tagged blobs for the still-stubbed video branch.
+
+    The synthesis formulas are pure arithmetic in doc_id, so a SQL
+    oracle can recompute every decoded field without a codec — making
+    the real decode path value-checkable cross-engine.
+    """
+    from insight_spark.operators.codecs import encode_bmp, encode_wav
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                if d % 3 == 0:
+                    w, h = 8 + d % 16, 4 + d % 8
+                    payloads.append(encode_bmp(w, h, (d * 37 + 11) % 251))
+                    mimes.append("image/bmp")
+                elif d % 3 == 1:
+                    n = 32 + d % 64
+                    rate = 8000 + (d % 4) * 4000
+                    samples = [((d * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+                    payloads.append(encode_wav(samples, rate))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(str(text).encode("utf-8"))
+                    mimes.append("video/mp4")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, mime string, payload binary"
+    )
+
+
+def decode_media_real(media_df: DataFrame) -> DataFrame:
+    """J8 real-codec decode: parse actual BMP/WAV bytes via mapInPandas.
+
+    Per-mime dispatch inside the Arrow batch loop — the production
+    shape (PIL/ffmpeg would slot into the same branches).  Unsupported
+    mimes (video/mp4 here) yield null fields rather than failing the
+    batch; a strict pipeline would route them to a quarantine sink.
+    """
+    from insight_spark.operators.codecs import decode_bmp, decode_wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                rec = {
+                    "doc_id": int(d), "mime": mime, "width": None,
+                    "height": None, "mean_luma": None, "n_samples": None,
+                    "sample_rate": None, "first_sample": None,
+                }
+                if mime == "image/bmp":
+                    w, h, luma = decode_bmp(b)
+                    rec.update(width=w, height=h, mean_luma=round(luma, 6))
+                elif mime == "audio/wav":
+                    _ch, rate, n, first = decode_wav(b)
+                    rec.update(n_samples=n, sample_rate=rate, first_sample=first)
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_samples", "sample_rate", "first_sample"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(decode, REAL_DECODED_SCHEMA)

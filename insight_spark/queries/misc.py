@@ -8,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from insight_spark.operators.multimodal import attach_media_columns, decode_media
+from insight_spark.operators.multimodal import (
+    attach_media_columns,
+    attach_real_media_columns,
+    decode_media,
+    decode_media_real,
+)
 from insight_spark.queries import query
 from insight_spark.sources import load_table, register_views
 
@@ -200,6 +205,44 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(docs)
     return decode_media(media)
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(8 + doc_id % 16 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(4 + doc_id % 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST((doc_id * 37 + 11) % 251 AS DOUBLE) END AS mean_luma,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(32 + doc_id % 64 AS INTEGER) END AS n_samples,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST((doc_id * 31) % 4096 - 2048 AS INTEGER) END AS first_sample
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-codec pipeline (J8 + L4): synthesize genuine
+    uncompressed-BMP / PCM-WAV payloads from doc_id, then parse them
+    back with the pure-Python decoders (operators/codecs.py) through
+    mapInPandas.
+
+    The oracle recomputes every decoded field from the synthesis
+    arithmetic — a header-layout, stride-padding, or chunk-walk bug in
+    the decoder breaks the value hash.  Unsupported mimes (video/mp4)
+    decode to nulls on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_real_media_columns(docs)
+    return decode_media_real(media)
 
 
 def _tokenize_udtf():

@@ -182,3 +182,61 @@ def test_payload_entropy_arrow(spark):
     assert all(0.0 <= v <= 8.0 for v in rows.values())
     rows2 = {r["doc_id"]: r["byte_entropy"] for r in out.collect()}
     assert rows == rows2
+
+
+def test_bmp_roundtrip_varied_shapes():
+    """Width values exercising every row-padding remainder (w*3 % 4)."""
+    from insight_spark.operators.codecs import decode_bmp, encode_bmp
+
+    for w in (1, 2, 3, 4, 5, 8, 13, 16):
+        for h in (1, 3, 7):
+            for px in (0, 1, 127, 250, 255):
+                assert decode_bmp(encode_bmp(w, h, px)) == (w, h, float(px))
+
+
+def test_bmp_rejects_non_bmp():
+    import pytest as _pytest
+
+    from insight_spark.operators.codecs import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 64)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from insight_spark.operators.codecs import decode_wav, encode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    b = encode_wav(samples, 44100)
+    assert decode_wav(b) == (1, 44100, len(samples), 0)
+    # odd-sized extra chunk before data: word-aligned chunk walk
+    import struct
+
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    b2 = b[:12] + extra + b[12:]
+    riff_len = struct.unpack_from("<I", b2, 4)[0]  # stale, decoder ignores
+    assert decode_wav(b2) == (1, 44100, len(samples), 0)
+
+
+def test_real_decode_pipeline_end_to_end(spark):
+    """Synth -> parse through mapInPandas; BMP dims and WAV samples
+    match the synthesis formulas for every row."""
+    from insight_spark.operators.multimodal import (
+        attach_real_media_columns,
+        decode_media_real,
+    )
+    from insight_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = decode_media_real(attach_real_media_columns(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        d = r["doc_id"]
+        if d % 3 == 0:
+            assert (r["width"], r["height"]) == (8 + d % 16, 4 + d % 8)
+            assert r["mean_luma"] == float((d * 37 + 11) % 251)
+        elif d % 3 == 1:
+            assert r["n_samples"] == 32 + d % 64
+            assert r["first_sample"] == (d * 31) % 4096 - 2048
+        else:
+            assert r["width"] is None and r["n_samples"] is None
