@@ -1,0 +1,246 @@
+"""Corpus-preparation operators beyond the r1 inventory (LLM mandate).
+
+The remaining standard stages of a pretraining data pipeline:
+benchmark decontamination (n-gram collision against an eval set),
+duplicated-span ratio (the scalable cousin of exact-substring dedup),
+deterministic importance sampling, and per-source token budgeting for
+mixture weighting.  All JVM-side DataFrame ops with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.text import ngrams, tokenize
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+#: Collision n-gram width.  Real pipelines use 8-13 whitespace tokens
+#: (GPT-3 used 13-gram decontamination); fixture docs are short, so 8.
+_DECON_N = 8
+
+_DECON_GRAMS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(l) - {n} + 2, 1)),
+                   i -> array_to_string(l[i : i + {n} - 1], ' '))) AS g
+        FROM toks
+    )
+"""
+
+
+def _gram_sql(n: int) -> str:
+    return _DECON_GRAMS_SQL.format(n=n)
+
+
+@query(
+    "ngram_decontaminate",
+    oracle=_gram_sql(_DECON_N)
+    + """
+    , bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+        SELECT g.doc_id, COUNT(*) AS n_hits
+        FROM grams g, unnest(g.g) AS t(gram)
+        JOIN bench USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram collision).
+
+    Docs with ``doc_id % 50 == 0`` stand in for the held-out eval set;
+    every other doc is scored by how many of its distinct 8-grams
+    appear anywhere in that set.  Plan: distinct grams per doc
+    (explode), inner join to the distinct benchmark-gram set, count,
+    left-join back for the zero rows.  At 100 TB the join key would be
+    ``xxhash64(gram)`` (8-byte shuffle, collision-tolerant for a drop
+    decision) — the string key here keeps the oracle exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokenize(F.col("text")), _DECON_N))
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("_n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "dup_span_ratio",
+    oracle=_gram_sql(_DECON_N)
+    + """
+    , df AS (
+        SELECT gram, COUNT(*) AS n_docs
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        GROUP BY gram
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams) g
+        JOIN df USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_ratio
+    FROM scored
+    """,
+)
+def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span ratio — the scalable form of exact-substring
+    dedup (CCNet/Gopher hygiene signal).
+
+    Fraction of a doc's distinct 8-grams that occur in ≥2 docs
+    corpus-wide.  Two shuffles: gram document-frequency (word-count
+    shape, map-side combine), then a gram→doc join back and per-doc
+    ratio.  Docs above a dup_ratio threshold get dropped or trimmed in
+    a real pipeline; the threshold composes as a filter on this output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokenize(F.col("text")), _DECON_N))
+        ).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("_n_docs"))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_n_docs") >= 2).cast("int")).alias("_n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.col("_n_dup").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n_tokens,
+               CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                   / 4294967296 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM scored
+    WHERE u < least(1.0, CAST(n_tokens AS DOUBLE) / 40.0)
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep probability proportional
+    to a per-doc quality weight (here token count / 40, capped at 1).
+
+    The uniform draw is a Knuth multiplicative hash of doc_id — pure
+    integer arithmetic, bit-identical in any engine, stable under
+    re-runs/appends (same property as the md5-threshold split, but
+    cheap enough to inline in SQL).  Longer docs survive
+    proportionally more often — the quality-weighted mixture step of a
+    pretraining pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize(F.col("text")))
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast(
+        "double"
+    ) / F.lit(4294967296)
+    return (
+        docs.select(
+            "doc_id", "source", n_tokens.alias("n_tokens"), u.alias("_u")
+        )
+        .filter(
+            F.col("_u")
+            < F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 40.0)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+@query(
+    "source_token_budget",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> ''))) AS n_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM per_source
+    """,
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget + corpus share (mixture-weighting input).
+
+    One hash aggregate over sources plus an empty-frame window for the
+    global total — the total is |sources| rows, so the unpartitioned
+    window is over the *aggregated* frame, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(
+        Window.partitionBy()  # |sources| rows only — safe single partition
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias(
+            "token_share"
+        ),
+    )
