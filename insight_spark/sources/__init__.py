@@ -7,6 +7,7 @@ from insight_spark.sources.parquet import (
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     register_views,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_json",
+    "read_orc",
     "register_views",
 ]

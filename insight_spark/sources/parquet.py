@@ -134,3 +134,18 @@ def read_json(
 def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """In-memory source (A5)."""
     return spark.createDataFrame(rows, schema)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """ORC scan (A-family: columnar alternative to parquet, built into
+    Spark).  Same pushdown/pruning behavior as the parquet scan —
+    PushedFilters and ReadSchema appear in the plan identically."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -175,3 +175,18 @@ def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
         final.write.mode("overwrite").parquet(path)
 
     return upsert
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (A-family).  Spark bundles the ORC datasource, so this
+    is a first-class round-trippable format offline; Avro's external
+    ``spark-avro`` module is NOT bundled and cannot be fetched in this
+    container, so Avro remains an unsupported documented gap alongside
+    the ES/JDBC connector stand-ins."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

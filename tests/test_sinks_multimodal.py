@@ -240,3 +240,33 @@ def test_real_decode_pipeline_end_to_end(spark):
             assert r["first_sample"] == (d * 31) % 4096 - 2048
         else:
             assert r["width"] is None and r["n_samples"] is None
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink + scan (A-family): values round-trip and filters push
+    down to the ORC reader just like parquet."""
+    import contextlib
+    import io
+
+    from insight_spark.sources import load_table, read_orc
+    from insight_spark.sources.sinks import write_orc
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_cols=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    a = {tuple(r) for r in orders.collect()}
+    b = {
+        (r["o_orderkey"], r["o_custkey"], r["o_totalprice"], r["o_orderstatus"])
+        for r in back.collect()
+    }
+    assert a == b
+    filtered = back.filter(F.col("o_orderkey") < 100)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
