@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "tfidf_top",
     "ann_ivf_topk",
     "bm25_search",
+    "ngram_decontaminate",
+    "dup_span_ratio",
+    "multimodal_decode_real",
 ]
 
 
