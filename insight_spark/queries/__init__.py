@@ -49,6 +49,7 @@ _MODULES = (
     "insight_spark.queries.subqueries",
     "insight_spark.queries.training",
     "insight_spark.queries.corpus_extra",
+    "insight_spark.queries.analytics_extra",
 )
 
 #: Driver-facing registration order.  The external correctness driver
