@@ -50,6 +50,7 @@ _MODULES = (
     "insight_spark.queries.training",
     "insight_spark.queries.corpus_extra",
     "insight_spark.queries.analytics_extra",
+    "insight_spark.queries.tpch",
 )
 
 #: Driver-facing registration order.  The external correctness driver
