@@ -244,3 +244,109 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_words,
+               ROUND(CAST(list_sum(list_transform(l, t -> len(t))) AS DOUBLE)
+                     / len(l), 6) AS mean_word_len,
+               ROUND(CAST(len(list_filter(l, t -> regexp_matches(t, '[a-z]')))
+                          AS DOUBLE) / len(l), 6) AS alpha_ratio,
+               CAST(len(list_filter(l, t -> t IN
+                    ('the','be','to','of','and','that','have','with','a')))
+                    AS BIGINT) AS n_stop
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop,
+           (n_words BETWEEN 25 AND 90)
+               AND (mean_word_len BETWEEN 4.0 AND 10.0)
+               AND alpha_ratio >= 0.8
+               AND n_stop >= 2 AS passes
+    FROM sig
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1).
+
+    The four classic repetition-independent rules, re-thresholded for
+    the short fixture docs: word count in [25, 90], mean word length
+    in [4, 10], >=80% alphabetic tokens, >=2 stopword hits.  All four
+    signals ship alongside the boolean so downstream mixtures can
+    re-threshold without recomputing.
+
+    Scale: one projection pass over the corpus — higher-order array
+    functions only, zero shuffles, zero Python.  At 100 TB this is a
+    map-only stage that fuses into whatever scan feeds it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    n = F.size(l)
+    sum_len = F.aggregate(
+        F.transform(l, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.round(sum_len.cast("double") / n, 6)
+    alpha = F.size(F.filter(l, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.round(alpha.cast("double") / n, 6)
+    stopset = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+    n_stop = F.size(F.filter(l, lambda t: t.isin(*stopset))).cast("long")
+    sig = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    passes = (
+        F.col("n_words").between(25, 90)
+        & F.col("mean_word_len").between(4.0, 10.0)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return sig.withColumn("passes", passes)
+
+
+@query(
+    "hll_merge_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS merged_within_5pct
+    FROM events
+    """,
+)
+def hll_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (D6 scale path): per-partition
+    sketch build + lossless union, the pattern that makes distinct
+    counting a map-side-combine at 100 TB instead of a key shuffle.
+
+    Per-event_type ``hll_sketch_agg`` sketches are unioned with
+    ``hll_union_agg`` and the merged estimate must land within 5% of
+    the exact count — the oracle states the bound as TRUE, so a sketch
+    or merge regression breaks the value hash (same contract as
+    ``distinct_exact_approx``).  The sketches themselves are tiny
+    (<= 1 KB each); only |event_types| rows ever reach the final agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    joined = exact.crossJoin(merged)
+    within = (
+        F.abs(F.col("_est") - F.col("n_users_exact"))
+        / F.col("n_users_exact")
+    ) < 0.05
+    return joined.select(
+        "n_users_exact", within.alias("merged_within_5pct")
+    )
