@@ -51,6 +51,7 @@ _MODULES = (
     "insight_spark.queries.corpus_extra",
     "insight_spark.queries.analytics_extra",
     "insight_spark.queries.tpch",
+    "insight_spark.queries.graph",
 )
 
 #: Driver-facing registration order.  The external correctness driver

@@ -1,0 +1,106 @@
+"""Graph analytics queries (SURVEY.md §2.M28) — PageRank over the
+token-adjacency graph of the corpus.
+
+The graph: one node per distinct token, one weighted edge per adjacent
+token pair (bigram), weight = corpus occurrence count.  PageRank then
+scores tokens by linkage centrality — the graph-shaped cousin of tf-idf
+that exercises iterative join+agg rounds (vs the label-propagation
+rounds of ``near_dup_clusters``).
+
+The oracle unrolls three power-iteration rounds as CTEs; because all
+rank arithmetic is fixed-point BIGINT (``operators/pagerank.py``), the
+Spark loop and the unrolled SQL agree bit-for-bit — an exact value
+check on an iterative graph algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE, pagerank
+from insight_spark.operators.text import tokenize
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+_N_ITER = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled power-iteration round over the ew edge list."""
+    return f"""
+    r{i} AS (
+        SELECT nodes.node,
+               CAST(({DAMP_DEN - DAMP_NUM} * CAST({SCALE} AS BIGINT))
+                        // ({DAMP_DEN} * nn.n)
+                    + COALESCE(m.in_mass, 0) AS BIGINT) AS p
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT ew.dst AS node,
+                   SUM(({DAMP_NUM} * r.p * ew.w)
+                       // ({DAMP_DEN} * ew.wout)) AS in_mass
+            FROM ew JOIN r{i - 1} AS r ON r.node = ew.src
+            GROUP BY ew.dst
+        ) AS m USING (node)
+    )"""
+
+
+_PAGERANK_SQL = (
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS l
+        FROM documents
+    ),
+    pairs AS (
+        SELECT l[p.i] AS src, l[p.i + 1] AS dst
+        FROM toks, unnest(range(1, len(l))) AS p(i)
+    ),
+    edges AS (SELECT src, dst, COUNT(*) AS w FROM pairs GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, e.w, o.wout
+           FROM edges AS e JOIN outw AS o USING (src)),
+    nodes AS (SELECT DISTINCT unnest(l) AS node FROM toks),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST("""
+    + str(SCALE)
+    + """ // nn.n AS BIGINT) AS p
+           FROM nodes CROSS JOIN nn),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, _N_ITER + 1))
+    + f"""
+    SELECT node AS token, p AS rank_scaled FROM r{_N_ITER}
+    """
+)
+
+
+@query("pagerank_tokens", oracle=_PAGERANK_SQL)
+def pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 rounds) on the bigram graph.
+
+    Build: adjacent-pair explode via ``zip_with`` of two shifted slices
+    (projection, no join), then a (src, dst) count — word-count shape.
+    The iteration is join + map-side-combined agg per round over the
+    |V|-row rank state; see ``operators/pagerank.py`` for the 100 TB
+    posture and the fixed-point exactness contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    n_pairs = F.greatest(F.size(l) - 1, F.lit(0))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(l, 1, n_pairs),
+                F.slice(l, 2, n_pairs),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    nodes = docs.select(F.explode(l).alias("node")).distinct()
+    ranks = pagerank(nodes, edges, n_iter=_N_ITER)
+    return ranks.select(
+        F.col("node").alias("token"), F.col("p").alias("rank_scaled")
+    )

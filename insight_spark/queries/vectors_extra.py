@@ -150,3 +150,106 @@ def udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(udf(F.col("text")), 6).alias("quality")
     )
+
+
+def _kmeans_iter_sql(i: int, prev_cents: str, d: int) -> str:
+    """One unrolled Lloyd round: assign (a{i}) + update (c{i}f)."""
+    return f"""
+    d{i} AS (
+        SELECT emb.vec_id, emb.e, cents.cid,
+               list_reduce(list_transform(range(1, {d + 1}),
+                   j -> (e[j] - c[j]) * (e[j] - c[j])), (a, b) -> a + b)
+                   AS dist
+        FROM emb CROSS JOIN {prev_cents} AS cents
+    ),
+    a{i} AS (
+        SELECT vec_id, e, cid AS cell, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d{i})
+        WHERE rn = 1
+    ),
+    u{i} AS (
+        SELECT cell, p.pos,
+               CAST(floor(CAST(SUM(e[p.pos]) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cv
+        FROM a{i} CROSS JOIN
+             (SELECT unnest(range(1, {d + 1})) AS pos) AS p
+        GROUP BY cell, p.pos
+    ),
+    c{i} AS (SELECT cell AS cid, list(cv ORDER BY pos) AS c
+             FROM u{i} GROUP BY cell),
+    c{i}f AS (SELECT prev.cid, COALESCE(c{i}.c, prev.c) AS c
+              FROM {prev_cents} AS prev LEFT JOIN c{i} USING (cid))"""
+
+
+_KMEANS_K = 8
+_KMEANS_D = 64
+
+_KMEANS_SQL = (
+    """
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    c0f AS (SELECT vec_id AS cid, e AS c FROM emb
+            WHERE vec_id < """
+    + str(_KMEANS_K)
+    + "),"
+    + _kmeans_iter_sql(1, "c0f", _KMEANS_D)
+    + ","
+    + _kmeans_iter_sql(2, "c1f", _KMEANS_D)
+    + f""",
+    d3 AS (
+        SELECT emb.vec_id, cents.cid,
+               list_reduce(list_transform(range(1, {_KMEANS_D + 1}),
+                   j -> (e[j] - c[j]) * (e[j] - c[j])), (a, b) -> a + b)
+                   AS dist
+        FROM emb CROSS JOIN c2f AS cents
+    ),
+    a3 AS (
+        SELECT vec_id, cid AS cell, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d3)
+        WHERE rn = 1
+    )
+    SELECT CAST(cell AS INTEGER) AS cell_id,
+           COUNT(*) AS n_points,
+           ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 6) AS inertia
+    FROM a3 GROUP BY cell
+    """
+)
+
+
+@query("kmeans_lloyd", oracle=_KMEANS_SQL)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, 2 Lloyd rounds (M27) — the quantizer trainer
+    for the IVF index, exactly value-oracled.
+
+    All coordinate math happens in integer micro-units
+    (``operators/clustering.py``), so every distance, centroid, and the
+    final inertia is bit-identical between Spark and the unrolled-CTE
+    DuckDB oracle — an *exact* value check on an iterative ML loop,
+    which float arithmetic could never give.  Per round the cluster
+    moves K·d integers; the corpus is never shuffled (assignment is a
+    Project against driver-resident centroid literals, the update is a
+    map-side-combined K·d-row aggregate).
+    """
+    from insight_spark.operators.clustering import lloyd, quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("e")
+    )
+    final = lloyd(emb, k=_KMEANS_K, n_iter=2, vec_col="e", id_col="vec_id")
+    return final.groupBy(
+        F.col("cell").cast("int").alias("cell_id")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("dist").cast("double") / F.lit(1e12), 6).alias(
+            "inertia"
+        ),
+    )
