@@ -48,7 +48,17 @@ BENCH_QUERIES = [
     "ngram_decontaminate",
     "dup_span_ratio",
     "multimodal_decode_real",
+    "kmeans_lloyd",
+    "pagerank_tokens",
 ]
+
+#: Iterative queries coordinate their rounds (centroid collects, rank
+#: checkpoints, CC convergence) while the DataFrame is being BUILT, so
+#: a fair timing must rebuild the plan inside the timed region instead
+#: of re-collecting a prebuilt final stage.  (r1 under-reported
+#: near_dup_clusters for this reason — its number jumps in r2 because
+#: the protocol got honest, not because the op regressed.)
+ITERATIVE = {"near_dup_clusters", "kmeans_lloyd", "pagerank_tokens"}
 
 
 def main() -> None:
@@ -76,12 +86,13 @@ def main() -> None:
         # (observed).  min-of-3 can only flatter us vs the baseline's
         # single sample, so treat near-2x ratios with that margin in
         # mind; at the current ~6x headroom it is immaterial.
+        rebuild = name in ITERATIVE
         df = registry[name](spark, sf_dir)
         df.collect()  # cold
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            df.collect()
+            (registry[name](spark, sf_dir) if rebuild else df).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
