@@ -350,3 +350,86 @@ def hll_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "n_users_exact", within.alias("merged_within_5pct")
     )
+
+
+def _topgram_branch_sql(n: int) -> str:
+    return f"""
+        SELECT doc_id, {n} AS n,
+               unnest(list_transform(
+                   range(1, greatest(len(l) - {n} + 2, 1)),
+                   i -> array_to_string(l[i : i + {n} - 1], ' '))) AS g
+        FROM toks"""
+
+
+@query(
+    "top_ngram_repetition",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    grams AS ("""
+    + " UNION ALL ".join(_topgram_branch_sql(n) for n in (2, 3, 4))
+    + """
+    ),
+    cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    cov AS (SELECT doc_id, n, MAX(c * len(g)) AS mc FROM cnt GROUP BY 1, 2)
+    SELECT d.doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN mc END), 0)
+                 / CAST(len(d.text) AS DOUBLE), 6) AS rep2,
+           ROUND(COALESCE(MAX(CASE WHEN n = 3 THEN mc END), 0)
+                 / CAST(len(d.text) AS DOUBLE), 6) AS rep3,
+           ROUND(COALESCE(MAX(CASE WHEN n = 4 THEN mc END), 0)
+                 / CAST(len(d.text) AS DOUBLE), 6) AS rep4
+    FROM documents AS d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 Table A1): per-doc
+    fraction of characters covered by the most frequent {2,3,4}-gram.
+
+    Coverage = max over grams of occurrences × gram char length — an
+    integer max, so no cross-engine tie-break is needed.  Shape: one
+    tagged explode of all three gram widths → (doc, n, gram) count with
+    map-side combine → per-(doc, n) max → conditional-agg pivot back to
+    one row per doc.  A single shuffle keyed on doc-local grams; at
+    100 TB the combine collapses each doc's grams within its partition,
+    so the exchange carries near-distinct grams only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    def _tagged_grams(n: int):
+        # NB: a two-parameter lambda would make F.transform pass the
+        # array INDEX as the second argument — close over n instead.
+        return F.transform(
+            ngrams(l, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.flatten(F.array(*[_tagged_grams(n) for n in (2, 3, 4)]))
+    cnt = (
+        docs.select("doc_id", F.explode(tagged).alias("t"))
+        .groupBy("doc_id", "t.n", "t.g")
+        .agg(F.count("*").alias("c"))
+    )
+    cov = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.length("g")).alias("mc")
+    )
+    base = docs.select("doc_id", F.length("text").alias("_nc"))
+    rep = [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("mc"))), F.lit(0)
+            )
+            / F.first("_nc").cast("double"),
+            6,
+        ).alias(f"rep{n}")
+        for n in (2, 3, 4)
+    ]
+    return (
+        base.join(cov, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(*rep)
+    )

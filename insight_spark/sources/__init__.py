@@ -5,6 +5,7 @@ from insight_spark.sources.parquet import (
     from_rows,
     load_table,
     load_tables,
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
@@ -16,6 +17,7 @@ __all__ = [
     "from_rows",
     "load_table",
     "load_tables",
+    "read_binary_files",
     "read_csv",
     "read_json",
     "read_orc",

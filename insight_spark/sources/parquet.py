@@ -149,3 +149,28 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file scan (A11): Spark's ``binaryFile`` format — the ingest
+    path for media corpora (images/audio/video as whole files).
+
+    Schema is fixed by the format: (path, modificationTime, length,
+    content binary).  ``pathGlobFilter`` prunes at *listing* time, so a
+    mime-targeted read (``glob="*.wav"``) never opens non-matching
+    files; pair with ``operators/multimodal`` decode UDFs downstream.
+    At scale, many-small-files listing cost dominates — prefer
+    consolidated Parquet payload tables (TESTDATA layout) once
+    ingested; this source is the first hop only.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -270,3 +270,27 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         filtered.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_binary_file_source_reads_and_prunes(spark, tmp_path):
+    """A11: binaryFile scan returns whole-file bytes; pathGlobFilter
+    prunes non-matching files at listing time."""
+    from insight_spark.operators.codecs import encode_wav
+    from insight_spark.sources import read_binary_files
+
+    wav = encode_wav([0, 1000, -1000, 500], sample_rate=8000)
+    (tmp_path / "a.wav").write_bytes(wav)
+    (tmp_path / "b.wav").write_bytes(wav)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.wav")
+    assert set(df.columns) == {
+        "path", "modificationTime", "length", "content"
+    }
+    rows = df.orderBy("path").collect()
+    assert len(rows) == 2 and all(
+        bytes(r["content"]) == wav for r in rows
+    )
+
+    everything = read_binary_files(spark, str(tmp_path))
+    assert everything.count() == 3
