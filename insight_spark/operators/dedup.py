@@ -210,3 +210,91 @@ def near_dedup_minhash(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("a_id", "b_id", "jaccard_sim")
     )
+
+
+def prefix_filtered_jaccard_join(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """J7 scale path: corpus-wide Jaccard threshold self-join via
+    prefix filtering (the PPJoin candidate rule) — no all-pairs join.
+
+    Each doc keeps only its p = |s| - ceil(t·|s|) + 1 globally
+    *rarest* tokens (ascending document frequency, token tie-break);
+    any pair with J >= t must share at least one prefix token, so the
+    equi-join on prefix tokens yields a candidate superset of the
+    answer, which exact Jaccard verification then trims.
+
+    The threshold is the rational ``num/den`` so the prefix-length
+    ceil() is exact integer math — a float ``0.9 * 10`` can round up
+    and silently shorten the prefix below the safe bound, dropping
+    true pairs.  Verification compares ``den·|∩| >= num·|∪|`` in
+    integers for the same reason.
+
+    Scale shape: explode + vocabulary-frequency join + per-doc token
+    sort (bounded by doc length), prefix explode, equi-join on prefix
+    token, pair-dedup on bare id pairs, then two set joins for
+    verification.  The frequency table is |vocab|-sized and broadcast
+    here; at 100 TB swap to a shuffle join on token.  Candidate volume
+    is governed by rare-token bucket sizes — the filter is exactly
+    what makes corpus-wide similarity join feasible without |docs|².
+    """
+    t_num, t_den = threshold_num, threshold_den
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("_s"),
+    ).where(F.size("_s") > 0)
+    freq = (
+        toks.select(F.explode("_s").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    ranked = toks.select(
+        "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_tok")
+    ).join(F.broadcast(freq), "_tok")
+    prefix = (
+        ranked.groupBy("_id", "_sz")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "_tok"))).alias("_ord"))
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"slice(_ord, 1, _sz - (({t_num} * _sz + {t_den - 1}) "
+                    f"div {t_den}) + 1)._tok"
+                )
+            ).alias("_tok"),
+        )
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("a_id"), "_tok")
+        .join(prefix.select(F.col("_id").alias("b_id"), "_tok"), "_tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        toks.select(F.col("_id").alias("a_id"), F.col("_s").alias("_a")), "a_id"
+    ).join(
+        toks.select(F.col("_id").alias("b_id"), F.col("_s").alias("_b")), "b_id"
+    )
+    inter = F.size(F.array_intersect("_a", "_b"))
+    union = F.size("_a") + F.size("_b") - inter
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            inter.alias("_i"),
+            union.alias("_u"),
+        )
+        .filter(F.lit(t_den) * F.col("_i") >= F.lit(t_num) * F.col("_u"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("_i").cast("double") / F.col("_u").cast("double"), 6
+            ).alias("jaccard_sim"),
+        )
+    )

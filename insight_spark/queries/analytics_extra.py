@@ -237,3 +237,57 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
     )
     return kept.unionByName(updates)
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT c.key, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / s.total, 6) AS share,
+           ROUND(CAST(c.cnt AS DOUBLE) * s.n_keys / s.total, 6)
+               AS skew_factor
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.cnt DESC, c.key ASC
+    LIMIT 20
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key: top-20 keys with row share
+    and skew factor (key count ÷ mean key count).
+
+    The pre-flight diagnostic behind every salting/AQE-skew decision
+    in this repo: a skew_factor ≫ 1 key is the one that stalls a
+    shuffle join at 100 TB.  Shape: one map-side-combined groupBy on
+    the key, a 1-row global stat broadcast back, TakeOrdered for the
+    top-k — no full sort, no second wide shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_total"), 6)
+                .alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("_n_keys")
+                / F.col("_total"),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(20)
+    )

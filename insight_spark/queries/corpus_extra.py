@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from insight_spark.operators.dedup import prefix_filtered_jaccard_join
 from insight_spark.operators.text import ngrams, tokenize
 from insight_spark.queries import query
 from insight_spark.sources import load_table
@@ -432,4 +433,110 @@ def top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(cov, "doc_id", "left")
         .groupBy("doc_id")
         .agg(*rep)
+    )
+
+
+@query(
+    "jaccard_threshold_join",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    ),
+    sized AS (SELECT * FROM toks WHERE len(s) > 0),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        FROM sized a JOIN sized b ON b.doc_id > a.doc_id
+    )
+    SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard_sim
+    FROM pairs
+    WHERE 10 * i >= 9 * u
+    """,
+)
+def jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide Jaccard >= 0.9 near-dup pairs via prefix filtering
+    (J7 scale path; operators/dedup.prefix_filtered_jaccard_join).
+
+    The oracle is the O(n²) brute force — deliberately: equality
+    proves the prefix-filter candidate set misses no true pair, which
+    is exactly the property that lets the Spark side skip |docs|² at
+    100 TB.  Threshold 9/10 as exact integer math on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_join(docs, 9, 10)
+
+
+#: RAG chunking contract: window/stride in whitespace tokens.  Fixture
+#: docs have a 56-token median, so W=32/S=24 yields 2-3 overlapping
+#: chunks per doc; production values (512/384 BPE tokens) only change
+#: the constants.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, l, len(l) AS n,
+               ((greatest(len(l) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                // {_CHUNK_S}) * {_CHUNK_S} AS last_start
+        FROM toks WHERE len(l) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, last_start + 1, {_CHUNK_S})) AS start
+        FROM sized
+    )
+    SELECT c.doc_id,
+           CAST(c.start // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+           CAST(len(s.l[c.start + 1 : c.start + {_CHUNK_W}]) AS INTEGER)
+               AS chunk_len,
+           array_to_string(s.l[c.start + 1 : c.start + {_CHUNK_W}], ' ')
+               AS chunk_text
+    FROM chunks c JOIN sized s ON s.doc_id = c.doc_id
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping fixed-width token
+    windows with deterministic (doc_id, chunk_idx) identity.
+
+    Every token lands in >= 1 chunk; consecutive chunks overlap by
+    W - S tokens so no retrieval boundary splits a span.  Chunk count
+    is exact integer math (1 + ceil(max(n-W,0)/S)) mirrored in the
+    oracle.  Shape: pure per-row transform + explode — narrow, no
+    shuffle, embarrassingly parallel at 100 TB; downstream embedding
+    joins key on (doc_id, chunk_idx).
+    """
+    w, s = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("l")
+    ).where(F.size("l") > 0)
+    last_start = (
+        F.floor(
+            (F.greatest(F.size("l") - w, F.lit(0)) + (s - 1)) / s
+        ).cast("int")
+        * s
+    )
+    chunks = toks.select(
+        "doc_id",
+        "l",
+        F.explode(F.sequence(F.lit(0), last_start, F.lit(s))).alias("start"),
+    )
+    piece = F.slice(F.col("l"), F.col("start") + 1, w)
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / s).cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("chunk_len"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )

@@ -111,3 +111,11 @@ def test_ivf_assign_no_exchange_no_join(spark):
     assert "Exchange" not in plan, f"corpus shuffled:\n{plan}"
     assert "Join" not in plan, f"join crept back in:\n{plan}"
     assert "Window" not in plan, f"window over exploded rows:\n{plan}"
+
+
+def test_jaccard_threshold_join_no_cartesian(spark):
+    """The prefix-filtered similarity join must never plan an all-pairs
+    join — that is the whole point of the candidate filter."""
+    plan = _plan(spark, "jaccard_threshold_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
