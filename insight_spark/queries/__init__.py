@@ -52,6 +52,7 @@ _MODULES = (
     "insight_spark.queries.analytics_extra",
     "insight_spark.queries.tpch",
     "insight_spark.queries.graph",
+    "insight_spark.queries.layout",
 )
 
 #: Driver-facing registration order.  The external correctness driver
