@@ -291,3 +291,49 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(20)
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+    SELECT user_id, n_events, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+    FROM c ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (the frequency-sketch sibling of
+    `hll_merge_distinct`): exact top-10 users plus the CM guarantee
+    flags, stated as TRUE in the oracle so a sketch regression breaks
+    the value hash (M15 bound-oracle contract).
+
+    `cms_lower_ok` is the hard guarantee (estimate never undercounts);
+    `cms_upper_ok` is the ε-bound (excess ≤ 10·N/width, failure odds
+    ≤ 10⁻⁴ per key with depth 4 — and deterministic for fixed data and
+    seeds).  At 100 TB the sketch stays ≤ depth·width cells through
+    map-side combine, merges by cell-wise sum across corpus shards, and
+    broadcasts for estimation — frequency queries without a key
+    shuffle.
+    """
+    from insight_spark.operators.sketches import cms_build, cms_estimate
+
+    depth, width = 4, 8192
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth, width)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+    total = ev.agg(F.count("*").alias("_n"))
+    est = cms_estimate(top, sketch, "user_id", depth, width).crossJoin(
+        F.broadcast(total)
+    )
+    margin = F.lit(10.0) * F.col("_n") / F.lit(width)
+    return est.select(
+        "user_id",
+        "n_events",
+        (F.col("cms_est") >= F.col("n_events")).alias("cms_lower_ok"),
+        (F.col("cms_est") <= F.col("n_events") + margin).alias("cms_upper_ok"),
+    ).orderBy(F.desc("n_events"), "user_id")

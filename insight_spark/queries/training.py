@@ -11,7 +11,7 @@ so results are bit-stable under any partitioning and re-run.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insight_spark.operators.components import canonical_assignment
@@ -215,4 +215,86 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.groupBy("source", "shard").applyInPandas(
         pack, "doc_id long, source string, shard long, n_tokens int, bin_id long"
+    )
+
+
+@query(
+    "group_sample_fixed_k",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id, user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT event_type, event_id, user_id, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def group_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k uniform sample per group — the distributed
+    stand-in for per-group reservoir sampling (k exemplar rows per
+    event_type for eyeballing / eval sets).
+
+    Rank by md5(unique key) = a fixed uniform pseudo-order, keep k=5.
+    The rank-≤-k filter compiles to `WindowGroupLimit`, so each map
+    task forwards at most k rows per group before the window shuffle —
+    the exchange carries ~k·|groups| rows, not the table.  (True
+    reservoir sampling needs mutable per-partition state; hash-order
+    bottom-k has the same marginal distribution and is re-run/engine
+    deterministic, which the RNG form is not.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id", "user_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "kfold_assign",
+    oracle="""
+    WITH folds AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 0
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '66' THEN 1
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '99' THEN 2
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 3
+                    ELSE 4 END AS fold
+        FROM documents
+    )
+    SELECT fold, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment, content-keyed like
+    `train_test_split`: hex-prefix range buckets of md5(doc_id) (the
+    boundaries quantize 256 into 5 near-equal bands).
+
+    Stable across engines, re-runs, and corpus appends — adding
+    documents never migrates existing ones between folds.  Map-only
+    assignment + one 5-group aggregate; the per-fold summary is what a
+    CV harness materializes before writing fold shards.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    fold = (
+        F.when(h2 < "33", 0)
+        .when(h2 < "66", 1)
+        .when(h2 < "99", 2)
+        .when(h2 < "cc", 3)
+        .otherwise(4)
+    )
+    return (
+        docs.select(F.col("n_chars"), fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("fold")
     )
