@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "multimodal_decode_real",
     "kmeans_lloyd",
     "pagerank_tokens",
+    "bloom_semi_agg",
+    "unigram_surprisal_score",
+    "bpe_merge_pairs",
+    "tpch_q21_waiting_suppliers",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

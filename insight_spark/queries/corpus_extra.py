@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_spark.operators.dedup import prefix_filtered_jaccard_join
-from insight_spark.operators.text import ngrams, tokenize
+from insight_spark.operators.text import ngrams, tokenize, tokens_df
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -539,4 +539,120 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") / s).cast("int").alias("chunk_idx"),
         F.size(piece).cast("int").alias("chunk_len"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "unigram_surprisal_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    micro AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-log10(CAST(v.c AS DOUBLE) / tot.n) * 1000000)
+                    AS BIGINT) AS s
+        FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND((SUM(s) / COUNT(*)) / 1000000.0, 6) AS avg_surprisal
+    FROM micro GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy — the classic LM-score quality
+    filter with the corpus itself as the language model: per-doc mean
+    token surprisal −log10 p(token), p from corpus unigram frequency.
+    Low-probability-token-heavy docs (gibberish, codes, boilerplate
+    soup) score high and get culled by a threshold downstream.
+
+    Float discipline (the kmeans_lloyd trick): the per-token surprisal
+    is rounded to integer micro-units *before* the per-doc sum, so the
+    aggregation is exact integer math — order-independent and bit-equal
+    across engines; only one final division renders the mean.  Plan:
+    one token-count shuffle builds the vocab, which then broadcasts
+    back onto the token stream (word-level vocabs stay broadcast-sized
+    even at 100 TB; the doc-level agg shuffles on doc_id, same key the
+    chunker/packer reuse).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    micro = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log10(F.col("c").cast("double") / F.col("n")) * 1000000
+            ).cast("long").alias("s"),
+        )
+    )
+    return micro.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round((F.sum("s") / F.count("*")) / 1000000.0, 6).alias("avg_surprisal"),
+    )
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    words AS (SELECT token, COUNT(*) AS wf FROM toks GROUP BY token),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(token)),
+                                     i -> substr(token, i, 2))) AS pair,
+               wf
+        FROM words WHERE len(token) >= 2
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE/WordPiece tokenizer training, the inner loop: corpus-weighted
+    adjacent-symbol pair counts, whose argmax is the next merge rule.
+
+    The classic scale trick is built in: pairs are counted on the
+    *word-frequency vocabulary* (|vocab| rows), not the raw token
+    stream — one token-count shuffle reduces 100 TB of text to a
+    vocab-sized table, and every subsequent merge round is arithmetic
+    on that small side.  Pair extraction is a higher-order
+    transform/sequence over substring windows (JVM codegen, no UDF);
+    top-20 rides TakeOrderedAndProject with the pair string as
+    tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        tokens_df(docs).groupBy("token").agg(F.count("*").alias("wf"))
+    )
+    pairs = (
+        words.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+            "wf",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
     )

@@ -119,3 +119,23 @@ def test_jaccard_threshold_join_no_cartesian(spark):
     plan = _plan(spark, "jaccard_threshold_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelation_no_expand_broadcast_dims(spark):
+    """Q21's rewrite must stay two chained aggregates: no Expand (the
+    multi-countDistinct trap), no lineitem self-join beyond the
+    orderkey agg join, supplier×nation broadcast."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "Expand" not in plan, "multi-countDistinct Expand crept in"
+    assert "BroadcastHashJoin" in plan, "supplier/nation dim not broadcast"
+
+
+def test_unigram_surprisal_vocab_broadcasts(spark):
+    plan = _plan(spark, "unigram_surprisal_score")
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_take_ordered(spark):
+    plan = _plan(spark, "bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in plan
