@@ -81,6 +81,7 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # One DataFrame per query; cold = first collect (plan + codegen
         # + execute), warm = steady-state re-collect of the same plan.
@@ -90,28 +91,35 @@ def main() -> None:
         # (observed).  min-of-3 can only flatter us vs the baseline's
         # single sample, so treat near-2x ratios with that margin in
         # mind; at the current ~6x headroom it is immaterial.
-        rebuild = name in ITERATIVE
-        df = registry[name](spark, sf_dir)
-        df.collect()  # cold
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            (registry[name](spark, sf_dir) if rebuild else df).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        #
+        # Per-query fault isolation (round-2 lesson: one analysis
+        # exception at query 8 erased all 26 other timings for the
+        # round).  A failing query records an error row; the run and
+        # its JSON line always complete.
+        try:
+            rebuild = name in ITERATIVE
+            df = registry[name](spark, sf_dir)
+            df.collect()  # cold
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                (registry[name](spark, sf_dir) if rebuild else df).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_warm_s",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_warm_s",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ from pyspark.sql import SparkSession
 SEMANTIC_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # fixtures drifted to timestamp[us] isAdjustedToUTC=false between
+    # rounds; read those as TimestampType (not NTZ, on which epoch casts
+    # are illegal).  Exact under the pinned UTC session timezone.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 

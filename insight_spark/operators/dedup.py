@@ -237,10 +237,13 @@ def prefix_filtered_jaccard_join(
     Scale shape: explode + vocabulary-frequency join + per-doc token
     sort (bounded by doc length), prefix explode, equi-join on prefix
     token, pair-dedup on bare id pairs, then two set joins for
-    verification.  The frequency table is |vocab|-sized and broadcast
-    here; at 100 TB swap to a shuffle join on token.  Candidate volume
-    is governed by rare-token bucket sizes — the filter is exactly
-    what makes corpus-wide similarity join feasible without |docs|².
+    verification.  The frequency table is |vocab|-sized, so it gets NO
+    broadcast hint — at fixture scale AQE upgrades it to a runtime
+    broadcast anyway (it is far under autoBroadcastJoinThreshold), and
+    at 100 TB (GB-sized vocab) the same plan stays a shuffle join on
+    token instead of OOMing every executor.  Candidate volume is
+    governed by rare-token bucket sizes — the filter is exactly what
+    makes corpus-wide similarity join feasible without |docs|².
     """
     t_num, t_den = threshold_num, threshold_den
     toks = docs.select(
@@ -254,7 +257,7 @@ def prefix_filtered_jaccard_join(
     )
     ranked = toks.select(
         "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_tok")
-    ).join(F.broadcast(freq), "_tok")
+    ).join(freq, "_tok")
     prefix = (
         ranked.groupBy("_id", "_sz")
         .agg(F.sort_array(F.collect_list(F.struct("_df", "_tok"))).alias("_ord"))

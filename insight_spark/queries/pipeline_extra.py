@@ -115,7 +115,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type_sequences",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_type)) AS types_sorted,
+           array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
            COUNT(*) AS n,
            concat('{"user_id":', user_id, ',"n":', COUNT(*), '}') AS json_summary
     FROM events
@@ -125,15 +125,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list (D10, array_sort both sides — Spark collect order is
     nondeterministic) + to_json struct serialization (H14 write side;
-    the oracle reproduces Spark's compact JSON byte-for-byte)."""
+    the oracle reproduces Spark's compact JSON byte-for-byte).
+
+    Driver-facing schema is all-scalar: the sorted array is serialized
+    with array_join (oracle: array_to_string) because the driver's
+    canonicalizer sorts the pandas frame and a raw array column is
+    unhashable (round-2 error row)."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("event_type")).alias("types_sorted"),
+        F.array_sort(F.collect_list("event_type")).alias("_types"),
         F.count("*").alias("n"),
     )
     return g.select(
         "user_id",
-        "types_sorted",
+        F.array_join("_types", ",").alias("types_sorted"),
         "n",
         F.to_json(F.struct("user_id", "n")).alias("json_summary"),
     )

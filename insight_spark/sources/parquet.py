@@ -39,9 +39,27 @@ TABLES = (
 
 
 def _repair_events(df: DataFrame) -> DataFrame:
-    """ns-epoch long → TimestampType (µs), matching DuckDB's truncation."""
+    """Normalize ``ts`` to TimestampType whatever the fixture encoding.
+
+    The fixtures have already shipped two encodings across rounds:
+
+    - parquet TIMESTAMP(NANOS): rejected by the vectorized reader; with
+      ``nanosAsLong=true`` it arrives as a raw ns LongType and is
+      repaired with integer division (µs truncation, matching DuckDB).
+    - parquet timestamp[us] with ``isAdjustedToUTC=false``: Spark 4
+      reads this as TIMESTAMP_NTZ, on which ``cast(.. as bigint)`` is an
+      AnalysisException — so every epoch-math site downstream breaks.
+      Under the pinned UTC session timezone the NTZ→LTZ cast is exact
+      (wall clock == instant), so normalize here, once.
+
+    ``inferTimestampNTZ.enabled=false`` in SEMANTIC_CONF makes the scan
+    yield TimestampType directly (defense in depth); this projection
+    covers sessions where that conf could not be applied.
+    """
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

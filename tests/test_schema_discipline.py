@@ -1,18 +1,33 @@
-"""Schema-discipline gate: no declared query may ship DecimalType output.
+"""Schema-discipline gates.
 
-The external driver's order-insensitive value hash renders Spark vs
-DuckDB decimals differently (round-1 verdict: all 13 hash_match failures
-correlated 46/46 with a DECIMAL output column, values byte-identical).
-Contract: accumulate in DECIMAL(38,6) internally, final-project
-``money_out`` (round(cast(double), 6)) — never DecimalType in the
-returned schema.
+1. No declared query may ship DecimalType output.  The external driver's
+   order-insensitive value hash renders Spark vs DuckDB decimals
+   differently (round-1 verdict: all 13 hash_match failures correlated
+   46/46 with a DECIMAL output column, values byte-identical).
+   Contract: accumulate in DECIMAL(38,6) internally, final-project
+   ``money_out`` (round(cast(double), 6)) — never DecimalType in the
+   returned schema.
+
+2. Fixture timestamp-encoding drift guard.  The driver's fixtures have
+   already changed ``events.ts`` parquet encoding once between rounds
+   (TIMESTAMP(NANOS) → timestamp[us] isAdjustedToUTC=false, which Spark
+   4 reads as TIMESTAMP_NTZ and on which epoch casts are illegal —
+   round-2 verdict: 2 CORRECTNESS fails + a crashed bench).  The scan
+   layer must normalize every plausible encoding to TimestampType with
+   identical UTC instants.
 """
 
 from __future__ import annotations
 
-from pyspark.sql.types import DecimalType
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import DecimalType, TimestampType
 
 from insight_spark.queries import all_queries
+from insight_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
@@ -28,3 +43,57 @@ def test_no_decimal_output_columns(spark):
         if dec:
             offenders[name] = dec
     assert not offenders, f"DecimalType leaked into query output: {offenders}"
+
+
+def test_fixture_events_ts_is_timestamp(spark):
+    """Whatever encoding the current fixtures carry, ts must come out
+    TimestampType (epoch-cast-safe) at every SF the driver uses."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        ev = load_table(spark, d, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType), (
+            f"{sf}: events.ts is {ev.schema['ts'].dataType}"
+        )
+        # epoch math must compile (the exact round-2 failure mode)
+        ev.selectExpr("cast(ts as bigint)").limit(1).collect()
+
+
+#: One row, a known UTC instant: 2024-03-01T12:34:56.789Z.
+_US = 1709296496789000
+
+
+@pytest.mark.parametrize(
+    "ts_type,val",
+    [
+        (pa.timestamp("ns"), _US * 1000),      # round-1 fixture encoding
+        (pa.timestamp("us"), _US),             # NTZ: isAdjustedToUTC=false
+        (pa.timestamp("us", tz="UTC"), _US),   # plain LTZ encoding
+        (pa.timestamp("ms"), _US // 1000),     # ms NTZ, for good measure
+    ],
+    ids=["ns", "us-ntz", "us-utc", "ms-ntz"],
+)
+def test_events_ts_encoding_drift(spark, tmp_path, ts_type, val):
+    """Synthesize events.parquet in each historical/plausible encoding;
+    load_table must normalize all of them to the same UTC instant."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([val], ts_type),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k":1}'], pa.string()),
+        }
+    )
+    d = str(tmp_path / ts_type.unit) + ("tz" if ts_type.tz else "")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    ev = load_table(spark, d, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    [row] = ev.selectExpr(
+        "cast(ts as bigint) AS secs", "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s"
+    ).collect()
+    assert row["secs"] == _US // 1_000_000
+    assert row["s"] == "2024-03-01 12:34:56"
