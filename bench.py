@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "unigram_surprisal_score",
     "bpe_merge_pairs",
     "tpch_q21_waiting_suppliers",
+    # round-3 additions
+    "tpch_q1_pricing_summary",
+    "minhash_lsh_pairs",
+    "mad_outliers",
+    "ewma_smooth",
+    "hard_negative_mining",
+    "triangle_count",
+    "rollup_multires",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -62,7 +70,14 @@ BENCH_QUERIES = [
 #: of re-collecting a prebuilt final stage.  (r1 under-reported
 #: near_dup_clusters for this reason — its number jumps in r2 because
 #: the protocol got honest, not because the op regressed.)
-ITERATIVE = {"near_dup_clusters", "kmeans_lloyd", "pagerank_tokens"}
+#: rollup_multires belongs here too: its hourly level materializes via
+#: localCheckpoint while the DataFrame is being built.
+ITERATIVE = {
+    "near_dup_clusters",
+    "kmeans_lloyd",
+    "pagerank_tokens",
+    "rollup_multires",
+}
 
 
 def main() -> None:

@@ -301,3 +301,153 @@ def prefix_filtered_jaccard_join(
             ).alias("jaccard_sim"),
         )
     )
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """J6 value-oracled variant: MinHash+LSH near-dup pairs with an
+    md5 hash family, fully reproducible in DuckDB SQL.
+
+    Same pipeline shape as ``near_dedup_minhash`` (shingle → signature
+    → band bucket → candidate pair → exact-Jaccard verify at t=1/2),
+    but the per-seed hash is ``md5(seed || '#' || gram)`` and the
+    signature element is the **lexicographic** minimum of the fixed-
+    width lowercase hex strings — which equals the numeric minimum of
+    the 128-bit values, and both engines compare ASCII strings
+    bytewise.  That makes every intermediate (signatures, band keys,
+    candidate set, verified pairs) bit-identical across engines, so
+    the driver's value-hash check covers the whole sketch pipeline
+    instead of a rows-only count (the simhash md5-nibble trick,
+    extended to MinHash).
+
+    The xxhash64 twin stays the 100 TB default (JVM hash, no hex
+    materialization); this variant trades ~2× signature cost for
+    oracle-checkability.  Verification threshold is the integer form
+    ``2·|∩| >= |∪|`` (exact, no float compare).
+    """
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
+            "_sh"
+        ),
+    ).filter(F.size("_sh") > 0)
+    sig = sh.select(
+        "_id",
+        "_sh",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}#"), g))
+                )
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"_h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+    cand = (
+        bands.select(F.col("_id").alias("a_id"), "_band", "_bkey")
+        .join(
+            bands.select(F.col("_id").alias("b_id"), "_band", "_bkey"),
+            ["_band", "_bkey"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sets = sh.select("_id", "_sh")
+    cand = cand.join(
+        sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a")), "a_id"
+    ).join(sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_b")), "b_id")
+    inter = F.size(F.array_intersect("_a", "_b"))
+    union = F.size("_a") + F.size("_b") - inter
+    return (
+        cand.filter(F.lit(2) * inter >= union)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs_md5_oracle_sql(
+    n_hashes: int = 8, n_bands: int = 4
+) -> str:
+    """DuckDB SQL producing identical pairs (same md5 hash family)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(s, g -> md5('{i}#' || g))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               {sigs}
+        FROM sh2
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                 6) AS jaccard_sim
+    FROM cand
+    JOIN sh2 sa ON sa.doc_id = a_id
+    JOIN sh2 sb ON sb.doc_id = b_id
+    WHERE 2 * len(list_intersect(sa.s, sb.s))
+          >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+    """

@@ -53,6 +53,7 @@ _MODULES = (
     "insight_spark.queries.tpch",
     "insight_spark.queries.graph",
     "insight_spark.queries.layout",
+    "insight_spark.queries.sources_rt",
 )
 
 #: Driver-facing registration order.  The external correctness driver

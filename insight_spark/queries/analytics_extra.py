@@ -337,3 +337,327 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") >= F.col("n_events")).alias("cms_lower_ok"),
         (F.col("cms_est") <= F.col("n_events") + margin).alias("cms_upper_ok"),
     ).orderBy(F.desc("n_events"), "user_id")
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (sequence analytics — the user-journey summary behind next-event
+    prediction and anomalous-flow detection).
+
+    One shuffle on user_id for the lag, then a word-count-shaped
+    aggregate on the (prev, next) pair — the per-row transition P is a
+    window over the tiny |types|² matrix.  At 100 TB the lag pass
+    dominates and is the same exchange sessionize already needs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(d.med, 6) AS median_value,
+           ROUND(a.mad, 6) AS mad,
+           COUNT(*) FILTER (WHERE d.adev > 3 * a.mad) AS n_outliers,
+           COUNT(*) AS n
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type, d.med, a.mad
+    ORDER BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (table
+    quality / anomaly surface): per event_type, the median, the MAD,
+    and how many values sit more than 3 MADs from the median.
+
+    Two grouped exact-percentile aggregates over the same event_type
+    shuffle; the per-group medians broadcast back (|types| rows).
+    Robust stats are the data-quality gate that mean/stddev z-scores
+    fail on heavy-tailed value columns.  Exact interpolated percentile
+    parity (D11 discipline) makes the 3-MAD comparison deterministic
+    cross-engine; only the final projection rounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+@query(
+    "ewma_smooth",
+    oracle="""
+    WITH lags AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(value, 1) OVER w AS l1,
+               LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3,
+               LAG(value, 4) OVER w AS l4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND(
+             (value
+              + COALESCE(l1, 0) * 0.5
+              + COALESCE(l2, 0) * 0.25
+              + COALESCE(l3, 0) * 0.125
+              + COALESCE(l4, 0) * 0.0625)
+             /
+             (1.0
+              + (CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END)
+              + (CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END)
+              + (CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+              + (CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)),
+             6) AS ewma5
+    FROM lags
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing per user stream (time-series
+    analytics): exponential weights 1, 1/2, ..., 1/16 over the last 5
+    events, renormalized over the lags actually present at the
+    sequence head.
+
+    The infinite-history EWMA recurrence is inherently sequential; the
+    5-term truncation (weight tail < 4%) re-expresses it as 4 LAGs
+    over ONE window spec — a single user_id exchange, fully
+    parallel, no recursion.  Weights are powers of two, so every
+    product is exact in binary and the engines agree bit-for-bit
+    before the final round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, 5)],
+    )
+    weights = [0.5, 0.25, 0.125, 0.0625]
+    num = F.col("value")
+    den = F.lit(1.0)
+    for i, wt in enumerate(weights, start=1):
+        num = num + F.coalesce(F.col(f"l{i}"), F.lit(0.0)) * wt
+        den = den + F.when(F.col(f"l{i}").isNull(), 0.0).otherwise(wt)
+    return lags.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma5")
+    )
+
+
+@query(
+    "rollup_multires",
+    oracle="""
+    SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), COUNT(*),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), COUNT(*),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+    FROM events GROUP BY 2
+    """,
+)
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): hour / day / month aggregates where each coarser level
+    re-aggregates the FINER level's partials instead of rescanning the
+    fact table.
+
+    This is the materialized-rollup maintenance shape at 100 TB: the
+    raw scan happens once (hourly), day sums hour, month sums day —
+    legal because counts and DECIMAL sums are exactly mergeable
+    (doubles would drift re-aggregated in a different order; the
+    oracle aggregates each level straight from raw, so parity PROVES
+    the partial-reuse is lossless).  The hourly level is
+    localCheckpoint'ed — without it Spark's three output branches each
+    recompute the raw scan (verified: 3× events scans, no
+    ReusedExchange), which is exactly the recompute a materialized
+    continuous aggregate exists to avoid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_sum"),
+    ).localCheckpoint()
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").alias("_sum"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket_start").alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").alias("_sum"),
+    )
+    def _out(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("resolution"),
+            "bucket_start",
+            "n_events",
+            F.round(F.col("_sum").cast("double"), 6).alias("sum_value"),
+        )
+    return (
+        _out(hourly, "hour")
+        .unionAll(_out(daily, "day"))
+        .unionAll(_out(monthly, "month"))
+    )
+
+
+@query(
+    "histogram_quantile",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR((value - vmin)
+                   / NULLIF((vmax - vmin) / 256.0, 0)) AS BIGINT),
+                     255) AS bucket,
+               COUNT(*) AS c
+        FROM events, stats
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM b
+    ),
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q,
+           ROUND(vmin + (MIN(bucket) + 1) * ((vmax - vmin) / 256.0), 6) AS est
+    FROM qs, cum, stats
+    WHERE cum >= q * n
+    GROUP BY q, vmin, vmax
+    """,
+)
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (completes the
+    sketch trio with HLL M26 and CMS M35): 256 fixed-width buckets,
+    estimate = upper edge of the first bucket whose cumulative count
+    crosses q·n.
+
+    The 100 TB form: bucket counts are a map-side-combined aggregate
+    (≤256 rows per partition), cells merge by cell-wise sum across
+    shards/days exactly like the CMS, and the estimate is off by at
+    most one bucket width.  Unlike approx_percentile's opaque internal
+    state, the histogram IS a DataFrame — persistable, mergeable,
+    SQL-reproducible, which is why the whole sketch value-oracles
+    exactly rather than needing a bound check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / 256.0
+    b = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / F.nullif(width, F.lit(0.0))),
+                F.lit(255),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("c").over(Window.orderBy("bucket")).alias("cum"),
+    )
+    qs = F.array(*[F.lit(x) for x in (0.25, 0.5, 0.9, 0.99)])
+    qdf = (
+        stats.select("vmin", "vmax", "n", F.explode(qs).alias("q"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "vmin", "vmax")
+        .agg(F.min("bucket").alias("_bk"))
+        .select(
+            "q",
+            F.round(
+                F.col("vmin")
+                + (F.col("_bk") + 1) * ((F.col("vmax") - F.col("vmin")) / 256.0),
+                6,
+            ).alias("est"),
+        )
+    )

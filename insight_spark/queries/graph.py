@@ -104,3 +104,79 @@ def pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("token"), F.col("p").alias("rank_scaled")
     )
+
+
+@query(
+    "triangle_count",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.token AS a, b.token AS b
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the token co-occurrence graph (graph
+    analytics): tokens are nodes, an edge joins tokens co-occurring in
+    ≥3 documents, and the count of closed triples measures clustering.
+
+    Spark-first with the degree-ordered orientation: each undirected
+    edge points from its lower-(degree, id) endpoint to the higher, so
+    every triangle is enumerated exactly once from its lowest-degree
+    corner and the wedge join fans out by ORIENTED degree — bounded by
+    sqrt(|E|) per node — instead of the raw degree of hub tokens.
+    That asymmetry is what keeps the join volume survivable at 100 TB
+    (the standard MapReduce triangle-counting trick); the oracle
+    counts the same triangles by id-order enumeration, so the totals
+    must agree while the plans differ.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+    )
+    a = t.select(F.col("doc_id"), F.col("token").alias("a"))
+    b = t.select(F.col("doc_id"), F.col("token").alias("b"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("a", "b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    directed = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    d1 = directed.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    d2 = directed.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = d1.join(d2, "y")
+    d3 = directed.select(F.col("u").alias("x"), F.col("w").alias("z"))
+    tri = wedges.join(d3, ["x", "z"], "left_semi")
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_spark.operators.dedup import exact_dedup, near_dedup_minhash
+from insight_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs_md5,
+    minhash_lsh_pairs_md5_oracle_sql,
+    near_dedup_minhash,
+)
 from insight_spark.operators.text import tokenize
 from insight_spark.queries import query
 from insight_spark.sources import load_table
@@ -31,11 +36,23 @@ def dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified (J6).
 
-    Candidate generation is sketch-dependent (not SQL-oracle-hashable);
-    the verification step is exact Jaccard, property-tested in pytest.
+    Candidate generation is sketch-dependent (xxhash64, not
+    SQL-oracle-hashable); the verification step is exact Jaccard,
+    property-tested in pytest.  ``minhash_lsh_pairs`` is the
+    value-oracled md5-family twin.
     """
     docs = load_table(spark, sf_dir, "documents")
     return near_dedup_minhash(docs, threshold=0.5)
+
+
+@query("minhash_lsh_pairs", oracle=minhash_lsh_pairs_md5_oracle_sql())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with full value parity (J6): md5 hash
+    family + lexicographic-min signatures make every stage (signature,
+    band key, candidate set, verified pair) bit-identical in DuckDB —
+    the sketch pipeline itself is hash-checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(docs)
 
 
 #: English marker words for the n-gram language heuristic (shared with

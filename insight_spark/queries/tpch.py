@@ -777,3 +777,394 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the pricing-summary full-scan aggregate.
+
+    The canonical map-side-combine workload: one lineitem scan, eight
+    aggregates over a 6-group key — partial aggregation reduces each
+    task's output to ≤6 rows before the (tiny) shuffle.  Averages
+    follow the repo discipline: exact DECIMAL sum, then one double
+    division (bit-equal to DuckDB, unlike a double-running AVG).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast(MONEY)
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(money("l_quantity")).alias("_qty"),
+        F.sum(money("l_extendedprice")).alias("_base"),
+        F.sum(_disc_price()).alias("_disc"),
+        F.sum(charge).alias("_charge"),
+        F.sum(money("l_discount")).alias("_dsum"),
+        F.count("*").alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus").select(
+        "l_returnflag",
+        "l_linestatus",
+        money_out("_qty").alias("sum_qty"),
+        money_out("_base").alias("sum_base_price"),
+        money_out("_disc").alias("sum_disc_price"),
+        money_out("_charge").alias("sum_charge"),
+        F.round(F.col("_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_base").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("_dsum").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate, zero joins.
+
+    Every predicate is parquet-pushable (shipdate range, discount
+    range, quantity bound) — at 100 TB this is a row-group-pruned scan
+    whose selectivity Catalyst sees at plan time; the single global sum
+    partial-aggregates to one row per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(MONEY)).alias(
+                "_rev"
+            )
+        )
+        .select(money_out("_rev").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(unit_cost, 6) AS supplycost
+    FROM ps
+    JOIN part ON p_partkey = pk
+    JOIN reg  ON s_suppkey = sk
+    WHERE p_type = 'ECONOMY'
+      AND unit_cost = (
+          SELECT MIN(ps2.unit_cost)
+          FROM ps ps2 JOIN reg r2 ON r2.s_suppkey = ps2.sk
+          WHERE ps2.pk = ps.pk
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp table — the observed per-unit
+    price MIN(l_extendedprice / l_quantity) over each part-supplier's
+    lines stands in for ps_supplycost): the cheapest ASIA supplier per
+    ECONOMY part, with the correlated min-cost subquery.
+
+    Spark-first decorrelation: the correlated MIN becomes a window MIN
+    over the part key *after* restricting to region suppliers — no
+    second scan, no self-join; the published form re-reads partsupp.
+    The equality filter on doubles is safe: both engines take the MIN
+    of the identical double set.  supplier⋈nation⋈region broadcasts;
+    the one shuffle is the (partkey, suppkey) aggregate of lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    reg = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    w = Window.partitionBy("pk")
+    return (
+        ps.join(F.broadcast(reg), ps.sk == reg.s_suppkey)
+        .withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: discounted revenue stands in for the
+    partsupp-cost profit — no ps_supplycost in the fixtures): per
+    supplier-nation per order-year revenue on one product line.
+
+    part/supplier/nation broadcast; lineitem⋈orders is the one big
+    shuffle on orderkey.  The part filter (LIKE on p_name) prunes the
+    broadcast side before the join, so non-matching lineitem rows drop
+    at the probe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).alias("_profit"))
+        .orderBy("nation", F.desc("o_year"))
+        .select("nation", "o_year", money_out("_profit").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH natl AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT partkey, ROUND(CAST(value AS DOUBLE), 6) AS part_value
+    FROM natl
+    WHERE CAST(value AS DOUBLE) > (
+        SELECT CAST(SUM(value) AS DOUBLE) * 0.002 FROM natl
+    )
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: one nation's shipped extended-price value per
+    part stands in for partsupp stock value): parts whose value exceeds
+    a fraction of the nation total — the global-scalar-subquery shape.
+
+    Spark-first: the HAVING-fraction scalar is a 1-row aggregate of the
+    *same* grouped DataFrame, broadcast-cross-joined back — the grouped
+    relation computes once per branch off a common scan, no correlated
+    re-read.  Exact DECIMAL sums make the threshold comparison
+    deterministic on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    natl = (
+        li.join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(money("l_extendedprice")).alias("_value"))
+    )
+    thresh = natl.agg(
+        (F.sum("_value").cast("double") * 0.002).alias("_thresh")
+    )
+    return (
+        natl.join(F.broadcast(thresh))
+        .filter(F.col("_value").cast("double") > F.col("_thresh"))
+        .orderBy(F.desc(F.col("_value").cast("double")), "partkey")
+        .select("partkey", money_out("_value").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 16, 25, 36)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: the distinct (partkey, suppkey) pairs of
+    lineitem stand in for partsupp; s_name LIKE '%7' stands in for the
+    complaints filter): supplier counts per excluded-brand part group.
+
+    NOT IN on a provably non-null key → left-anti broadcast join (the
+    null-semantics trap of NOT IN doesn't apply; documented here
+    because s_suppkey is a PK).  The distinct-pairs aggregate and the
+    count-distinct reuse the same (partkey, suppkey)-hashed shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36)
+    )
+    complainers = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(complainers), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'cold%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp JOIN tot USING (l_partkey)
+        WHERE CAST(sp.qty AS DOUBLE) > 0.5 * CAST(tot.total_qty AS DOUBLE)
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: a supplier "has excess stock" when it shipped
+    more than half of a cold-part's 1997 volume — no ps_availqty):
+    suppliers dominating any matching part's annual volume.
+
+    Spark-first: the nested IN-subquery chain collapses to one
+    (suppkey, partkey) aggregate, a window SUM over partkey for the
+    part total (reusing the aggregate's shuffle instead of a
+    tot-self-join), and a left-semi join to supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("_total", F.sum("_qty").over(w))
+        .filter(
+            F.col("_qty").cast("double") > 0.5 * F.col("_total").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .orderBy("s_name")
+        .select("s_name", "n_name")
+    )

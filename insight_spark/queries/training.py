@@ -298,3 +298,58 @@ def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
         .orderBy("fold")
     )
+
+
+@query(
+    "feature_scale_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mu,
+               stddev_samp(value) AS sigma,
+               MIN(value) AS vmin,
+               MAX(value) AS vmax
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           ROUND((value - mu) / NULLIF(sigma, 0), 6) AS z,
+           ROUND((value - vmin) / NULLIF(vmax - vmin, 0), 6) AS minmax
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def feature_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling (training-data prep): z-score and
+    min-max normalization of the value column within each event_type.
+
+    The grouped stats are a |types|-row aggregate broadcast back onto
+    the fact — the canonical normalize-before-training pass.  The mean
+    follows the exact-sum discipline (DECIMAL sum, one rounded double
+    division); stddev_samp parity is the D7 contract.  Constant groups
+    null out via NULLIF on both engines instead of dividing by zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0)),
+            6,
+        ).alias("z"),
+        F.round(
+            (F.col("value") - F.col("vmin"))
+            / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0)),
+            6,
+        ).alias("minmax"),
+    )

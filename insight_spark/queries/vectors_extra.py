@@ -253,3 +253,78 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_vec_id, label AS q_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_embedding
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS c_vec_id, label AS c_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_embedding
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q_vec_id, c_vec_id,
+               ROUND(list_cosine_similarity(q_embedding, c_embedding), 6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE c_label <> q_label
+    )
+    SELECT q_vec_id, c_vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec_id ORDER BY cos_sim DESC, c_vec_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (embedding-pipeline
+    mandate): per anchor vector, the top-3 most-similar vectors with a
+    DIFFERENT label — the negatives a contrastive loss learns most
+    from.
+
+    Same physical shape as exact knn (anchor side broadcast, corpus
+    never shuffles, rounded-score + id tie-break ranking); the label
+    inequality prunes at the probe before ranking.  At 100 TB the
+    anchor set is the small side by construction (a training batch),
+    and the ANN bucketing paths (LSH/IVF) swap in identically.
+    """
+    from insight_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "q_vec_id",
+            "c_vec_id",
+            F.round(
+                cosine(F.col("q_embedding"), F.col("c_embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_vec_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )

@@ -139,3 +139,94 @@ def test_unigram_surprisal_vocab_broadcasts(spark):
 def test_bpe_pairs_take_ordered(spark):
     plan = _plan(spark, "bpe_merge_pairs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_map_side_combine(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"{frag} not pushed to the parquet scan"
+    assert "Join" not in plan, "Q6 must be join-free"
+
+
+def test_q2_window_decorrelation_no_self_join(spark):
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    # the correlated MIN is a window, not a second ps aggregate + join
+    assert "Window" in plan
+    # one Location line per physical scan: lineitem must appear once
+    assert plan.count("lineitem.parquet") == 1, (
+        "lineitem scanned more than once: correlated subquery not decorrelated"
+    )
+
+
+def test_q9_broadcasts_all_dims(spark):
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, "part/supplier/nation must broadcast"
+
+
+def test_q16_anti_join_broadcast(spark):
+    plan = _plan(spark, "tpch_q16_supplier_relationship")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q20_window_total_no_tot_self_join(spark):
+    plan = _plan(spark, "tpch_q20_promotion_suppliers")
+    assert "Window" in plan
+    assert "LeftSemi" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_fuzzy_match_no_cartesian(spark):
+    plan = _plan(spark, "blocked_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    plan = _plan(spark, "mad_outliers")
+    assert "BroadcastHashJoin" in plan, "|types|-row stats must broadcast back"
+
+
+def test_ewma_single_window_exchange(spark):
+    plan = _plan(spark, "ewma_smooth")
+    assert plan.count("Exchange") <= 2, "all 4 LAGs must share one window spec"
+
+
+def test_triangle_count_joins_are_equi(spark):
+    """Wedge + closing joins must be hash equi-joins; the only nested-
+    loop join allowed is the final 1-row×1-row count attachment
+    (formatted plans list each node twice: tree + detail)."""
+    plan = _plan(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "an edge-scale join planned as nested loop"
+    )
+
+
+def test_rollup_multires_single_raw_scan(spark):
+    plan = _plan(spark, "rollup_multires")
+    assert plan.count("events.parquet") == 0, (
+        "coarse levels must re-aggregate the checkpointed hourly "
+        "partials, not rescan the fact table per output branch"
+    )
+
+
+def test_histogram_quantile_mergeable_shape(spark):
+    plan = _plan(spark, "histogram_quantile")
+    assert plan.count("HashAggregate") >= 2, "bucket counts need map-side combine"
