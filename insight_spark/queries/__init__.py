@@ -54,6 +54,7 @@ _MODULES = (
     "insight_spark.queries.graph",
     "insight_spark.queries.layout",
     "insight_spark.queries.sources_rt",
+    "insight_spark.queries.streaming_rt",
 )
 
 #: Driver-facing registration order.  The external correctness driver

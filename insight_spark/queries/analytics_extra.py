@@ -661,3 +661,145 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
     )
+
+
+@query(
+    "anomalous_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+               stddev_samp(n) AS sigma
+        FROM hourly
+    )
+    SELECT hour_start, n,
+           ROUND((n - mu) / sigma, 6) AS z,
+           (ABS((n - mu) / sigma) > 3) AS is_anomaly
+    FROM hourly, stats
+    """,
+)
+def anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (ops-analytics surface): z-score every
+    hour's event count against the global hourly mean/stddev, flag
+    |z| > 3.
+
+    Two tiny aggregates off one date_trunc rollup — the global stats
+    are a 1-row broadcast back onto the |hours| rollup.  At 100 TB
+    the rollup is the mergeable-partials shape (see M48) and the
+    z-scoring cost is per-bucket, not per-event.  Integer counts make
+    the mean exact (sum/count of longs), so the z values agree
+    cross-engine before rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mu"),
+        F.stddev_samp("n").alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return hourly.crossJoin(F.broadcast(stats)).select(
+        "hour_start",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
+
+
+@query(
+    "ab_test_metrics",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per_variant AS (
+        SELECT variant,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vsum,
+               stddev_samp(value) AS sd
+        FROM events e JOIN assigned a ON e.user_id = a.user_id
+        GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN variant = 'A' THEN vsum END) AS sum_a,
+            MAX(CASE WHEN variant = 'A' THEN sd END) AS sd_a,
+            MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN variant = 'B' THEN vsum END) AS sum_b,
+            MAX(CASE WHEN variant = 'B' THEN sd END) AS sd_b
+        FROM per_variant
+    )
+    SELECT n_a, n_b,
+           ROUND(sum_a / n_a, 6) AS mean_a,
+           ROUND(sum_b / n_b, 6) AS mean_b,
+           ROUND((sum_a / n_a - sum_b / n_b)
+                 / sqrt(sd_a * sd_a / n_a + sd_b * sd_b / n_b), 6) AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-metric A/B test readout (experimentation surface):
+    deterministic ~50/50 variant assignment keyed on md5(user_id) (the
+    train_test_split idiom — stable under re-runs and user-set growth),
+    then the Welch z-statistic on mean event value between variants.
+
+    (A conversion-proportion test is degenerate on this fixture —
+    every user purchases — so the readout uses the continuous metric,
+    which is also the harder parity case: exact-decimal sums for the
+    means, D7 stddev parity for the variance term.)
+
+    The assignment table is |users| rows and broadcasts onto the fact;
+    the whole readout is one event_type-free scan + a 2-row pivot.
+    All arithmetic is the identical formula on both engines, rounded
+    only at the final projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    per_variant = (
+        ev.join(F.broadcast(assigned), "user_id")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("vsum"),
+            F.stddev_samp("value").alias("sd"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("vsum"))).alias("sum_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("sd"))).alias("sd_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("vsum"))).alias("sum_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("sd"))).alias("sd_b"),
+    )
+    ma = F.col("sum_a") / F.col("n_a")
+    mb = F.col("sum_b") / F.col("n_b")
+    se = F.sqrt(
+        F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+        + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / se, 6).alias("z_stat"),
+    )

@@ -1,0 +1,129 @@
+"""Driver-checkable Structured Streaming queries (SURVEY §2.K1/K4/K5).
+
+The K-surface previously had pytest-only evidence: the driver compares
+batch query results against DuckDB and never drives a stream.  These
+queries close that gap by running a REAL streaming execution inside a
+batch-shaped query: fixture events are split into event-time-ordered
+parquet chunks, a file-source stream (micro-batch per chunk) runs the
+windowed aggregation through the streaming engine into a memory sink
+with Trigger-drain semantics, and the drained table is returned — so
+the driver's value-hash check verifies actual micro-batch execution
+(state merged across 4 micro-batches) against the batch oracle.
+
+Output mode is ``complete``: with an append-mode watermark the trailing
+windows would never finalize before the stream ends, losing the last
+hours of data.  Complete mode emits every window, making the streaming
+result equal the batch aggregate over the same rows — the
+stream-batch-unification contract (§5.3.4) checked by the driver
+instead of only by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+_RT_BASE = "/tmp/insight_spark_stream_rt"
+
+
+def _chunk_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> str:
+    """Get-or-create the chunked stream input for a fixture dir.
+
+    Chunks are content-addressed by (sf_dir, dup, fixture row count) so
+    a fixture swap invalidates stale chunks; reuse across queries in
+    the same round avoids rewriting per determinism-rerun.  ``dup``
+    additionally copies every chunk file — duplicate arrivals for the
+    exactly-once dedup query.
+    """
+    from insight_spark.streaming.core import prepare_stream_input
+
+    n = load_table(spark, sf_dir, "events").count()
+    tag = hashlib.md5(f"{sf_dir}|{dup}|{n}".encode()).hexdigest()[:12]
+    out = os.path.join(_RT_BASE, tag)
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        paths = prepare_stream_input(spark, sf_dir, out, n_chunks=4)
+        if dup:
+            for p in paths:
+                shutil.copy(p, p.replace(".parquet", "_dup.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def _drain(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
+    from insight_spark.streaming.core import run_stream_to_memory
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    return run_stream_to_memory(
+        spark, stream_df, name, ckpt, output_mode="complete"
+    )
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 through the streaming engine: tumbling 1-hour counts built by
+    4 micro-batches (one per ts-ordered chunk, maxFilesPerTrigger=1),
+    state merged across batches, drained complete into a memory sink.
+    Identical expression to the driver-green batch ``events_hourly`` —
+    the oracle row proves stream execution == batch semantics."""
+    from insight_spark.streaming.core import (
+        hourly_counts_stream,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    agg = hourly_counts_stream(events)
+    name = "mem_hourly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = _drain(spark, agg, name)
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 through the streaming engine: every chunk file arrives TWICE
+    (8 micro-batches); ``dropDuplicates("event_id")`` keyed state
+    discards the replayed rows across batch boundaries, so the counts
+    equal the batch counts over the original events — exactly-once
+    semantics under at-least-once delivery, driver-checked."""
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir, dup=True))
+    deduped = (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "mem_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _drain(spark, deduped, name)
