@@ -803,3 +803,162 @@ def ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mb, 6).alias("mean_b"),
         F.round((ma - mb) / se, 6).alias("z_stat"),
     )
+
+
+@query(
+    "event_kgrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS motif,
+           COUNT(*) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, motif
+    LIMIT 20
+    """,
+)
+def event_kgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral motifs (sequence mining): trigrams of consecutive
+    event types per user stream, counted corpus-wide.
+
+    The k-gram construction is two LAGs over ONE window spec — the
+    same single user_id exchange as sessionize — then a word-count
+    aggregate on the motif string.  At 100 TB the motif key space is
+    |types|³ (tiny), so the count shuffle is map-side combined down to
+    nearly nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("motif")
+        )
+        .groupBy("motif")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "motif")
+        .limit(20)
+    )
+
+
+@query(
+    "weighted_percentile",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS cumw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(CASE WHEN cumw >= 0.5 * totw THEN v END), 6) AS wp50,
+           ROUND(MIN(CASE WHEN cumw >= 0.9 * totw THEN v END), 6) AS wp90
+    FROM w
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (quantity-weighted price distribution):
+    the smallest value whose cumulative weight crosses q·total, per
+    group — the estimator behind "the median dollar was spent at
+    price X" questions that unweighted percentiles get wrong.
+
+    One hash exchange on the group key serves both window passes
+    (ordered cumulative + unordered total) and the final min-CASE
+    aggregate.  The crossing rule on a value-ordered cumulative sum is
+    deterministic under ties because the cumulative order carries a
+    unique (orderkey, linenumber) tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # ROWS frame == DuckDB's default RANGE frame here: the ordering
+    # carries a unique (orderkey, linenumber) tie-break, so every row
+    # is its own peer group
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    d = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wc).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("totw"),
+    )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("cumw") >= 0.5 * F.col("totw"), F.col("v"))),
+                6,
+            ).alias("wp50"),
+            F.round(
+                F.min(F.when(F.col("cumw") >= 0.9 * F.col("totw"), F.col("v"))),
+                6,
+            ).alias("wp90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "wow_revenue_delta",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT week_start,
+           ROUND(CAST(rev AS DOUBLE), 6) AS revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY week_start) AS DOUBLE),
+                 6) AS wow_delta,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY week_start) AS DOUBLE)
+                 / NULLIF(CAST(LAG(rev) OVER (ORDER BY week_start) AS DOUBLE),
+                          0), 6) AS wow_pct
+    FROM weekly
+    """,
+)
+def wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas (BI trend surface): weekly
+    DECIMAL-exact revenue, absolute and relative change vs the prior
+    week via LAG over the aggregated series.
+
+    The fact scan reduces to |weeks| rows BEFORE the (single-
+    partition) trend window — lag-over-aggregate, never lag-over-raw:
+    at 100 TB the window input is a few hundred rows regardless of
+    fact size, so the global ordering is free.  Deltas are computed on
+    the exact decimals and only cast/rounded at projection.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    w = Window.orderBy("week_start")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "week_start",
+        F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        F.round((F.col("rev") - prev).cast("double"), 6).alias("wow_delta"),
+        F.round(
+            (F.col("rev") - prev).cast("double")
+            / F.nullif(prev.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("wow_pct"),
+    )

@@ -180,3 +180,102 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_round_sql(i: int) -> str:
+    """One unrolled BFS relaxation round over the undirected edge set."""
+    return f"""
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM ud e JOIN d{i - 1} d ON e.src = d.node
+        ) GROUP BY node
+    )"""
+
+
+_BFS_SQL = (
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pairs AS (
+        SELECT l[p.i] AS src, l[p.i + 1] AS dst
+        FROM toks, unnest(range(1, len(l))) AS p(i)
+        WHERE l[p.i] <> l[p.i + 1]
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM pairs),
+    ud AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    freq AS (
+        SELECT unnest(l) AS token FROM toks
+    ),
+    seed AS (
+        SELECT token FROM freq GROUP BY token
+        ORDER BY COUNT(*) DESC, token LIMIT 1
+    ),
+    d0 AS (SELECT token AS node, 0 AS dist FROM seed),"""
+    + ",".join(_bfs_round_sql(i) for i in range(1, _BFS_ROUNDS + 1))
+    + f"""
+    SELECT node AS token, CAST(dist AS INTEGER) AS dist
+    FROM d{_BFS_ROUNDS}
+    """
+)
+
+
+@query("bfs_distances", oracle=_BFS_SQL)
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-path distances (≤3 hops) from the most
+    frequent token over the undirected bigram-adjacency graph — the
+    third iterative graph shape next to PageRank (fixed-point mass)
+    and connected components (label propagation): frontier relaxation
+    with per-round min-distance aggregation.
+
+    Each round is one edge join + min-groupBy on node id — the
+    Pregel-style relaxation step.  The seed is selected IN-PLAN (1-row
+    aggregate joined in), not collected driver-side.  The oracle
+    unrolls the same three rounds as CTEs; distances are exact
+    integers so parity is bit-level.  At 100 TB rounds shuffle on node
+    id with frontier-sized (not graph-sized) join inputs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("l"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst").filter(F.col("src") != F.col("dst"))
+    edges = pairs.distinct()
+    ud = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    freq = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    seed = freq.orderBy(F.desc("n"), "token").limit(1).select("token")
+    d = seed.select(F.col("token").alias("node"), F.lit(0).alias("dist"))
+    for _ in range(_BFS_ROUNDS):
+        relaxed = ud.join(d, ud.src == d.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d.select(F.col("node").alias("token"), F.col("dist").cast("int").alias("dist"))

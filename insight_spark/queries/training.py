@@ -353,3 +353,109 @@ def feature_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("minmax"),
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           ROUND(GREATEST(LEAST(value, p99), p01), 6) AS value_w,
+           (value < p01 OR value > p99) AS clipped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (training-data prep): clip the value
+    column to its group's [p01, p99] band and flag the clipped rows —
+    the outlier-capping pass run before loss-sensitive training.
+
+    One exact-percentile aggregate per group (D11 parity), |types|
+    bound rows broadcast back onto the fact, then pure codegen
+    LEAST/GREATEST — no second shuffle.  The clipped flag makes the
+    clip rate auditable downstream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.greatest(F.least(F.col("value"), F.col("p99")), F.col("p01")), 6
+        ).alias("value_w"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "clipped"
+        ),
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM toks
+        GROUP BY token
+        ORDER BY COUNT(*) DESC, token
+        LIMIT 10
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE vocab.token IS NULL) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE vocab.token IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab USING (token)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per corpus source (tokenizer-coverage
+    audit): build the top-10 corpus vocabulary (top-k sized to the fixture's 31-token synthetic vocab; production uses 30k+), then measure what
+    fraction of each source's token stream falls outside it — the
+    check run before freezing a tokenizer on a new data mix.
+
+    The vocab is a bounded top-k (TakeOrdered over the word-count agg)
+    and broadcasts into a left join against the token stream; the
+    per-source rollup shares the exploded stream, so the whole audit
+    is two word-count-shaped passes.  At 100 TB the vocab stays
+    |top-k|-sized regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), "token")
+        .limit(10)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("_in_vocab").isNull()).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
