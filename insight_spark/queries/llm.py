@@ -118,3 +118,63 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, sha256(text) AS h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sha256(text)
+                   ORDER BY CASE source
+                                WHEN 'src0' THEN 0
+                                WHEN 'src1' THEN 1
+                                ELSE 2
+                            END,
+                            doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_dups
+        FROM documents
+    )
+    SELECT h AS content_sha256, doc_id AS keep_id, source AS keep_source,
+           n_dups
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with source-priority survivor selection (J5 policy
+    variant): among byte-identical documents, keep the copy from the
+    most trusted source (src0 > src1 > rest), tie-broken by doc_id —
+    the canonical-selection policy a multi-source corpus needs
+    (pass-through dedup keeps whichever copy hashed first; pipelines
+    want the licensed/cleanest origin to win).
+
+    One hash-shuffle on the content digest; the priority is a CASE
+    rank, so the survivor rule is pure ordering — no second pass, no
+    join back.  WindowGroupLimit prunes each group to its head.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    prio = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("content_sha256").orderBy(prio, "doc_id")
+    wc = Window.partitionBy("content_sha256")
+    return (
+        docs.select(
+            "doc_id", "source", F.sha2("text", 256).alias("content_sha256")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "content_sha256",
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            "n_dups",
+        )
+    )

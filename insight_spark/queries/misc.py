@@ -324,3 +324,114 @@ def interval_join_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_nearby_clicks"),
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS metric,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0 AS passed
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey)) = 0
+    UNION ALL
+    SELECT 'events_value_nonneg',
+           (SELECT COUNT(*) FROM events WHERE value < 0),
+           (SELECT COUNT(*) FROM events WHERE value < 0) = 0
+    UNION ALL
+    SELECT 'events_ts_null',
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL),
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL) = 0
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the pipeline admission gate): a
+    fixed battery of assertions — key uniqueness, FK orphan count,
+    range, null, and domain checks — evaluated in one pass each and
+    returned as (check_name, metric, passed) rows.
+
+    Every check is an aggregate or anti-join whose metric is a single
+    number, so the whole suite is a union of 1-row DataFrames — at
+    100 TB each check is one scan (several share one), and the output
+    is audit-log-sized.  Running checks as a *query* (not a script)
+    means the same gate runs identically in batch, in CI, and inside
+    a foreachBatch streaming sink.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name: str, metric_df: DataFrame) -> DataFrame:
+        return metric_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("metric"),
+            (F.col("metric") == 0).alias("passed"),
+        )
+
+    pk = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("metric")
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("metric"))
+    )
+    negval = ev.filter(F.col("value") < 0).agg(F.count("*").alias("metric"))
+    nullts = ev.filter(F.col("ts").isNull()).agg(F.count("*").alias("metric"))
+    domain = orders.filter(
+        ~F.col("o_orderstatus").isin("F", "O", "P")
+    ).agg(F.count("*").alias("metric"))
+    return (
+        check("orders_pk_unique", pk)
+        .unionAll(check("lineitem_fk_orphans", orphans))
+        .unionAll(check("events_value_nonneg", negval))
+        .unionAll(check("events_ts_null", nullts))
+        .unionAll(check("orders_status_domain", domain))
+    )
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+    SELECT
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+      ROUND(corr(l_quantity, l_discount), 6) AS qty_disc,
+      ROUND(corr(l_quantity, l_tax), 6) AS qty_tax,
+      ROUND(corr(l_extendedprice, l_discount), 6) AS price_disc,
+      ROUND(corr(l_extendedprice, l_tax), 6) AS price_tax,
+      ROUND(corr(l_discount, l_tax), 6) AS disc_tax
+    FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the lineitem measures (feature
+    audit before model training): all six pairs in ONE aggregate pass.
+
+    Spark computes every corr in a single map-side-combined
+    HashAggregate over one scan — the way to get an n-column
+    correlation matrix without n² scans.  D8 parity (corr agrees with
+    DuckDB bit-for-bit on these columns) extends to the full matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
+    )

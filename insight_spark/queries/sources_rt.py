@@ -136,3 +136,46 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderstatus", "o_orderkey", "o_orderpriority")
     )
+
+
+@query(
+    "schema_merge_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey <= 50
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    """,
+)
+def schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest (lakehouse A-surface): two parquet
+    batches written with DIFFERENT schemas — v1 lacks the
+    o_orderpriority column a later producer added — read back as one
+    table with ``mergeSchema``, v1 rows null-filled for the new
+    column.
+
+    This is the drift case every long-lived 100 TB table hits
+    (producers upgrade, history doesn't); mergeSchema resolves the
+    union-of-fields at the footer level, so old files are never
+    rewritten and the scan stays parquet-native.  The value check
+    proves no row or column is lost or misaligned across versions.
+    """
+    base = _rt_path(sf_dir, "schema_merge")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") <= 50)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "v=1"))
+    )
+    (
+        orders.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "v=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    return merged.select("o_orderkey", "o_orderstatus", "o_orderpriority")

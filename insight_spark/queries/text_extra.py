@@ -476,3 +476,66 @@ def blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("a_id", "b_id", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "search_snippets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, l,
+               list_min(list_filter(
+                   list_transform(range(1, len(l)),
+                       i -> CASE WHEN l[i] = 'table' AND l[i + 1] = 'scan'
+                                 THEN i END),
+                   x -> x IS NOT NULL)) AS pos
+        FROM toks
+    )
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           array_to_string(l[GREATEST(pos - 2, 1):pos + 4], ' ') AS snippet
+    FROM hits WHERE pos IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search with snippet extraction (the search-UX operator a
+    text-search ETL serves): find the first occurrence of the phrase
+    "cold widget" in each document and return a ±2-token context
+    window around it.
+
+    The position scan is a rowwise higher-order transform over the
+    token array — codegen'd, zero shuffle, no UDF; only matching docs
+    survive.  At 100 TB this is a narrow map stage whose cost is the
+    token scan itself (and the phrase filter pushes the non-matching
+    rows out before any downstream join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(l) - 1, F.lit(0)))
+    pos = F.array_min(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    (F.element_at(l, i) == "table")
+                    & (F.element_at(l, i + 1) == "scan"),
+                    i,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    hits = docs.select("doc_id", l.alias("l"), pos.alias("pos")).filter(
+        F.col("pos").isNotNull()
+    )
+    start = F.greatest(F.col("pos") - 2, F.lit(1))
+    length = (F.col("pos") + 4) - start + 1
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice("l", start, length), " ").alias("snippet"),
+    ).orderBy("doc_id")
