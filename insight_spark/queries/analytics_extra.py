@@ -962,3 +962,127 @@ def wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_pct"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval construction (warehouse history tracking): each
+    customer's ordered change records become [valid_from, valid_to)
+    versions via LEAD, the open-ended latest row flagged current —
+    the companion to merge_upsert_orders' SCD-1 overwrite.
+
+    One window pass on the natural key: the interval closing needs no
+    self-join (the naive formulation) because LEAD reads the next
+    version inside the same sorted partition.  At 100 TB this is one
+    key exchange over the changelog, and incremental maintenance only
+    touches keys present in the new batch.  (Keyed to o_custkey <= 100
+    to bound fixture output; the operator has no such limit.)
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 100
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "ks_distribution_shift",
+    oracle="""
+    WITH a AS (
+        SELECT value FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT value FROM events WHERE event_type = 'view'
+    ),
+    grid AS (
+        SELECT DISTINCT value AS v FROM (
+            SELECT value FROM a UNION ALL SELECT value FROM b
+        )
+    ),
+    cdfs AS (
+        SELECT v,
+               CAST((SELECT COUNT(*) FROM a WHERE a.value <= g.v) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM a) AS cdf_a,
+               CAST((SELECT COUNT(*) FROM b WHERE b.value <= g.v) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM b) AS cdf_b
+        FROM grid g
+    )
+    SELECT ROUND(MAX(ABS(cdf_a - cdf_b)), 6) AS ks_stat,
+           (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b
+    FROM cdfs
+    """,
+)
+def ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions (distribution-shift detection — the gate
+    that catches a drifted data source before it trains): sup |CDF_a -
+    CDF_b| over the pooled value grid.
+
+    Spark-first: the correlated per-point CDF subqueries (the oracle's
+    textbook form, O(n²) as written) become ONE sorted window pass
+    over the pooled tagged sample — running per-group counts divided
+    by group totals give both CDFs at every grid point, and the sup is
+    a max aggregate.  One value-ordered exchange total; the pooled
+    sort is the cost, same as any exact quantile.  Tie values collapse
+    to the grid point's final cumulative count on both engines (the
+    window carries a unique tie-break and the max is taken per
+    distinct value).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_b"),
+    )
+    totals = tagged.agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    )
+    wcum = Window.orderBy("value", "is_a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tagged.select(
+        "value",
+        F.sum("is_a").over(wcum).alias("ca"),
+        F.sum("is_b").over(wcum).alias("cb"),
+    )
+    # per distinct value, the CDF is the LAST cumulative count at that
+    # value — max works because cumulative counts are nondecreasing
+    per_v = cum.groupBy("value").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    return (
+        per_v.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("ca").cast("double") / F.col("n_a")
+                - F.col("cb").cast("double") / F.col("n_b")
+            ).alias("d"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks_stat"))
+        .select("ks_stat", "n_a", "n_b")
+    )

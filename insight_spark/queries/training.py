@@ -459,3 +459,59 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pack_sequential_bins",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) - n_tokens AS start_off
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(start_off // 2048 AS INTEGER) AS bin_id
+    FROM cum
+    """,
+)
+def pack_sequential_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, offset-partitioned form (M4's value-oracled
+    twin): each doc's bin is floor(cumulative-start-offset / budget)
+    over the doc_id-ordered stream per source — the packing rule is a
+    window cumsum + integer division, fully SQL-expressible, so the
+    assignment itself is driver-hash-checked (the greedy first-fit
+    twin ``pack_token_budget`` is inherently sequential Python and
+    stays rows-only).
+
+    Trade-off vs first-fit: a doc straddling a budget boundary makes
+    its bin overflow by at most that one doc (first-fit instead opens
+    a fresh bin), in exchange for zero Python, one window pass, and a
+    deterministic global layout any engine can reproduce — the form
+    to prefer at 100 TB when bins feed fixed-stride tensor loaders.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (start / 2048).cast("int").alias("bin_id"),
+    )

@@ -328,3 +328,47 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 3
     )
+
+
+@query(
+    "ann_ivf_recall_gate",
+    oracle="SELECT TRUE AS recall_ok, 10 AS n_queries",
+)
+def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate (bound-oracle pattern, M15): computes IVF
+    top-5 recall against exact brute-force top-5 IN-PLAN and returns
+    whether mean recall clears 0.6 — turning the approximate index
+    from a rows-only row into a driver-value-checked one (the oracle
+    states the bound holds; a recall regression flips the hash).
+
+    The exact side is the broadcast-anchor cross join (the J3
+    baseline); the IVF side probes 3 of 8 cells.  Both top-5 sets
+    meet on (query, candidate) and the gate is one aggregate.
+    """
+    from insight_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        knn_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    cents = seeded_centroids(corpus, n_cells=8)
+    approx = ivf_topk(
+        queries, ivf_assign(corpus, cents), cents, k=5, n_probe=3
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    per_q = hits.groupBy("q_vec_id").agg(
+        (F.count("*") / 5.0).alias("recall")
+    )
+    return per_q.agg(
+        (F.avg("recall") >= 0.6).alias("recall_ok"),
+        F.count("*").cast("int").alias("n_queries"),
+    )

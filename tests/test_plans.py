@@ -230,3 +230,36 @@ def test_rollup_multires_single_raw_scan(spark):
 def test_histogram_quantile_mergeable_shape(spark):
     plan = _plan(spark, "histogram_quantile")
     assert plan.count("HashAggregate") >= 2, "bucket counts need map-side combine"
+
+
+def test_winsorize_bounds_broadcast_no_second_shuffle(spark):
+    plan = _plan(spark, "winsorize_values")
+    assert "BroadcastHashJoin" in plan, "percentile bounds must broadcast back"
+
+
+def test_oov_vocab_broadcasts(spark):
+    plan = _plan(spark, "oov_rate_by_source")
+    assert "BroadcastHashJoin" in plan, "top-k vocab must broadcast"
+
+
+def test_dedup_keep_best_single_exchange(spark):
+    """Both windows (rank + group count) and the head filter must share
+    ONE digest exchange.  (WindowGroupLimit cannot apply here — n_dups
+    needs the whole group — so the single shuffle is the guarantee.)"""
+    plan = _plan(spark, "dedup_keep_best")
+    assert plan.count("Arguments: hashpartitioning") <= 1
+
+
+def test_ks_single_value_exchange(spark):
+    """The KS rewrite must not reproduce the oracle's correlated
+    per-point subqueries: no nested-loop join over the grid."""
+    plan = _plan(spark, "ks_distribution_shift")
+    assert "CartesianProduct" not in plan
+    # 1-row totals attach + nothing else may nested-loop (tree+detail
+    # lines count double)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_scd2_single_window_pass(spark):
+    plan = _plan(spark, "scd2_history")
+    assert "Join" not in plan, "interval closing must be LEAD, not a self-join"
