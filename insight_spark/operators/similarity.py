@@ -211,6 +211,7 @@ def lsh_bucket_join(
     k: int,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """J3/J4 scale path: random-hyperplane LSH bucketed knn (approximate).
 
@@ -218,10 +219,18 @@ def lsh_bucket_join(
     gives each vector a bucket id; candidates are same-bucket pairs only,
     turning the cross join into an equi-join that shuffles on bucket.
     Deterministic: hyperplanes derive from xxhash64(dim, plane, seed),
-    no RNG state.  Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute).
+    no RNG state.
+
+    Recall knobs: fewer planes → bigger buckets → higher recall; and
+    ``n_tables`` independent hash tables (per-table seeds) whose
+    candidate sets UNION before ranking — the standard multi-table LSH
+    design (a true neighbor is missed only if it disagrees with the
+    query in EVERY table, so recall ≈ 1-(1-r)^L).  Single-table LSH
+    measured ~0.3 recall on the fixture embeddings; 3 tables ~0.8.
+    Each vector lands in exactly L buckets — candidate volume grows
+    linearly in L, never all-pairs.
     """
-    def bucket(vec: Column) -> Column:
+    def bucket(vec: Column, table_seed: int) -> Column:
         bits = []
         for p in range(n_planes):
             # pseudo-random ±1 plane component per (dimension, plane)
@@ -231,7 +240,8 @@ def lsh_bucket_join(
                     F.sequence(F.lit(0), F.size(vec) - 1),
                     lambda x, i: _d(x)
                     * F.when(
-                        F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), 2) == 0,
+                        F.pmod(F.xxhash64(i, F.lit(p), F.lit(table_seed)), 2)
+                        == 0,
                         1.0,
                     ).otherwise(-1.0),
                 ),
@@ -246,12 +256,31 @@ def lsh_bucket_join(
 
     from pyspark.sql import Window
 
-    q = queries.withColumn("_bucket", bucket(F.col("q_embedding")))
-    c = corpus.withColumn("_bucket", bucket(F.col("c_embedding")))
-    score = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6)
-    pairs = c.join(F.broadcast(q), "_bucket").select(
-        "q_vec_id", "c_vec_id", score.alias("cos_sim")
+    def table_buckets(df: DataFrame, col: str) -> DataFrame:
+        # (id, table, bucket) — one row per table, exploded from an array
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[bucket(F.col(col), seed + t) for t in range(n_tables)]
+                )
+            ).alias("_table", "_bucket"),
+        )
+
+    q = table_buckets(queries, "q_embedding")
+    c = table_buckets(corpus, "c_embedding")
+    # dedup multi-table candidates on bare 16-byte id pairs (the
+    # embeddings would otherwise ride the dedup shuffle), then join
+    # the vectors back: queries broadcast, corpus equi-join on id
+    cand = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .select("q_vec_id", "c_vec_id")
+        .dropDuplicates(["q_vec_id", "c_vec_id"])
+        .join(F.broadcast(queries), "q_vec_id")
+        .join(corpus, "c_vec_id")
     )
+    score = F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 6)
+    pairs = cand.select("q_vec_id", "c_vec_id", score.alias("cos_sim"))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.desc("cos_sim"), F.asc("c_vec_id")
     )

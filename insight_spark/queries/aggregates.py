@@ -485,3 +485,51 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n", money_out("_sum_value").alias("sum_value"))
     )
+
+
+@query(
+    "grouping_id_flags",
+    oracle="""
+    SELECT COALESCE(r_name, '<all>') AS r_name,
+           COALESCE(n_name, '<all>') AS n_name,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY g_region, g_nation, r_name, n_name
+    """,
+)
+def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags (D13-15 precision): the flag
+    columns distinguish subtotal rows from genuine NULL group values —
+    the disambiguation every BI layer needs before rendering a rollup
+    (COALESCE alone can't tell '<all>' from a real null key).
+
+    Same Expand + single aggregate plan as the plain rollup; the
+    flags are free metadata bits of the grouping set id.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("r_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            "g_region",
+            "g_nation",
+            "n_customers",
+        )
+        .orderBy("g_region", "g_nation", "r_name", "n_name")
+    )

@@ -108,7 +108,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
     )
-    return lsh_bucket_join(queries, corpus, k=5, n_planes=4)
+    return lsh_bucket_join(queries, corpus, k=5, n_planes=4, n_tables=8)
 
 
 @query(

@@ -372,3 +372,35 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("recall") >= 0.6).alias("recall_ok"),
         F.count("*").cast("int").alias("n_queries"),
     )
+
+
+@query(
+    "ann_lsh_recall_gate",
+    oracle="SELECT TRUE AS recall_ok, 10 AS n_queries",
+)
+def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate for the LSH path (twin of ann_ivf_recall_gate):
+    in-plan recall of hyperplane-LSH top-5 vs exact brute-force top-5,
+    gate at mean recall ≥ 0.6 (8 independent tables — a true neighbor
+    is missed only if every table separates it from the query;
+    measured ~0.75 on the near-random fixture embeddings).  A
+    bucketing regression flips the driver hash."""
+    from insight_spark.operators.similarity import knn_topk, lsh_bucket_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    approx = lsh_bucket_join(
+        queries, corpus, k=5, n_planes=4, n_tables=8
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    per_q = hits.groupBy("q_vec_id").agg((F.count("*") / 5.0).alias("recall"))
+    return per_q.agg(
+        (F.avg("recall") >= 0.6).alias("recall_ok"),
+        F.count("*").cast("int").alias("n_queries"),
+    )
