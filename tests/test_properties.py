@@ -181,3 +181,119 @@ def test_sessionize_invariant_under_intra_session_shuffle(spark):
         )
 
     assert sessions(rows) == sessions(shuffled)
+
+
+def test_lsh_recall_monotone_in_tables(spark):
+    """Multi-table LSH: adding tables can only ADD candidates, so
+    top-5 recall vs exact must be non-decreasing in n_tables."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.operators.similarity import knn_topk, lsh_bucket_join
+    from insight_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    exact = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in knn_topk(queries, corpus, k=5).collect()
+    }
+    recalls = []
+    for L in (1, 4, 8):
+        approx = {
+            (r["q_vec_id"], r["c_vec_id"])
+            for r in lsh_bucket_join(
+                queries, corpus, k=5, n_planes=4, n_tables=L
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+
+
+def test_ks_statistic_bounds(spark):
+    """KS statistic is a sup of |CDF difference|: always in [0, 1],
+    and identical samples give exactly 0."""
+    from insight_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    [row] = all_queries()["ks_distribution_shift"](spark, SF_DIR).collect()
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_sequential_packing_invariants(spark):
+    """Offset packing: bins are contiguous per source starting at 0,
+    and every bin's token load stays under budget + max_doc (a doc
+    straddling the boundary is the only overflow source)."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["pack_sequential_bins"](spark, SF_DIR)
+    per_bin = (
+        df.groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("load"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert per_bin, "no bins produced"
+    for r in per_bin:
+        assert r["load"] <= 2048 + r["mx"], f"bin overflow: {r}"
+    bins_by_source = {}
+    for r in per_bin:
+        bins_by_source.setdefault(r["source"], set()).add(r["bin_id"])
+    for src, bins in bins_by_source.items():
+        assert bins == set(range(len(bins))), f"{src}: non-contiguous {sorted(bins)}"
+
+
+def test_weighted_percentile_within_group_range(spark):
+    """The weighted percentile is an order statistic: it must be an
+    actual value between the group min and max, and wp50 <= wp90."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.queries import all_queries
+    from insight_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    wp = {
+        r["l_returnflag"]: r
+        for r in all_queries()["weighted_percentile"](spark, SF_DIR).collect()
+    }
+    rng = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for flag, r in wp.items():
+        assert rng[flag]["lo"] <= r["wp50"] <= r["wp90"] <= rng[flag]["hi"]
+
+
+def test_histogram_quantile_brackets_exact(spark):
+    """The histogram estimate must sit within one bucket width of the
+    exact quantile (the sketch's error bound)."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.queries import all_queries
+    from insight_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    est = {
+        float(r["q"]): r["est"]
+        for r in all_queries()["histogram_quantile"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    [stats] = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()
+    width = (stats["hi"] - stats["lo"]) / 256.0
+    for qv in (0.25, 0.5, 0.9, 0.99):
+        [row] = ev.agg(F.percentile("value", F.lit(qv)).alias("x")).collect()
+        assert abs(est[qv] - row["x"]) <= width + 1e-9, (
+            f"q={qv}: est {est[qv]} vs exact {row['x']} (width {width})"
+        )
