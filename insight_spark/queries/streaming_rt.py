@@ -127,3 +127,104 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return _drain(spark, deduped, name)
+
+
+#: Sentinel user id: its single far-future event advances the watermark
+#: past every real session so APPEND mode finalizes them all.
+_SENTINEL_USER = -1
+
+
+def _chunk_dir_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Chunked stream input plus a trailing far-future sentinel chunk."""
+    from insight_spark.sources import load_table
+    from insight_spark.streaming.core import write_single_parquet
+
+    base = _chunk_dir(spark, sf_dir)
+    out = base + "_sentinel"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        # the file stream source orders arrivals by MODIFICATION TIME,
+        # not name — copy in chunk order and stamp strictly increasing
+        # mtimes, or an out-of-order chunk arrives "late" and the
+        # watermark silently drops it wholesale (observed: a scrambled
+        # copy order dropped an entire chunk's 250 rows)
+        t0 = 1_000_000_000
+        for i, f in enumerate(sorted(os.listdir(base))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(out, f)
+                shutil.copy(os.path.join(base, f), dst)
+                os.utime(dst, (t0 + i, t0 + i))
+        ev = load_table(spark, sf_dir, "events")
+        sentinel = ev.select(
+            F.lit(0).cast("long").alias("event_id"),
+            F.timestamp_add(
+                "DAY", F.lit(10), F.max("ts")
+            ).alias("ts"),
+            F.lit(_SENTINEL_USER).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # stamped far in mtime-future so the source reads it last and
+        # the watermark only advances once every real event is ingested
+        dst = os.path.join(out, "zz_sentinel.parquet")
+        write_single_parquet(sentinel, dst)
+        os.utime(dst, (t0 + 10_000, t0 + 10_000))
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 through the streaming engine in APPEND mode — the strictest
+    streaming evidence in the suite: session-window state must merge
+    events across micro-batches AND the watermark must finalize and
+    emit every closed session (append emits a session only once the
+    watermark passes its close; complete mode would sidestep eviction
+    entirely).  A far-future sentinel event arrives last, pushing the
+    watermark past all real sessions so none are left unemitted; the
+    sentinel's own session is filtered from the result.  Parity with
+    the batch lag-gap oracle proves merge + eviction semantics exact.
+    """
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(
+        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = "mem_sess_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, agg, name, ckpt, output_mode="append")
+    return out.filter(F.col("user_id") != _SENTINEL_USER)
