@@ -10,11 +10,19 @@ with Trigger-drain semantics, and the drained table is returned — so
 the driver's value-hash check verifies actual micro-batch execution
 (state merged across 4 micro-batches) against the batch oracle.
 
-Output mode is ``complete``: with an append-mode watermark the trailing
-windows would never finalize before the stream ends, losing the last
-hours of data.  Complete mode emits every window, making the streaming
-result equal the batch aggregate over the same rows — the
-stream-batch-unification contract (§5.3.4) checked by the driver
+Two output-mode regimes:
+
+- ``complete`` (hourly counts, dedup counts): every window re-emits on
+  drain, sidestepping watermark finalization — the simplest exact form.
+- ``append`` (session windows, sliding windows): the strict regime —
+  a window/session emits ONLY once the watermark passes its close, so
+  a far-future sentinel event arrives last to finalize everything, and
+  the sentinel's own contribution is filtered from the result.  This
+  checks state merge + watermark eviction semantics, not just
+  aggregation.
+
+Either way the drained table must match the batch oracle exactly —
+the stream-batch-unification contract (§5.3.4) checked by the driver
 instead of only by tests.
 """
 
@@ -228,3 +236,48 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
     out = run_stream_to_memory(spark, agg, name, ckpt, output_mode="append")
     return out.filter(F.col("user_id") != _SENTINEL_USER)
+
+
+@query(
+    "stream_sliding_append",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE * s
+               AS window_start,
+           COUNT(*) AS n_events
+    FROM events, unnest([0, 1]) AS t(s)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 through the streaming engine in APPEND mode: 10-minute
+    windows sliding every 5 (each event in exactly 2 overlapping
+    windows), watermark-finalized by the same far-future sentinel as
+    the session query — every real window closes and emits, the
+    sentinel's own two windows are filtered by time bound.  Parity
+    with the batch explode-form oracle proves overlapping-window state
+    and eviction agree with batch semantics.
+    """
+    from insight_spark.sources import load_table
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(
+        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = "mem_slide_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, agg, name, ckpt, output_mode="append")
+    [hi] = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("hi"))
+        .collect()
+    )
+    return out.filter(F.col("window_start") <= hi["hi"])
