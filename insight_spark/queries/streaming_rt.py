@@ -281,3 +281,57 @@ def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     return out.filter(F.col("window_start") <= hi["hi"])
+
+
+@query(
+    "stream_static_join_counts",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    )
+    SELECT variant, event_type, COUNT(*) AS n_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY variant, event_type
+    """,
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 through the streaming engine: the event stream joins a STATIC
+    dimension (the md5-keyed variant assignment of ab_test_metrics)
+    inside the micro-batch pipeline, then aggregates per (variant,
+    type) — the enrich-then-aggregate shape of every streaming ETL
+    (facts stream, dims don't).
+
+    The static side is plan-fixed: each micro-batch broadcast-joins
+    the same dimension — no stream-side state for the join itself,
+    only for the downstream aggregate.  Complete-mode drain; parity
+    with the batch join oracle proves per-batch enrichment composes
+    to exactly the batch result.
+    """
+    from insight_spark.sources import load_table
+    from insight_spark.streaming.core import read_events_stream
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    agg = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("variant", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "mem_ssj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _drain(spark, agg, name)
