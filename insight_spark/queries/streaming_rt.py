@@ -45,16 +45,21 @@ _RT_BASE = "/tmp/insight_spark_stream_rt"
 def _chunk_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> str:
     """Get-or-create the chunked stream input for a fixture dir.
 
-    Chunks are content-addressed by (sf_dir, dup, fixture row count) so
-    a fixture swap invalidates stale chunks; reuse across queries in
-    the same round avoids rewriting per determinism-rerun.  ``dup``
-    additionally copies every chunk file — duplicate arrivals for the
-    exactly-once dedup query.
+    Chunks are content-addressed by (sf_dir, dup, fixture row count,
+    source-file size+mtime) so a fixture swap invalidates stale chunks
+    even when the refreshed fixture keeps the same row count (driver
+    fixture drift between rounds is an established pattern); reuse
+    across queries in the same round avoids rewriting per
+    determinism-rerun.  ``dup`` additionally copies every chunk file —
+    duplicate arrivals for the exactly-once dedup query.
     """
     from insight_spark.streaming.core import prepare_stream_input
 
     n = load_table(spark, sf_dir, "events").count()
-    tag = hashlib.md5(f"{sf_dir}|{dup}|{n}".encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = f"{st.st_size}|{st.st_mtime_ns}"
+    tag = hashlib.md5(f"{sf_dir}|{dup}|{n}|{digest}".encode()).hexdigest()[:12]
     out = os.path.join(_RT_BASE, tag)
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):

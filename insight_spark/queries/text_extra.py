@@ -504,7 +504,7 @@ def blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search with snippet extraction (the search-UX operator a
     text-search ETL serves): find the first occurrence of the phrase
-    "cold widget" in each document and return a ±2-token context
+    "table scan" in each document and return a ±2-token context
     window around it.
 
     The position scan is a rowwise higher-order transform over the

@@ -269,7 +269,7 @@ def group_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 4 END AS fold
         FROM documents
     )
-    SELECT fold, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT fold, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM folds GROUP BY fold ORDER BY fold
     """,
 )

@@ -365,8 +365,18 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, ivf_assign(corpus, cents), cents, k=5, n_probe=3
     ).select("q_vec_id", "c_vec_id")
     hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
-    per_q = hits.groupBy("q_vec_id").agg(
-        (F.count("*") / 5.0).alias("recall")
+    # Anchor on the full query set: a query whose approx top-5 shares
+    # NOTHING with the exact top-5 must count as recall 0, not silently
+    # drop out of the average (which would inflate recall AND shrink
+    # n_queries into an opaque hash mismatch).
+    per_q = (
+        queries.select("q_vec_id")
+        .join(
+            hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits")),
+            "q_vec_id",
+            "left",
+        )
+        .select((F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall"))
     )
     return per_q.agg(
         (F.avg("recall") >= 0.6).alias("recall_ok"),
@@ -399,7 +409,16 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=5, n_planes=4, n_tables=8
     ).select("q_vec_id", "c_vec_id")
     hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
-    per_q = hits.groupBy("q_vec_id").agg((F.count("*") / 5.0).alias("recall"))
+    # Zero-hit queries anchored at recall 0 (see ann_ivf_recall_gate).
+    per_q = (
+        queries.select("q_vec_id")
+        .join(
+            hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits")),
+            "q_vec_id",
+            "left",
+        )
+        .select((F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall"))
+    )
     return per_q.agg(
         (F.avg("recall") >= 0.6).alias("recall_ok"),
         F.count("*").cast("int").alias("n_queries"),

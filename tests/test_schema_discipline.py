@@ -97,3 +97,133 @@ def test_events_ts_encoding_drift(spark, tmp_path, ts_type, val):
     ).collect()
     assert row["secs"] == _US // 1_000_000
     assert row["s"] == "2024-03-01 12:34:56"
+
+
+# ---------------------------------------------------------------------------
+# 3. Oracle result-type lint (round-3 verdict: tpch_q12 / kfold_assign).
+#
+# The driver compares via pandas frames, and DuckDB renders HUGEINT —
+# the default result type of SUM over any integer column — as float64,
+# while Spark's sum is int64: identical values, divergent hash.  The
+# local parity harness uses fetchall() (native ints), so it CANNOT see
+# this class.  Lint it at the plan level instead: bind every oracle in
+# DuckDB (no execution) and check its result types against the Spark
+# plan's schema.  Rules:
+#   - HUGEINT / unsigned anywhere in an oracle projection is an error
+#     (always CAST(SUM(int) AS BIGINT) in the oracle);
+#   - integer-vs-float class mismatches are errors in both directions
+#     (pandas renders 1 vs 1.0 → hash diverges);
+#   - DuckDB DECIMAL vs Spark double is allowed (both render float64;
+#     money goes through round(double,6) on both sides anyway).
+# ---------------------------------------------------------------------------
+
+import duckdb as _duckdb
+
+from insight_spark.queries import all_oracle_sql
+from tests.oracle_harness import TABLES as _TABLES
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return f"other:{dt.simpleString()}"
+
+
+_BANNED_DUCK = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+
+
+def _duck_class(t: str) -> str:
+    t = t.upper()
+    if t in _BANNED_DUCK:
+        return "BANNED"
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "array"
+    if t.startswith("MAP"):
+        return "map"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t in ("BLOB", "BYTEA"):
+        return "binary"
+    return f"other:{t}"
+
+
+def _classes_compatible(duck: str, spark: str) -> bool:
+    if duck == spark:
+        return True
+    # both render float64 in pandas; values aligned via round(·,6) casts
+    if {duck, spark} == {"decimal", "float"}:
+        return True
+    return False
+
+
+def test_oracle_result_types_match_spark(spark):
+    con = _duckdb.connect()
+    for t in _TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    queries = all_queries()
+    offenders: dict[str, list[str]] = {}
+    for name, sql in all_oracle_sql().items():
+        rel = con.sql(sql)
+        sdf = queries[name](spark, SF_DIR)
+        sfields = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+        problems = []
+        if sorted(rel.columns) != sorted(sfields):
+            problems.append(
+                f"columns differ: duck={sorted(rel.columns)} spark={sorted(sfields)}"
+            )
+        else:
+            for col, dt in zip(rel.columns, rel.types):
+                dc = _duck_class(str(dt))
+                if dc == "BANNED":
+                    problems.append(
+                        f"{col}: oracle type {dt} renders float64 in pandas "
+                        "(driver hash diverges) — CAST(... AS BIGINT)"
+                    )
+                elif not _classes_compatible(dc, sfields[col]):
+                    problems.append(
+                        f"{col}: oracle {dt} ({dc}) vs spark {sfields[col]}"
+                    )
+        if problems:
+            offenders[name] = problems
+    con.close()
+    assert not offenders, (
+        "oracle result types would hash-diverge from Spark under the "
+        f"driver's pandas compare: {offenders}"
+    )
