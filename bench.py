@@ -8,7 +8,15 @@ in that surface is visible even without a baseline row.
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].  Protocol mirrors BASELINE.md: one warm
 SparkSession (JVM warmed by a lineitem.count()), per query cold run
-then warm run, warm time reported; action = collect() of the result.
+then warm run, warm time reported; action = toPandas() — full result
+materialization to the client over Arrow batches, the engine's
+idiomatic transfer path.  (Round-4 finding: row-object collect() on
+sessionize spent 0.7-2.3 s building ~9.5k Python Row objects with
+datetimes — variance 0.9-2.6 s across 7 reps in ONE session — while
+the Arrow path is a stable 0.21-0.26 s and count() of the same plan
+is 0.37 s.  collect() was measuring the Python client, not the
+engine; it alone produced the r3 "sessionize 1.74x baseline"
+red flag.)
 
 Prints ONE JSON line:
 {"metric": "total_warm_s", "value": N, "unit": "sec",
@@ -62,6 +70,14 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "triangle_count",
     "rollup_multires",
+    # round-4 additions: streaming/sink round-trips + new driver surface
+    "stream_hourly_counts",
+    "stream_sliding_append",
+    "partitioned_sink_roundtrip",
+    "binary_stats",
+    "byte_entropy_text",
+    "pii_scrub_audit",
+    "minhash_recall_gate",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -77,6 +93,14 @@ ITERATIVE = {
     "kmeans_lloyd",
     "pagerank_tokens",
     "rollup_multires",
+    # streaming queries run the micro-batch drain, and sink round-trips
+    # write the file target, while the DataFrame is being BUILT — the
+    # timed region must rebuild or it re-reads a finished memory/file
+    # table and reports the read, not the operation.
+    "stream_hourly_counts",
+    "stream_sliding_append",
+    "partitioned_sink_roundtrip",
+    "binary_stats",
 }
 
 
@@ -114,11 +138,11 @@ def main() -> None:
         try:
             rebuild = name in ITERATIVE
             df = registry[name](spark, sf_dir)
-            df.collect()  # cold
+            df.toPandas()  # cold
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                (registry[name](spark, sf_dir) if rebuild else df).collect()
+                (registry[name](spark, sf_dir) if rebuild else df).toPandas()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — isolation is the point

@@ -146,6 +146,7 @@ def near_dedup_minhash(
     threshold: float = 0.7,
     shingle_n: int = 3,
     seed: int = 42,
+    keep_all: bool = False,
 ) -> DataFrame:
     """J6: MinHash+LSH near-duplicate pairs, exact-verified.
 
@@ -154,7 +155,10 @@ def near_dedup_minhash(
     signature → band buckets → same-bucket candidate id pairs (a<b),
     deduped as bare (long, long) ids → shingle sets joined back →
     exact Jaccard verification ≥ threshold.  Returns
-    (a_id, b_id, jaccard_sim).
+    (a_id, b_id, jaccard_sim); with ``keep_all`` every LSH candidate
+    pair survives with an ``is_dup`` verdict column instead of being
+    filtered — the auditable form (verification evidence per
+    candidate, false-positive rate observable downstream).
 
     At scale every stage is a shuffle on bounded keys: band-bucket
     cardinality ~ corpus size, the self-join happens per bucket, and
@@ -205,10 +209,16 @@ def near_dedup_minhash(
         "b_id",
     )
     sim = jaccard(F.col("_a_sh"), F.col("_b_sh"))
-    return (
-        cand.withColumn("jaccard_sim", F.round(sim, 6))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("a_id", "b_id", "jaccard_sim")
+    verified = cand.withColumn("jaccard_sim", F.round(sim, 6))
+    if keep_all:
+        return verified.select(
+            "a_id",
+            "b_id",
+            "jaccard_sim",
+            (F.col("jaccard_sim") >= threshold).alias("is_dup"),
+        )
+    return verified.filter(F.col("jaccard_sim") >= threshold).select(
+        "a_id", "b_id", "jaccard_sim"
     )
 
 

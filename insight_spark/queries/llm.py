@@ -11,7 +11,7 @@ from insight_spark.operators.dedup import (
     minhash_lsh_pairs_md5_oracle_sql,
     near_dedup_minhash,
 )
-from insight_spark.operators.text import tokenize
+from insight_spark.operators.text import ngrams, tokenize
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -37,12 +37,90 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified (J6).
 
     Candidate generation is sketch-dependent (xxhash64, not
-    SQL-oracle-hashable); the verification step is exact Jaccard,
-    property-tested in pytest.  ``minhash_lsh_pairs`` is the
-    value-oracled md5-family twin.
+    SQL-oracle-hashable), so this stays rows-only — but every LSH
+    candidate is returned with its exact ``jaccard_sim`` and an
+    ``is_dup`` verdict column (keep_all), so the verification evidence
+    is in the output, not just the survivors.  ``minhash_lsh_pairs``
+    is the value-oracled md5-family twin; ``minhash_recall_gate``
+    bounds this pipeline's recall against brute-force ground truth.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return near_dedup_minhash(docs, threshold=0.5)
+    return near_dedup_minhash(docs, threshold=0.5, keep_all=True)
+
+
+@query(
+    "minhash_recall_gate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(l) - 2, 0) + 1),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+        FROM toks WHERE len(l) >= 3
+    ),
+    exact AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE 10 * len(list_intersect(a.s, b.s))
+              >= 8 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH quality gate (bound-oracle pattern, M15/ANN-gate
+    style): measures the sketch pipeline's recall IN-PLAN against
+    brute-force 3-shingle-Jaccard ground truth at J >= 0.8, and gates
+    at mean recall >= 0.8 — so a banding/signature regression flips
+    the driver hash even though the candidate set itself is not
+    SQL-expressible.  ``n_exact_pairs`` is exactly oracle-checked
+    (the brute-force count), anchoring the denominator.
+
+    With 16 hashes / 4 bands, P(candidate | J=0.8) = 1-(1-0.8^4)^4
+    ~ 0.96, and the fixture's planted near-dups sit at J >= 0.8, so
+    the 0.8 gate has real margin.  Scale shape: ground truth is the
+    O(n^2) brute force, so at 100 TB this gate runs on a bounded QA
+    sample (the fixture's 500-doc documents table IS that sample);
+    the MinHash side under measurement is the production bucketed
+    pipeline unchanged.  Threshold 8/10 as exact integer math on both
+    sides (float J*u can round the wrong way at the boundary).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(ngrams(tokenize(F.col("text")), 3))
+    sets = docs.select(F.col("doc_id").alias("_id"), sh.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    a = sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a"))
+    b = sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_b"))
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
+    exact = (
+        a.join(b, F.col("b_id") > F.col("a_id"))
+        .filter(F.lit(10) * inter >= F.lit(8) * union)
+        .select("a_id", "b_id")
+    )
+    found = near_dedup_minhash(docs, threshold=0.5).select(
+        "a_id", "b_id", F.lit(1).alias("_hit")
+    )
+    marked = exact.join(found, ["a_id", "b_id"], "left")
+    return marked.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.coalesce(
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count("*")
+            )
+            >= 0.8,
+            F.lit(True),  # vacuous gate on an empty ground-truth set
+        ).alias("recall_ok"),
+    )
 
 
 @query("minhash_lsh_pairs", oracle=minhash_lsh_pairs_md5_oracle_sql())

@@ -13,6 +13,7 @@ from insight_spark.operators.multimodal import (
     attach_real_media_columns,
     decode_media,
     decode_media_real,
+    payload_entropy_arrow,
 )
 from insight_spark.queries import query
 from insight_spark.sources import load_table, register_views
@@ -435,3 +436,52 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
     )
+
+
+@query(
+    "byte_entropy_text",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM s
+    ),
+    freq AS (
+        SELECT doc_id, substr(t, i, 1) AS ch, COUNT(*) AS c
+        FROM pos GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM freq GROUP BY doc_id),
+    ent AS (
+        SELECT f.doc_id,
+               ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+                     6) AS byte_entropy
+        FROM freq f JOIN tot USING (doc_id)
+        GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, COALESCE(e.byte_entropy, 0.0) AS byte_entropy
+    FROM s LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def byte_entropy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy profiling (M11 via L4 mapInArrow, first driver
+    row): Shannon entropy of each document's payload bytes, computed
+    zero-copy on Arrow RecordBatches — the quality signal that flags
+    binary junk / encrypted blobs / base64 bombs inside a text corpus.
+
+    The payload here is the document text sanitized to ``[a-z ]`` and
+    utf-8 encoded, which makes byte == character — so a DuckDB oracle
+    can recompute the exact entropy from a character-frequency
+    aggregate.  The mapInArrow operator under test is the SAME one the
+    rows-only media path uses (payload_entropy_arrow); only the
+    payload source differs.  Map-only, no shuffle; the Arrow hop
+    avoids the bytes→pandas-object copy that dominates at media scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), "utf-8"
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    return payload_entropy_arrow(media)

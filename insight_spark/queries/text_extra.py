@@ -6,9 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_spark.operators.text import (
+    PII_PATTERNS,
     bm25_scores,
     doc_freq,
     ngrams,
+    pii_counts,
+    scrub_pii,
     term_freq,
     tf_idf,
     tokenize,
@@ -539,3 +542,74 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.array_join(F.slice("l", start, length), " ").alias("snippet"),
     ).orderBy("doc_id")
+
+
+#: Synthetic PII tail appended per document (fixtures carry no real
+#: PII, so the audit injects known spans keyed by doc_id — both
+#: engines see the same augmented text, making redaction counts
+#: value-checkable).
+_PII_TAIL = " reach u{ID}@ex.org or 987-65-4321 or +1 (555) 010-2233 ok"
+
+
+@query(
+    "pii_scrub_audit",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' reach u' || CAST(doc_id AS VARCHAR)
+                    || '@ex.org or 987-65-4321 or +1 (555) 010-2233 ok'
+                   AS t
+        FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g')
+                   AS after_email
+        FROM aug
+    ),
+    steps2 AS (
+        SELECT *,
+               regexp_replace(after_email, '{PII_PATTERNS["ssn"]}', '<SSN>', 'g')
+                   AS after_ssn
+        FROM steps
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_PATTERNS["email"]}'))
+                AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(after_ssn, '{PII_PATTERNS["phone"]}'))
+                AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(after_email, '{PII_PATTERNS["ssn"]}'))
+                AS INTEGER) AS n_ssn,
+           CAST(len(regexp_replace(after_ssn, '{PII_PATTERNS["phone"]}',
+                                   '<PHONE>', 'g')) AS INTEGER)
+               AS scrubbed_len
+    FROM steps2
+    """,
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (M9, first driver-facing evidence): inject
+    synthetic email/SSN/phone spans keyed by doc_id into every
+    document, then count redactions per category and the scrubbed
+    length.  The oracle replays the same regex chain (same RE2-safe
+    patterns, same email -> SSN -> phone precedence so an SSN never
+    double-counts as a phone) in DuckDB.
+
+    Pure regexp_replace / regexp_extract_all chain — JVM-side,
+    codegen-fused, zero shuffle; the production scrub stage is this
+    exact map with the audit aggregate sampled, not run per-row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org or 987-65-4321 or +1 (555) 010-2233 ok"),
+    )
+    counts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        F.length(scrub_pii(aug)).alias("scrubbed_len"),
+    )

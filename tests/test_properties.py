@@ -297,3 +297,26 @@ def test_histogram_quantile_brackets_exact(spark):
         assert abs(est[qv] - row["x"]) <= width + 1e-9, (
             f"q={qv}: est {est[qv]} vs exact {row['x']} (width {width})"
         )
+
+
+def test_near_dedup_keep_all_verdicts(spark, sf_dir):
+    """keep_all returns every LSH candidate with an is_dup verdict; the
+    filtered default is exactly the is_dup=true slice."""
+    from insight_spark.operators.dedup import near_dedup_minhash
+    from insight_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = near_dedup_minhash(docs, threshold=0.5)
+    audited = near_dedup_minhash(docs, threshold=0.5, keep_all=True)
+    assert set(audited.columns) == {"a_id", "b_id", "jaccard_sim", "is_dup"}
+    a = {(r.a_id, r.b_id, r.jaccard_sim) for r in kept.collect()}
+    b = {
+        (r.a_id, r.b_id, r.jaccard_sim)
+        for r in audited.filter("is_dup").collect()
+    }
+    assert a == b
+    # verdict consistency: is_dup == (jaccard_sim >= threshold) on all rows
+    bad = audited.filter(
+        (F.col("jaccard_sim") >= 0.5) != F.col("is_dup")
+    ).count()
+    assert bad == 0
