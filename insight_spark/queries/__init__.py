@@ -65,9 +65,13 @@ _MODULES = (
 #: pandas float64, diverging from Spark's int64); (b) all 45 queries
 #: that have never had a driver row — TPC-H N16-N22, the M40-M69
 #: analytics/training/vector tail, the sink round-trips, and the whole
-#: real-engine streaming suite; (c) 3 green canaries spanning batch,
-#: windows, and multimodal to prove no cross-round regression.  Exactly
-#: 50 names.  Unlisted queries follow in module-registration order.
+#: real-engine streaming suite; (c) the 3 round-4 additions that close
+#: the last pytest-only operator gaps (A11 binaryFile, M9 PII scrub,
+#: M11 byte entropy).  No canary slots this round — every registered
+#: query has local oracle-parity pytest coverage, and 47 of the 50
+#: slots are first-time evidence, which outranks re-proving green rows.
+#: Exactly 50 names.  Unlisted queries follow in module-registration
+#: order (minhash_recall_gate and the canaries head that tail).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # repaired round-3 failures — flip evidence first
     "tpch_q12_late_shipments",
@@ -124,10 +128,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session_append",
     "stream_sliding_append",
     "stream_static_join_counts",
-    # green canaries (batch join / window / multimodal)
-    "flagship_top_customers",
-    "sessionize",
-    "multimodal_decode_real",
+    # round-4 additions: last pytest-only operators get driver rows
+    "binary_stats",
+    "pii_scrub_audit",
+    "byte_entropy_text",
 )
 
 _loaded = False

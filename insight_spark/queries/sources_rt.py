@@ -279,3 +279,55 @@ def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+@query(
+    "shard_export_counts",
+    oracle="""
+    WITH sharded AS (
+        SELECT n_chars,
+               CAST(list_reduce(list_transform(range(1, 9),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                                  - 1 AS BIGINT)),
+                    (acc, x) -> acc * 16 + x) % 8 AS INTEGER) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_export_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export round-trip (M5, first driver row): write
+    the documents table into 8 hive-partitioned shards (shard =
+    md5(doc_id) first-8-hex mod 8 — content-keyed, reproducible across
+    engines and re-runs), read the shard tree back, and aggregate
+    per-shard doc counts and char totals.
+
+    The oracle recomputes the shard assignment arithmetic in DuckDB
+    (hex fold of the same md5 prefix), so a repartition bug, a dropped
+    shard directory, or a hash change breaks the value hash.  The
+    read back goes through partition discovery — shard is a directory
+    column, so a trainer reading shard i scans one directory
+    (partition pruning), which is the whole point of the layout.
+    """
+    from insight_spark.sources.sinks import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = _rt_path(sf_dir, "training_shards")
+    write_training_shards(
+        docs.select("doc_id", "n_chars", "text"), out_dir, "doc_id", 8
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )

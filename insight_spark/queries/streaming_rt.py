@@ -340,3 +340,158 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_ssj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return _drain(spark, agg, name)
+
+
+def _chunk_dir_with_late(spark: SparkSession, sf_dir: str) -> str:
+    """Sentinel chunk dir plus a LATE re-delivery: after the far-future
+    sentinel has advanced the watermark past every real event, a copy
+    of the FIRST chunk arrives again (mtime-last).  Every row in it is
+    days behind the watermark, so K4 semantics require the engine to
+    drop the whole chunk on the floor."""
+    base = _chunk_dir_with_sentinel(spark, sf_dir)
+    out = base + "_late"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        chunks = sorted(
+            f for f in os.listdir(base) if f.endswith(".parquet")
+        )
+        t0 = 1_000_000_000
+        for i, f in enumerate(chunks):
+            dst = os.path.join(out, f)
+            shutil.copy(os.path.join(base, f), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        # the late arrival: first chunk again, mtime AFTER the sentinel
+        late = os.path.join(out, "zzz_late_redelivery.parquet")
+        shutil.copy(os.path.join(base, chunks[0]), late)
+        os.utime(late, (t0 + 20_000, t0 + 20_000))
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "stream_late_drop",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 through the streaming engine: watermark late-data drop,
+    driver-checked.  Chunks arrive in event-time order, a far-future
+    sentinel closes every real window (append mode emits each exactly
+    once), and THEN the first chunk is re-delivered — every row of it
+    now days behind the watermark.  Correct K4 semantics drop the
+    re-delivery entirely: the drained table equals the batch hourly
+    counts over the original events.  A leak would either re-emit
+    closed windows (duplicate rows -> row-count mismatch) or inflate
+    counts (value-hash mismatch)."""
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, _chunk_dir_with_late(spark, sf_dir))
+    agg = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    name = "mem_late_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, agg, name, ckpt, output_mode="append")
+    return out.filter(F.col("event_type") != "sentinel")
+
+
+@query(
+    "stream_stream_join_pairs",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13/K7+ through the streaming engine: watermarked stream-stream
+    interval join (purchases x preceding clicks within 30 minutes),
+    both sides buffered as keyed state with watermark-bounded
+    eviction, drained append into a memory sink.  An inner
+    stream-stream join emits each matched pair exactly once as both
+    sides arrive, so the drained pair SET must equal the batch
+    interval join — the oracle is that batch join.  A state-eviction
+    bug (too eager) would drop pairs that span micro-batch
+    boundaries; a join-dispatch bug would duplicate them."""
+    from insight_spark.streaming.core import (
+        purchase_click_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    joined = purchase_click_join_stream(events)
+    name = "mem_ssj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    return run_stream_to_memory(spark, joined, name, ckpt, output_mode="append")
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 through the streaming engine: arbitrary per-key state via
+    ``applyInPandasWithState`` (running count+sum per user, one state
+    row per key), update-mode drain — the memory sink then holds every
+    per-batch emission, and the LAST emission per user (largest
+    n_events; strictly monotone per key) must equal the batch
+    aggregate.  This is the surface windowed aggs can't express
+    (decaying counters, per-key model state); the driver row proves
+    state round-trips across micro-batches, not just within one.
+
+    Float note: the state accumulates value in chunk-arrival order
+    (deterministic — the chunk cache fixes arrival order), and the
+    oracle sums in DECIMAL then rounds; at fixture magnitudes the
+    two agree at 6 decimals.
+    """
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+        user_totals_stateful,
+    )
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    totals = user_totals_stateful(events)
+    name = "mem_state_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, totals, name, ckpt, output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("_sv"),
+        )
+        .select(
+            "user_id", "n_events", F.round(F.col("_sv"), 6).alias("sum_value")
+        )
+    )

@@ -263,3 +263,18 @@ def test_ks_single_value_exchange(spark):
 def test_scd2_single_window_pass(spark):
     plan = _plan(spark, "scd2_history")
     assert "Join" not in plan, "interval closing must be LEAD, not a self-join"
+
+
+def test_binary_stats_prunes_content(spark):
+    """The media-inventory scan must read only (path, length) from the
+    file listing — payload bytes stay off the wire entirely."""
+    plan = _plan(spark, "binary_stats")
+    assert "binaryFile" in plan or "BINARYFILE" in plan
+    assert "content" not in plan, "binaryFile scan read payload bytes"
+
+
+def test_shard_export_reads_partitioned_tree(spark):
+    """Shard read-back goes through partition discovery: shard is a
+    directory column, so per-shard reads prune at listing time."""
+    plan = _plan(spark, "shard_export_counts")
+    assert "PartitionFilters" in plan or "partition" in plan.lower()

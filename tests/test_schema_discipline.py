@@ -227,3 +227,14 @@ def test_oracle_result_types_match_spark(spark):
         "oracle result types would hash-diverge from Spark under the "
         f"driver's pandas compare: {offenders}"
     )
+
+
+def test_oracle_type_lint_catches_uncast_integer_sum():
+    """Negative control: the exact round-3 failure shape (uncast
+    SUM(CASE...) over integers) must bind as HUGEINT and be flagged."""
+    con = _duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES (1), (2)) v(x)")
+    rel = con.sql("SELECT SUM(CASE WHEN x > 1 THEN 1 ELSE 0 END) AS c FROM t")
+    classes = [_duck_class(str(dt)) for dt in rel.types]
+    con.close()
+    assert "BANNED" in classes, classes
