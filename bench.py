@@ -140,7 +140,10 @@ def main() -> None:
             df = registry[name](spark, sf_dir)
             df.toPandas()  # cold
             best = float("inf")
-            for _ in range(3):
+            # ITERATIVE queries re-run the whole operation (stream
+            # drain, sink write, iterative rounds) per rep — 2 reps
+            # bound the wall clock; cheap cached plans keep 3.
+            for _ in range(2 if rebuild else 3):
                 t0 = time.perf_counter()
                 (registry[name](spark, sf_dir) if rebuild else df).toPandas()
                 best = min(best, time.perf_counter() - t0)
