@@ -461,3 +461,50 @@ def minhash_lsh_pairs_md5_oracle_sql(
     WHERE 2 * len(list_intersect(sa.s, sb.s))
           >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
     """
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Day-2 dedup: deduplicate an incoming BATCH against an existing
+    corpus snapshot without reshuffling the corpus documents.
+
+    Returns every batch row annotated with ``drop_reason``:
+    ``'corpus_dup'`` (content already in the corpus), ``'batch_dup'``
+    (an earlier batch row — lower id — has the same content), or NULL
+    (kept).  Downstream appends the NULL slice to the corpus.
+
+    Scale shape: the corpus is reduced to DISTINCT 256-bit digests
+    before anything moves — the join shuffles 32-byte hashes, never
+    documents, and the batch (typically ≪ corpus) is the small side.
+    When the corpus digest set fits a bloom budget, slot a
+    ``bloom_filter_agg``/``might_contain`` prefilter before this join
+    (see ``bloom_semi_agg``) — false positives are then removed by
+    this exact digest join, so the bloom is a pure IO saver.
+    Within-batch dedup is the standard keyed arg-min, one shuffle on
+    the digest.
+    """
+    from pyspark.sql.window import Window
+
+    dig = F.sha2(F.col(content_col), 256)
+    corpus_digests = corpus.select(dig.alias("_digest")).distinct()
+    b = batch.withColumn("_digest", dig)
+    marked = b.join(
+        corpus_digests.withColumn("_in_corpus", F.lit(1)),
+        "_digest",
+        "left",
+    )
+    w_min = F.min(id_col).over(Window.partitionBy("_digest"))
+    return (
+        marked.withColumn("_keep_id", w_min)
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("_in_corpus") == 1, "corpus_dup").when(
+                F.col(id_col) != F.col("_keep_id"), "batch_dup"
+            ),
+        )
+        .drop("_in_corpus", "_keep_id")
+    )

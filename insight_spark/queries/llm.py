@@ -256,3 +256,74 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dups",
         )
     )
+
+
+#: Corpus/batch split point for the incremental-dedup query: documents
+#: below this id are the "existing snapshot", the rest the new batch.
+_INCR_SPLIT = 250
+
+
+@query(
+    "incremental_dedup_summary",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT sha256(text) AS d FROM documents
+        WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (
+        SELECT doc_id, source, sha256(text) AS d FROM documents
+        WHERE doc_id >= {_INCR_SPLIT}
+    ),
+    marked AS (
+        SELECT b.doc_id, b.source,
+               CASE WHEN c.d IS NOT NULL THEN 'corpus_dup'
+                    WHEN b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.d)
+                        THEN 'batch_dup'
+               END AS drop_reason
+        FROM batch b LEFT JOIN corpus c ON b.d = c.d
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (drop_reason IS NULL) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (drop_reason = 'corpus_dup') AS BIGINT)
+               AS n_corpus_dups,
+           CAST(COUNT(*) FILTER (drop_reason = 'batch_dup') AS BIGINT)
+               AS n_batch_dups
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def incremental_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (day-2) dedup: deduplicate an incoming batch against
+    an existing corpus snapshot — the op every continuously-ingesting
+    training pipeline runs far more often than full-corpus dedup.
+    Splits the documents fixture into snapshot (doc_id < 250) and
+    batch; every batch doc is marked kept / corpus_dup / batch_dup and
+    the per-source summary is returned (the ingest report a pipeline
+    materializes before appending the kept slice).
+
+    Scale: the corpus side is reduced to DISTINCT 32-byte digests
+    before moving, so the join shuffles hashes, never documents, and
+    the batch is the small side; an optional bloom prefilter
+    (bloom_semi_agg pattern) cuts the corpus-side IO further with this
+    exact join still guaranteeing zero false drops.
+    """
+    from insight_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    marked = incremental_dedup(corpus, batch)
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("drop_reason").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("drop_reason") == "corpus_dup", 1)).alias(
+                "n_corpus_dups"
+            ),
+            F.count(F.when(F.col("drop_reason") == "batch_dup", 1)).alias(
+                "n_batch_dups"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -495,3 +495,48 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "n_events", F.round(F.col("_sv"), 6).alias("sum_value")
         )
     )
+
+
+@query(
+    "stream_upsert_user_latest",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_upsert_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8/A10 through the streaming engine: update-mode aggregation
+    driven through a ``foreachBatch`` UPSERT into a parquet serving
+    directory (the offline stand-in for an ES/PG serving store), then
+    the serving copy is read back and returned.
+
+    Each micro-batch re-emits the users it touched; the upsert
+    overwrites exactly those keys (read-merge-write, idempotent per
+    batch id), so after the drain the serving table holds every
+    user's final totals — which must equal the batch aggregate.  This
+    is the sink-side half of K8 the memory-sink queries don't cover:
+    a partial upsert, a dropped key, or a non-idempotent merge breaks
+    row count or hash."""
+    from insight_spark.sources.sinks import foreach_batch_upsert
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    agg = (
+        events.withWatermark("ts", "24 hours")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="upsert_", dir=_RT_BASE)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    q = (
+        agg.writeStream.foreachBatch(foreach_batch_upsert(out_dir, ["user_id"]))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(os.path.join(out_dir, "serving"))
