@@ -238,3 +238,14 @@ def test_oracle_type_lint_catches_uncast_integer_sum():
     classes = [_duck_class(str(dt)) for dt in rel.types]
     con.close()
     assert "BANNED" in classes, classes
+
+
+def test_driver_priority_window_shape():
+    """The external driver records exactly the first 50 queries() —
+    the priority window must stay exactly 50 registered names, every
+    oracled entry aligned (all_queries asserts registration)."""
+    from insight_spark.queries import _DRIVER_PRIORITY, all_queries
+
+    names = list(all_queries())
+    assert len(_DRIVER_PRIORITY) == 50
+    assert names[:50] == list(_DRIVER_PRIORITY)
