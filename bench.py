@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "byte_entropy_text",
     "pii_scrub_audit",
     "minhash_recall_gate",
+    "dedup_pipeline_summary",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -101,6 +102,8 @@ ITERATIVE = {
     "stream_sliding_append",
     "partitioned_sink_roundtrip",
     "binary_stats",
+    # CC convergence loop runs during build
+    "dedup_pipeline_summary",
 }
 
 

@@ -74,12 +74,13 @@ _MODULES = (
 #: order (minhash_recall_gate and the canaries head that tail).
 #:
 #: ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands, the never-checked
-#: set should be the 8 round-4 late additions — minhash_recall_gate,
+#: set should be the 9 round-4 late additions — minhash_recall_gate,
 #: incremental_dedup_summary, shard_export_counts, stream_late_drop,
 #: stream_stream_join_pairs, stream_stateful_user_totals,
-#: stream_upsert_user_latest, minhash_near_dup_pairs (rows-only) — plus
+#: stream_upsert_user_latest, dedup_pipeline_summary,
+#: minhash_near_dup_pairs (rows-only) — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
-#: canaries.  All 8 were pre-validated this round on a vanilla
+#: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # repaired round-3 failures — flip evidence first

@@ -327,3 +327,118 @@ def incremental_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _md5_pipeline_oracle() -> str:
+    """One-row oracle for the full dedup pipeline: exact-dedup
+    survivors -> md5-family MinHash+LSH pairs -> recursive-CTE
+    transitive closure -> canonical count.  Mirrors
+    ``minhash_lsh_pairs_md5`` (8 hashes / 4 bands / 3-shingles,
+    integer-form verify at t=1/2) restricted to exact survivors."""
+    n_hashes, n_bands = 8, 4
+    rpb = n_hashes // n_bands
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(s, g -> md5('{i}#' || g))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH RECURSIVE keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    docs2 AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM docs2
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               {sigs}
+        FROM sh2
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT a_id, b_id
+        FROM cand
+        JOIN sh2 sa ON sa.doc_id = a_id
+        JOIN sh2 sb ON sb.doc_id = b_id
+        WHERE 2 * len(list_intersect(sa.s, sb.s))
+              >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS w FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT u AS v, u AS w FROM edges
+        UNION
+        SELECT r.v, e.w FROM reach r JOIN edges e ON e.u = r.w
+    ),
+    canon AS (SELECT v, MIN(w) AS c FROM reach GROUP BY v)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM docs2) AS BIGINT) AS n_exact_survivors,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_near_pairs,
+           CAST((SELECT COUNT(DISTINCT coalesce(c.c, d2.doc_id))
+                 FROM docs2 d2 LEFT JOIN canon c ON c.v = d2.doc_id)
+                AS BIGINT) AS n_canonical
+    """
+
+
+@query("dedup_pipeline_summary", oracle=_md5_pipeline_oracle())
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship corpus-hygiene pipeline, end to end in ONE plan:
+    exact dedup (sha256 keyed arg-min) -> MinHash+LSH near-dup pairs
+    over the survivors (md5 hash family, every stage bit-reproducible
+    cross-engine) -> distributed connected components -> canonical
+    count.  Returns the stage-by-stage funnel a production ingest
+    report materializes: n_docs, n_exact_survivors, n_near_pairs,
+    n_canonical — each exactly value-checked against a DuckDB replay
+    (recursive CTE for the transitive closure).
+
+    Composition order is load-bearing at scale (measured in SCALE.md:
+    verbatim duplicates inflate LSH pair output quadratically — a 10x
+    dup-heavy corpus produced 979x pairs): the one cheap digest
+    shuffle of exact dedup runs FIRST so byte-identical copies never
+    reach the sketch stage.  Stages: digest shuffle -> band-bucket
+    shuffles on bounded keys -> O(log d) pointer-jumping rounds; no
+    driver state beyond CC's convergence flag.
+    """
+    from insight_spark.operators.components import canonical_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs_md5(survivors).select("a_id", "b_id")
+    canon = canonical_assignment(pairs, survivors.select("doc_id"))
+    m1 = docs.agg(F.count("*").alias("n_docs"))
+    m2 = survivors.agg(F.count("*").alias("n_exact_survivors"))
+    m3 = pairs.agg(F.count("*").alias("n_near_pairs"))
+    m4 = canon.agg(F.countDistinct("canonical_id").alias("n_canonical"))
+    return m1.crossJoin(m2).crossJoin(m3).crossJoin(m4)
