@@ -118,3 +118,72 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int]:
     if n_samples is None:
         raise ValueError("WAV missing data chunk")
     return n_channels, sample_rate, n_samples, first_sample
+
+
+def resize_bmp(data: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize of an uncompressed 24-bit BMP.
+
+    Genuine resample: reads the source pixel array (stride-aware),
+    maps every target pixel to ``src_idx = floor(dst_idx * src / dst)``
+    and re-encodes through the same padded-row layout.  No PIL — the
+    whole transform is explicit byte math, which is the point: the
+    Spark-side plumbing (mapInPandas batch shape, binary in/out) is
+    identical to what a real imaging library would slot into.
+    """
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    height = abs(height)
+    src_stride = width * 3 + (4 - (width * 3) % 4) % 4
+    rows = []
+    for r in range(new_h):
+        sr = r * height // new_h
+        src_row = data[offset + sr * src_stride :][: width * 3]
+        out = bytearray()
+        for c in range(new_w):
+            sc = c * width // new_w
+            out += src_row[sc * 3 : sc * 3 + 3]
+        rows.append(bytes(out))
+    new_row_bytes = new_w * 3
+    pad = (4 - new_row_bytes % 4) % 4
+    pixel_data = b"".join(row + b"\x00" * pad for row in rows)
+    out_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", out_offset + len(pixel_data), 0, 0, out_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixel_data
+
+
+def wav_frames(data: bytes, frame_len: int) -> list[tuple[int, int, int]]:
+    """Split a PCM-16 WAV's data chunk into fixed-length sample frames.
+
+    Returns [(frame_idx, n_samples_in_frame, first_sample), ...] —
+    the audio analogue of video keyframe extraction, computed from the
+    REAL chunk walk (same RIFF traversal as decode_wav).
+    """
+    riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    frames: list[tuple[int, int, int]] = []
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"data":
+            n = size // 2
+            samples = struct.unpack(f"<{n}h", body[: n * 2])
+            for i in range(0, n, frame_len):
+                chunk = samples[i : i + frame_len]
+                frames.append((i // frame_len, len(chunk), chunk[0]))
+            break
+        pos += 8 + size + (size % 2)
+    return frames

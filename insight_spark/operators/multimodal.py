@@ -328,3 +328,91 @@ def decode_media_real(media_df: DataFrame) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(decode, REAL_DECODED_SCHEMA)
+
+
+RESIZED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_media_real(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """J8 REAL resize: BMP payload → nearest-neighbor resample →
+    re-encode → re-decode, all inside one mapInPandas pass.
+
+    Reports the round-tripped (width, height, mean_luma, n_bytes) so a
+    stride/padding/index bug anywhere in the resample or the re-encode
+    shows up in the values.  Constant-fill sources make mean_luma an
+    exact invariant: a resampler that reads row padding (the classic
+    stride bug) dilutes it and breaks the oracle.
+    """
+    from insight_spark.operators.codecs import decode_bmp, resize_bmp
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = resize_bmp(bytes(payload), width, height)
+                w, h, luma = decode_bmp(resized)
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "width": w,
+                        "height": h,
+                        "mean_luma": round(luma, 6),
+                        "n_bytes": len(resized),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_bytes"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(resize, RESIZED_REAL_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("first_sample", T.IntegerType()),
+    ]
+)
+
+
+def audio_frames_real(media_df: DataFrame, frame_len: int = 16) -> DataFrame:
+    """J8 REAL frame-sample (audio form of keyframe extraction): walk
+    each WAV's RIFF chunks, split the data section into fixed-length
+    sample frames, one output row per frame — mapInPandas emitting
+    more rows than it receives, the canonical frame-extraction shape.
+    """
+    from insight_spark.operators.codecs import wav_frames
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, firsts = [], [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, n, first in wav_frames(bytes(payload), frame_len):
+                    ids.append(int(d))
+                    idxs.append(i)
+                    ns.append(n)
+                    firsts.append(first)
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "first_sample": firsts,
+                }
+            )
+            for c in ("frame_idx", "n_samples", "first_sample"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(frames, AUDIO_FRAMES_SCHEMA)

@@ -74,10 +74,11 @@ _MODULES = (
 #: order (minhash_recall_gate and the canaries head that tail).
 #:
 #: ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands, the never-checked
-#: set should be the 9 round-4 late additions — minhash_recall_gate,
+#: set should be the round-4 late additions — minhash_recall_gate,
 #: incremental_dedup_summary, shard_export_counts, stream_late_drop,
 #: stream_stream_join_pairs, stream_stateful_user_totals,
 #: stream_upsert_user_latest, dedup_pipeline_summary,
+#: multimodal_resize_real, multimodal_audio_frames,
 #: minhash_near_dup_pairs (rows-only) — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla

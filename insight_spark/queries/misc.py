@@ -485,3 +485,78 @@ def byte_entropy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id", payload.alias("payload"))
     return payload_entropy_arrow(media)
+
+
+@query(
+    "multimodal_resize_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST((doc_id * 37 + 11) % 251 AS DOUBLE) AS mean_luma,
+           CAST(54 + 48 * 8 AS INTEGER) AS n_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 real-codec RESIZE (upgrades the stub branch): every BMP
+    payload is nearest-neighbor resampled to 16x8, re-encoded through
+    the padded-row BMP layout, and re-decoded — one mapInPandas pass.
+
+    The oracle states the invariants from the synthesis arithmetic:
+    constant-fill sources keep mean_luma exactly (doc_id*37+11)%251
+    through a CORRECT resample (a stride bug dilutes it with padding
+    zeros), dims become the target, and the re-encoded byte size is
+    the exact BMP layout constant (54-byte header + 48-byte stride x 8
+    rows).  Scale shape: map-only Arrow-batched transform, no shuffle;
+    a real imaging library slots into the same inner function.
+    """
+    from insight_spark.operators.multimodal import resize_media_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_real_media_columns(docs).filter(
+        F.col("mime") == "image/bmp"
+    )
+    return resize_media_real(media, 16, 8)
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH wavs AS (
+        SELECT doc_id, 32 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    frames AS (
+        SELECT doc_id, n,
+               unnest(range(0, (n + 15) // 16)) AS i
+        FROM wavs
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(LEAST(16, n - 16 * i) AS INTEGER) AS n_samples,
+           CAST((doc_id * 31 + (16 * i) * 7) % 4096 - 2048 AS INTEGER)
+               AS first_sample
+    FROM frames
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 real-codec FRAME-SAMPLE (audio form): each WAV's RIFF data
+    chunk is split into 16-sample frames, one output row per frame —
+    mapInPandas emitting more rows than it receives, the canonical
+    keyframe-extraction shape with a real chunk walk underneath.
+
+    The oracle regenerates every frame's (count, first_sample) from
+    the synthesis arithmetic: frame i starts at sample 16i, so
+    first_sample = (doc_id*31 + 16i*7) % 4096 - 2048 and the tail
+    frame carries n - 16i samples — a chunk-walk or slicing bug
+    breaks the hash.
+    """
+    from insight_spark.operators.multimodal import audio_frames_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_real_media_columns(docs).filter(
+        F.col("mime") == "audio/wav"
+    )
+    return audio_frames_real(media, 16)
