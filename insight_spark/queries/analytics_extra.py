@@ -1086,3 +1086,124 @@ def ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("d"), 6).alias("ks_stat"))
         .select("ks_stat", "n_a", "n_b")
     )
+
+
+@query(
+    "interp_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, h, value AS v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS h, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 20 AND value IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, unnest(generate_series(s.h0, s.h1,
+                                                 INTERVAL 1 HOUR)) AS h
+        FROM spans s
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, hy.v,
+               CASE WHEN hy.v IS NOT NULL THEN g.h END AS oh
+        FROM grid g LEFT JOIN hourly hy
+          ON g.user_id = hy.user_id AND g.h = hy.h
+    ),
+    ctx AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(oh IGNORE NULLS) OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(oh IGNORE NULLS) OVER w_next AS nh
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                          ROWS UNBOUNDED PRECEDING),
+               w_next AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           -- floor-based rounding: bit-identical on both engines
+           -- (ROUND on doubles is HALF_UP in Spark, half-even here)
+           floor((CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN ph IS NOT NULL AND nh IS NOT NULL AND ph <> nh THEN
+                   pv + (nv - pv) * (epoch(h) - epoch(ph))
+                        / (epoch(nh) - epoch(ph))
+               WHEN ph IS NOT NULL THEN pv
+               ELSE nv
+           END) * 1000000 + 0.5) / 1000000 AS filled_value
+    FROM ctx
+    """,
+)
+def interp_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resample + LINEAR interpolation — the twin of
+    ``gap_fill_hourly`` for continuous signals (sensor values, rates)
+    where forward-fill understates trends: each missing hour gets the
+    time-weighted blend of the nearest observed values on either side;
+    edges degrade to nearest-known.
+
+    Same scale shape as the forward-fill form (per-user-bounded grid
+    explode, one user_id shuffle shared by the join and all four
+    context windows); the interpolation itself is pure column math in
+    the same window pass, identical double formula on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "oh", F.when(F.col("v").isNotNull(), F.col("h"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last("oh", ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first("oh", ignorenulls=True).over(w_next).alias("nh"),
+    )
+    eh = lambda c: F.col(c).cast("double")  # noqa: E731 — epoch seconds
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("ph").isNotNull()
+            & F.col("nh").isNotNull()
+            & (F.col("ph") != F.col("nh")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (eh("h") - eh("ph"))
+            / (eh("nh") - eh("ph")),
+        )
+        .when(F.col("ph").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("filled_value"),
+    )
