@@ -294,3 +294,40 @@ def test_binary_file_source_reads_and_prunes(spark, tmp_path):
 
     everything = read_binary_files(spark, str(tmp_path))
     assert everything.count() == 3
+
+
+def test_resize_bmp_roundtrip_invariants():
+    """NN resize of a constant-fill BMP preserves fill exactly at any
+    (source, target) dimension pairing, including pad-heavy odd widths;
+    output re-decodes to the target dims."""
+    from insight_spark.operators.codecs import decode_bmp, encode_bmp, resize_bmp
+
+    for w, h in [(1, 1), (3, 5), (10, 6), (17, 3)]:
+        src = encode_bmp(w, h, 77)
+        for w2, h2 in [(1, 1), (2, 7), (16, 8), (5, 5)]:
+            assert decode_bmp(resize_bmp(src, w2, h2)) == (w2, h2, 77.0)
+
+
+def test_resize_bmp_picks_real_pixels():
+    """Non-constant source: resize to 1x1 must pick the NN source pixel
+    (row 0 / col 0), not an average or a padding byte."""
+    from insight_spark.operators.codecs import decode_bmp, resize_bmp
+    import struct
+
+    # 2x1 image, pixels: left=10, right=200 (bottom-up row order)
+    row = bytes([10, 10, 10, 200, 200, 200]) + b"\x00\x00"  # stride pad
+    offset = 54
+    header = struct.pack("<2sIHHI", b"BM", offset + len(row), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row),
+                       2835, 2835, 0, 0)
+    src = header + info + row
+    assert decode_bmp(resize_bmp(src, 1, 1)) == (1, 1, 10.0)
+
+
+def test_wav_frames_tail_and_values():
+    from insight_spark.operators.codecs import encode_wav, wav_frames
+
+    samples = [i * 3 - 100 for i in range(37)]
+    frames = wav_frames(encode_wav(samples, 8000), 16)
+    assert [(i, n) for i, n, _ in frames] == [(0, 16), (1, 16), (2, 5)]
+    assert [f[2] for f in frames] == [samples[0], samples[16], samples[32]]
