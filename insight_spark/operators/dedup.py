@@ -21,7 +21,7 @@ def content_hash(c: Column) -> Column:
     return F.sha2(c, 256)
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure CPU-bound rowwise stages (minhash signatures, shingle
     md5s) get cluster-wide parallelism.
 
@@ -30,12 +30,18 @@ def _spread(df: DataFrame) -> DataFrame:
     MinHash signature stage ran 16 s single-threaded on a 5000-doc
     one-file fixture vs ~1 s spread over 32 threads.  At 100 TB inputs
     arrive in thousands of splits and this branch no-ops; the
-    round-robin repartition costs one extra pass only when the source
-    is pathologically under-partitioned.
+    repartition costs one extra pass only when the source is
+    pathologically under-partitioned.
+
+    HASH-partitioned on ``key``, not round-robin: round-robin
+    placement depends on upstream partition layout and needs a
+    determinism-preserving local sort on retry; hash placement is a
+    pure function of the row, so stage retries and concurrent-load
+    rescheduling cannot reorder results.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+        return df.repartition(target, F.col(key))
     return df
 
 
@@ -186,7 +192,7 @@ def near_dedup_minhash(
     """
     rows_per_band = n_hashes // n_bands
     shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
-    toks = _spread(docs).select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed))
 
@@ -361,7 +367,7 @@ def minhash_lsh_pairs_md5(
     """
     rows_per_band = n_hashes // n_bands
     assert rows_per_band * n_bands == n_hashes
-    sh = _spread(docs).select(
+    sh = _spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
             "_sh"
