@@ -336,12 +336,13 @@ def incremental_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_pipeline_oracle() -> str:
-    """One-row oracle for the full dedup pipeline: exact-dedup
-    survivors -> md5-family MinHash+LSH pairs -> recursive-CTE
-    transitive closure -> canonical count.  Mirrors
+def _md5_cluster_ctes() -> str:
+    """Shared recursive-CTE chain for dedup-cluster oracles: exact-dedup
+    keep map -> md5-family MinHash+LSH pairs over survivors ->
+    transitive closure -> per-survivor canonical (``canon``).  Mirrors
     ``minhash_lsh_pairs_md5`` (8 hashes / 4 bands / 3-shingles,
-    integer-form verify at t=1/2) restricted to exact survivors."""
+    integer-form verify at t=1/2) restricted to exact survivors.
+    Consumers append their own final SELECT (and any extra CTEs)."""
     n_hashes, n_bands = 8, 4
     rpb = n_hashes // n_bands
     sigs = ",\n               ".join(
@@ -356,11 +357,13 @@ def _md5_pipeline_oracle() -> str:
         for b in range(n_bands)
     )
     return rf"""
-    WITH RECURSIVE keep AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    WITH RECURSIVE keepmap AS (
+        SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY sha256(text)
     ),
     docs2 AS (
-        SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN keepmap k ON d.doc_id = k.keep_id
     ),
     toks AS (
         SELECT doc_id,
@@ -407,6 +410,15 @@ def _md5_pipeline_oracle() -> str:
         SELECT r.v, e.w FROM reach r JOIN edges e ON e.u = r.w
     ),
     canon AS (SELECT v, MIN(w) AS c FROM reach GROUP BY v)
+    """
+
+
+def _md5_pipeline_oracle() -> str:
+    """One-row oracle for the full dedup pipeline funnel (see
+    ``_md5_cluster_ctes`` for the shared stage chain)."""
+    return (
+        _md5_cluster_ctes()
+        + """
     SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
            CAST((SELECT COUNT(*) FROM docs2) AS BIGINT) AS n_exact_survivors,
            CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_near_pairs,
@@ -414,6 +426,7 @@ def _md5_pipeline_oracle() -> str:
                  FROM docs2 d2 LEFT JOIN canon c ON c.v = d2.doc_id)
                 AS BIGINT) AS n_canonical
     """
+    )
 
 
 @query("dedup_pipeline_summary", oracle=_md5_pipeline_oracle())
@@ -456,3 +469,128 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = pairs.agg(F.count("*").alias("n_near_pairs"))
     m4 = canon.agg(F.countDistinct("canonical_id").alias("n_canonical"))
     return m1.crossJoin(m2).crossJoin(m3).crossJoin(m4)
+
+
+def _leakage_split_oracle() -> str:
+    """One-row oracle for the cluster-disjoint split: replays the full
+    dedup-cluster closure (``_md5_cluster_ctes``), maps EVERY document
+    to its cluster (exact-dup group keep id, then near-dup canonical),
+    then computes both split policies and their leak counts."""
+    return (
+        _md5_cluster_ctes()
+        + """
+    ,
+    full_map AS (
+        SELECT d.doc_id, coalesce(c.c, k.keep_id) AS cluster_id
+        FROM documents d
+        JOIN keepmap k ON sha256(d.text) = k.h
+        LEFT JOIN canon c ON c.v = k.keep_id
+    ),
+    splits AS (
+        SELECT cluster_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                   AS naive_train,
+               substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '80'
+                   AS safe_train
+        FROM full_map
+    ),
+    per_cluster AS (
+        SELECT cluster_id,
+               COUNT(DISTINCT naive_train) AS nn,
+               COUNT(DISTINCT safe_train) AS ns
+        FROM splits GROUP BY cluster_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM splits) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM per_cluster) AS BIGINT) AS n_clusters,
+           CAST((SELECT SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END)
+                 FROM per_cluster) AS BIGINT) AS naive_leaky_clusters,
+           CAST((SELECT SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                 FROM per_cluster) AS BIGINT) AS safe_leaky_clusters,
+           CAST((SELECT SUM(CASE WHEN safe_train THEN 1 ELSE 0 END)
+                 FROM splits) AS BIGINT) AS train_docs,
+           CAST((SELECT SUM(CASE WHEN NOT safe_train THEN 1 ELSE 0 END)
+                 FROM splits) AS BIGINT) AS test_docs
+    """
+    )
+
+
+@query("leakage_safe_split", oracle=_leakage_split_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-disjoint train/test split (M73): the step a training-data
+    pipeline runs BETWEEN dedup and shard export so near-duplicates of
+    training documents cannot contaminate the eval split.
+
+    A naive per-document hash split leaks: any multi-document
+    duplicate cluster has a ~2·p·(1-p) chance of straddling the
+    boundary, putting a near-copy of an eval document in train.  The
+    safe policy keys the SAME md5-range split on the *cluster
+    canonical id* instead, so a cluster moves as a unit and leakage is
+    structurally zero.  The one-row report value-checks both policies
+    side by side: document/cluster counts, leaky-cluster count under
+    each policy (naive > 0 on the fixture corpus, safe = 0 — computed,
+    not asserted), and the safe split's train/test sizes.
+
+    Cluster id for every document = near-dup canonical of its
+    exact-dup group representative (the dedup_pipeline_summary
+    machinery reused unchanged: digest shuffle -> band-bucket LSH over
+    survivors -> O(log d) pointer-jumping closure).  The split itself
+    adds only map-side md5 projections plus one bounded per-cluster
+    aggregate — append-stable (md5-keyed, no RNG), so re-running after
+    corpus growth never migrates an existing cluster between splits.
+    """
+    from insight_spark.operators.components import canonical_assignment
+    from insight_spark.operators.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup(docs, content_col="text", id_col="doc_id")
+    docmap = docs.select(
+        "doc_id", content_hash(F.col("text")).alias("content_sha256")
+    ).join(groups.select("content_sha256", "keep_id"), "content_sha256")
+    survivors = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = (
+        minhash_lsh_pairs_md5(survivors)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    canon = canonical_assignment(pairs, survivors.select("doc_id")).select(
+        F.col("doc_id").alias("keep_id"), "canonical_id"
+    )
+    full = docmap.join(canon, "keep_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("keep_id")).alias("cluster_id"),
+    )
+    tagged = full.select(
+        "cluster_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80")
+        .alias("naive_train"),
+        (F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2) < "80")
+        .alias("safe_train"),
+    )
+    per_cluster = tagged.groupBy("cluster_id").agg(
+        F.countDistinct("naive_train").alias("nn"),
+        F.countDistinct("safe_train").alias("ns"),
+    )
+    doc_stats = tagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("safe_train"), 1).otherwise(0)).alias("train_docs"),
+        F.sum(F.when(~F.col("safe_train"), 1).otherwise(0)).alias("test_docs"),
+    )
+    cluster_stats = per_cluster.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(F.col("nn") > 1, 1).otherwise(0)).alias(
+            "naive_leaky_clusters"
+        ),
+        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
+            "safe_leaky_clusters"
+        ),
+    )
+    return doc_stats.crossJoin(cluster_stats).select(
+        "n_docs",
+        "n_clusters",
+        "naive_leaky_clusters",
+        "safe_leaky_clusters",
+        "train_docs",
+        "test_docs",
+    )

@@ -423,3 +423,61 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("recall") >= 0.6).alias("recall_ok"),
         F.count("*").cast("int").alias("n_queries"),
     )
+
+
+@query(
+    "ann_pq_recall_gate",
+    oracle="SELECT TRUE AS recall_ok, 10 AS n_queries",
+)
+def ann_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate for the product-quantization path (third twin
+    of ann_ivf_recall_gate / ann_lsh_recall_gate): in-plan recall of
+    PQ-ADC shortlist-50 -> exact-rerank top-5 vs brute-force top-5,
+    gated at mean recall >= 0.6 (measured 0.76 at sf0.01 / 0.90 at
+    sf0.001 on the near-random fixture embeddings).
+
+    PQ is the third leg of the production ANN stack: IVF prunes which
+    vectors are scored, LSH buckets them, PQ shrinks what is *stored*
+    — 8 code bytes replace 256 vector bytes here (64-dim float32), and
+    at 1 B x 1024-dim the same 8-subspace encoding turns a 4 TB vector
+    corpus into a ~8 GB memory-resident scan.  The ADC scan touches
+    only the code ints; raw vectors are fetched for the bounded
+    per-query shortlist re-rank only.  A codebook/encode/ADC
+    regression flips the driver hash.
+    """
+    from insight_spark.operators.similarity import (
+        knn_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    cb = pq_codebooks(corpus, n_subspaces=8, n_codes=16)
+    approx = pq_adc_topk(
+        queries, pq_encode(corpus, cb), cb, corpus, k=5, shortlist=50
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    # Zero-hit queries anchored at recall 0 (see ann_ivf_recall_gate).
+    per_q = (
+        queries.select("q_vec_id")
+        .join(
+            hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits")),
+            "q_vec_id",
+            "left",
+        )
+        .select((F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall"))
+    )
+    return per_q.agg(
+        (F.avg("recall") >= 0.6).alias("recall_ok"),
+        F.count("*").cast("int").alias("n_queries"),
+    )

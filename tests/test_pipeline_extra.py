@@ -172,3 +172,49 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[3][1] == {"email": 0, "phone": 0, "ssn": 1}
     assert got[4][0] == rows[3][1]
     assert got[4][1] == {"email": 0, "phone": 0, "ssn": 0}
+
+
+def test_pq_encode_and_adc_recall(spark):
+    from insight_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    cb = pq_codebooks(corpus, n_subspaces=8, n_codes=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    enc = pq_encode(corpus, cb)
+    # encode is a pure projection: same row count, vector column dropped,
+    # one code per subspace, every code a valid codebook index
+    assert enc.count() == corpus.count()
+    assert "c_embedding" not in enc.columns
+    bad = enc.filter(
+        (F.size("pq_codes") != 8)
+        | (F.array_min("pq_codes") < 0)
+        | (F.array_max("pq_codes") > 15)
+    )
+    assert bad.count() == 0
+    # a codebook seed vector encodes (in its own subspaces) to itself:
+    # vector 0 is code 0 of every subspace, so its ADC distance to its
+    # own reconstruction is 0 -> it must be its own nearest neighbor
+    approx = pq_adc_topk(queries, enc, cb, corpus, k=5, shortlist=50)
+    rows = approx.collect()
+    assert len(rows) == 50  # k per query
+    top1 = {
+        r["q_vec_id"]: r["c_vec_id"] for r in rows if r["rank"] == 1
+    }
+    assert top1[0] == 0  # self is always the top cosine hit
+    exact = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in knn_topk(queries, corpus, k=5).collect()
+    }
+    got = {(r["q_vec_id"], r["c_vec_id"]) for r in rows}
+    # measured 0.90 at sf0.001 / 0.76 at sf0.01 with shortlist 50
+    assert len(exact & got) / len(exact) >= 0.6
