@@ -337,6 +337,66 @@ def prefix_filtered_jaccard_join(
     )
 
 
+def _md5_shingle_bands(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    n_bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-family sketch stages: shingle sets ``(_id, _sh)`` and
+    LSH band buckets ``(_id, _band, _bkey)`` for a corpus.  Used by the
+    within-corpus pair join and the cross-corpus (decontamination)
+    variant — signatures are per-document, so banding each corpus
+    separately is bit-identical to banding their union."""
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    sh = _spread(docs, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
+            "_sh"
+        ),
+    ).filter(F.size("_sh") > 0)
+    def _seed_min(i: int):
+        # NOTE: must be a ONE-argument callable.  A two-parameter lambda
+        # (even with a defaulted second arg, `lambda g, i=i: ...`) is
+        # treated by F.transform as the (element, index) form — the
+        # array INDEX silently replaces the seed, collapsing all
+        # n_hashes signature elements into one garbage-seeded hash.
+        prefix = f"{i}#"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g))
+
+    sig = sh.select(
+        "_id",
+        "_sh",
+        *[
+            F.array_min(F.transform(F.col("_sh"), _seed_min(i))).alias(
+                f"_h{i}"
+            )
+            for i in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"_h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+    return sh, bands
+
+
 def minhash_lsh_pairs_md5(
     docs: DataFrame,
     text_col: str = "text",
@@ -365,42 +425,8 @@ def minhash_lsh_pairs_md5(
     oracle-checkability.  Verification threshold is the integer form
     ``2·|∩| >= |∪|`` (exact, no float compare).
     """
-    rows_per_band = n_hashes // n_bands
-    assert rows_per_band * n_bands == n_hashes
-    sh = _spread(docs, id_col).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
-            "_sh"
-        ),
-    ).filter(F.size("_sh") > 0)
-    sig = sh.select(
-        "_id",
-        "_sh",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}#"), g))
-                )
-            ).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    bands = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"_h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_band", "_bkey"),
+    sh, bands = _md5_shingle_bands(
+        docs, text_col, id_col, n_hashes, n_bands, shingle_n
     )
     cand = (
         bands.select(F.col("_id").alias("a_id"), "_band", "_bkey")
@@ -485,6 +511,72 @@ def minhash_lsh_pairs_md5_oracle_sql(
     WHERE 2 * len(list_intersect(sa.s, sb.s))
           >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
     """
+
+
+def minhash_lsh_cross_pairs_md5(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-dup pairs (fuzzy decontamination
+    shape): every verified (left, right) pair with shingle-Jaccard
+    >= 1/2, md5 hash family so the whole sketch is oracle-checkable.
+
+    The asymmetric form of ``minhash_lsh_pairs_md5``: each corpus is
+    shingled/signed/banded independently (per-document math, so the
+    split changes nothing), and candidates come from joining LEFT band
+    buckets to RIGHT band buckets — never left×left.  With a bounded
+    right side (an eval/benchmark set — the decontamination case) the
+    right bands broadcast: the big training corpus is scanned once,
+    map-side, and candidate volume scales with |right| · bucket
+    collision rate, not |left|².  Verification joins the shingle sets
+    back on the bounded candidate ids only.
+
+    Returns ``(a_id, b_id, jaccard_sim)`` with a_id from ``left``,
+    b_id from ``right``.
+    """
+    sh_l, bands_l = _md5_shingle_bands(
+        left, text_col, id_col, n_hashes, n_bands, shingle_n
+    )
+    sh_r, bands_r = _md5_shingle_bands(
+        right, text_col, id_col, n_hashes, n_bands, shingle_n
+    )
+    cand = (
+        bands_l.select(F.col("_id").alias("a_id"), "_band", "_bkey")
+        .join(
+            F.broadcast(
+                bands_r.select(F.col("_id").alias("b_id"), "_band", "_bkey")
+            ),
+            ["_band", "_bkey"],
+        )
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        sh_l.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a")),
+        "a_id",
+    ).join(
+        F.broadcast(
+            sh_r.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_b"))
+        ),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("_a", "_b"))
+    union = F.size("_a") + F.size("_b") - inter
+    return (
+        cand.filter(F.lit(2) * inter >= union)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+    )
 
 
 def incremental_dedup(

@@ -79,7 +79,7 @@ _MODULES = (
 #: stream_stream_join_pairs, stream_stateful_user_totals,
 #: stream_upsert_user_latest, dedup_pipeline_summary,
 #: multimodal_resize_real, multimodal_audio_frames, interp_fill_hourly,
-#: ann_pq_recall_gate, leakage_safe_split,
+#: ann_pq_recall_gate, leakage_safe_split, fuzzy_decontaminate,
 #: minhash_near_dup_pairs (rows-only) — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla

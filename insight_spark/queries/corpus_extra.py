@@ -656,3 +656,105 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+def _fuzzy_decon_oracle(n_hashes: int = 8, n_bands: int = 4) -> str:
+    """DuckDB replay of the cross-corpus MinHash+LSH decontamination:
+    same md5 hash family / banding as ``minhash_lsh_pairs_md5``, with
+    the corpus split into train (doc_id % 7 != 0) and eval (% 7 == 0)
+    AFTER signing — per-document math, so splitting before or after
+    banding is identical."""
+    rpb = n_hashes // n_bands
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(s, g -> md5('{i}#' || g))) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               {sigs}
+        FROM sh2
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id AS a_id, e.doc_id AS b_id
+        FROM bands t
+        JOIN bands e ON t.band = e.band AND t.bkey = e.bkey
+        WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+    ),
+    ver AS (
+        SELECT a_id, b_id,
+               ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                     / (len(sa.s) + len(sb.s)
+                        - len(list_intersect(sa.s, sb.s))), 6) AS j
+        FROM cand
+        JOIN sh2 sa ON sa.doc_id = a_id
+        JOIN sh2 sb ON sb.doc_id = b_id
+        WHERE 2 * len(list_intersect(sa.s, sb.s))
+              >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+    )
+    SELECT a_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+           MAX(j) AS max_jaccard
+    FROM ver
+    GROUP BY a_id
+    ORDER BY doc_id
+    """
+
+
+@query("fuzzy_decontaminate", oracle=_fuzzy_decon_oracle())
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (document-level) benchmark decontamination (M74): flag
+    training documents that are NEAR-duplicates of any eval/benchmark
+    document at shingle-Jaccard >= 1/2 — the MinHash complement of
+    ``ngram_decontaminate``'s exact 8-gram collision test (real
+    pipelines run both: exact n-grams catch verbatim quotes, fuzzy
+    doc-level catches paraphrased/reformatted benchmark copies that
+    share most of their shingles but no long exact run).
+
+    Eval set here is the deterministic doc_id % 7 == 0 slice standing
+    in for a benchmark suite.  Scale shape
+    (operators/dedup.minhash_lsh_cross_pairs_md5): each corpus is
+    banded independently, and candidates come from joining train
+    buckets to BROADCAST eval buckets — the 100 TB training corpus is
+    scanned once map-side, never self-joined; candidate volume scales
+    with the eval set, not the corpus.  Output: one row per
+    contaminated train doc with its eval-match count and worst
+    (highest) Jaccard — the drop list a pipeline anti-joins against
+    before export.  Whole sketch value-checked via the md5 family.
+    """
+    from insight_spark.operators.dedup import minhash_lsh_cross_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    pairs = minhash_lsh_cross_pairs_md5(train, eval_docs)
+    return (
+        pairs.groupBy(F.col("a_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard_sim").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )

@@ -320,3 +320,31 @@ def test_near_dedup_keep_all_verdicts(spark, sf_dir):
         (F.col("jaccard_sim") >= 0.5) != F.col("is_dup")
     ).count()
     assert bad == 0
+
+
+def test_md5_family_signature_matches_hashlib(spark):
+    """Each of the 8 md5-family signature elements must equal the true
+    seeded minimum min_g(md5("i#" + g)) — computed independently with
+    hashlib.  Regression pin for the F.transform arity trap: a
+    two-parameter lambda (``lambda g, i=i``) is silently called as the
+    (element, index) form, replacing every seed with the array index
+    and collapsing the hash family to one garbage-seeded function
+    (lineage-dependent signatures, broken LSH recall)."""
+    import hashlib
+
+    from insight_spark.operators.dedup import _md5_shingle_bands
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20)
+    sh, bands = _md5_shingle_bands(docs, "text", "doc_id", 8, 4, 3)
+    shingles = {r["_id"]: list(r["_sh"]) for r in sh.collect()}
+    got_bands = {}
+    for r in bands.collect():
+        got_bands.setdefault(r["_id"], {})[r["_band"]] = r["_bkey"]
+    assert shingles, "fixture slice must be non-empty"
+    for _id, grams in shingles.items():
+        h = [
+            min(hashlib.md5(f"{i}#{g}".encode()).hexdigest() for g in grams)
+            for i in range(8)
+        ]
+        want = {b: f"{h[2 * b]}|{h[2 * b + 1]}" for b in range(4)}
+        assert got_bands[_id] == want, f"doc {_id} signature drifted"
