@@ -186,9 +186,13 @@ def _kmeans_iter_sql(i: int, prev_cents: str, d: int) -> str:
 _KMEANS_K = 8
 _KMEANS_D = 64
 
-_KMEANS_SQL = (
+#: Shared unrolled-Lloyd assignment CTE body: ``WITH `` + this yields
+#: a3(vec_id, cell, dist) — the exact 2-round k-means cell assignment.
+#: ``semantic_dedup`` (queries/corpus_clean.py) builds its oracle on the
+#: same body so both queries check the identical integer-exact model.
+KMEANS_ASSIGN_CTE = (
     """
-    WITH emb AS (
+    emb AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
@@ -216,7 +220,13 @@ _KMEANS_SQL = (
                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
             FROM d3)
         WHERE rn = 1
-    )
+    )"""
+)
+
+_KMEANS_SQL = (
+    "WITH "
+    + KMEANS_ASSIGN_CTE
+    + """
     SELECT CAST(cell AS INTEGER) AS cell_id,
            COUNT(*) AS n_points,
            ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 6) AS inertia
