@@ -81,8 +81,9 @@ _MODULES = (
 #: stream_upsert_user_latest, dedup_pipeline_summary,
 #: multimodal_resize_real, multimodal_audio_frames, interp_fill_hourly,
 #: ann_pq_recall_gate, leakage_safe_split, fuzzy_decontaminate,
-#: minhash_near_dup_pairs (rows-only), and the corpus-clean trio
-#: line_dedup_stats / dsir_importance / semantic_dedup — plus
+#: minhash_near_dup_pairs (rows-only), the corpus-clean trio
+#: line_dedup_stats / dsir_importance / semantic_dedup, and
+#: inverted_index_build / seasonal_naive_error — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).

@@ -1207,3 +1207,73 @@ def interp_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("hour"),
         (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("filled_value"),
     )
+
+
+@query(
+    "seasonal_naive_error",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, cur.hour_start,
+           cur.n, prev.n AS f_naive,
+           CAST(ABS(cur.n - prev.n) AS BIGINT) AS abs_err,
+           ROUND(2.0 * ABS(cur.n - prev.n) / (cur.n + prev.n), 6)
+               AS smape_term
+    FROM hourly cur
+    JOIN hourly prev
+      ON prev.event_type = cur.event_type
+     AND prev.hour_start + INTERVAL 24 HOUR = cur.hour_start
+    """,
+)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (type, hour)'s
+    event count with the same hour one day earlier, and score every
+    hour with absolute error and its sMAPE term — the standard
+    sanity baseline every forecasting pipeline is graded against.
+
+    The day-lag is an equi-join on (type, hour-24h), NOT a row-offset
+    LAG: missing hours (gaps) must miss their forecast rather than
+    silently borrow the previous *row*, and the join form stays correct
+    under any gap pattern while shuffling on the same (type, hour) key
+    the rollup just produced.  Counts are integers, so error terms are
+    exact before the one ROUND; no float accumulates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    cur = hourly.select(
+        "event_type", "hour_start", F.col("n")
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hour_start") + F.expr("INTERVAL 24 HOURS")).alias(
+            "p_hour"
+        ),
+        F.col("n").alias("f_naive"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_hour") == F.col("hour_start")),
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            "f_naive",
+            F.abs(F.col("n") - F.col("f_naive"))
+            .cast("long")
+            .alias("abs_err"),
+            F.round(
+                2.0
+                * F.abs(F.col("n") - F.col("f_naive"))
+                / (F.col("n") + F.col("f_naive")),
+                6,
+            ).alias("smape_term"),
+        )
+    )

@@ -15,6 +15,7 @@ from insight_spark.operators.text import (
     term_freq,
     tf_idf,
     tokenize,
+    tokens_df,
 )
 from insight_spark.queries import query
 from insight_spark.sources import load_table
@@ -612,4 +613,74 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phone"),
         counts["ssn"].alias("n_ssn"),
         F.length(scrub_pii(aug)).alias("scrubbed_len"),
+    )
+
+
+@query(
+    "inverted_index_build",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM toks GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df_docs,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+               list_slice(
+                   list(concat(doc_id, ':', tf) ORDER BY doc_id),
+                   1, 50),
+               ' ') AS postings_head
+    FROM per_doc GROUP BY token
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the core of the reference's
+    Elasticsearch load step, expressed as the DataFrame job that builds
+    posting lists offline: per term, document frequency, corpus term
+    frequency, and the doc_id-ordered posting list (head truncated to
+    50 entries for the driver-facing scalar column; the full list is
+    the same expression without the slice).
+
+    Word-count shape end to end: one (token, doc_id) aggregate (the
+    postings themselves), then a vocab-sized rollup.  The posting list
+    is assembled with collect_list + array_sort so ordering never
+    depends on partitioning; at 100 TB the per-term list is bounded by
+    the slice (serving tiers page long postings), and the shuffle keys
+    are (token, doc_id) then token — both word-count keys.  This is
+    the sink-side twin of ``bm25_search``: what that query scores at
+    read time, this one materializes for the index writer
+    (``sources/sinks.py`` search-index stand-in).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        tokens_df(docs)
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                1,
+                50,
+            ),
+            lambda x: F.concat(
+                x["doc_id"].cast("string"),
+                F.lit(":"),
+                x["tf"].cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").alias("df_docs"),
+        F.sum("tf").alias("total_tf"),
+        postings.alias("postings_head"),
     )
