@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "pii_scrub_audit",
     "minhash_recall_gate",
     "dedup_pipeline_summary",
+    # round-4 late additions: corpus-clean trio + index build
+    "line_dedup_stats",
+    "dsir_importance",
+    "semantic_dedup",
+    "inverted_index_build",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -104,6 +109,8 @@ ITERATIVE = {
     "binary_stats",
     # CC convergence loop runs during build
     "dedup_pipeline_summary",
+    # Lloyd rounds (centroid collects) run during build
+    "semantic_dedup",
 }
 
 
