@@ -83,7 +83,8 @@ _MODULES = (
 #: ann_pq_recall_gate, leakage_safe_split, fuzzy_decontaminate,
 #: minhash_near_dup_pairs (rows-only), the corpus-clean trio
 #: line_dedup_stats / dsir_importance / semantic_dedup, and
-#: inverted_index_build / seasonal_naive_error — plus
+#: inverted_index_build / seasonal_naive_error / sparse_cosine_topk /
+#: assoc_rules — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).

@@ -1277,3 +1277,104 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("smape_term"),
         )
     )
+
+
+@query(
+    "assoc_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM baskets),
+    singles AS (
+        SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*) AS n_ab
+        FROM baskets a
+        JOIN baskets b
+          ON b.user_id = a.user_id AND b.day = a.day
+         AND b.event_type <> a.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+           ROUND(CAST(p.n_ab AS DOUBLE) / sa.cnt, 6) AS confidence,
+           ROUND(CAST(p.n_ab AS DOUBLE) * n.n_baskets
+                 / (CAST(sa.cnt AS DOUBLE) * sb.cnt), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.antecedent
+    JOIN singles sb ON sb.event_type = p.consequent
+    CROSS JOIN n
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets:
+    support / confidence / lift for every ordered event-type pair —
+    the recommendation-mining classic (a-priori's scoring step; with 5
+    items the frequent-set enumeration is the pair join itself).
+
+    Scale shape: baskets come from one DISTINCT (word-count shuffle on
+    the basket key); the pair join is an equi-join on the basket key
+    whose per-basket blowup is bounded by the item vocabulary (|types|²
+    per basket, never corpus²); the singles table is vocabulary-sized
+    and broadcasts.  All three metrics are exact integer ratios — one
+    ROUND each, no float accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_tbl = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    a = baskets.select(
+        F.col("user_id").alias("u"),
+        F.col("day").alias("d"),
+        F.col("event_type").alias("antecedent"),
+    )
+    b = baskets.select(
+        F.col("user_id").alias("u"),
+        F.col("day").alias("d"),
+        F.col("event_type").alias("consequent"),
+    )
+    pairs = (
+        a.join(b, ["u", "d"])
+        .filter(F.col("consequent") != F.col("antecedent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("cnt").alias("cnt_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("consequent"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_spark.operators.text import (
     PII_PATTERNS,
@@ -683,4 +684,123 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df_docs"),
         F.sum("tf").alias("total_tf"),
         postings.alias("postings_head"),
+    )
+
+
+@query(
+    "sparse_cosine_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS dfd FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(floor(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.dfd + 1.0))
+                                   + 1.0) * 1000000 + 0.5) AS BIGINT) AS w
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT q.doc_id AS q_doc, c.doc_id AS c_doc,
+               SUM(q.w * c.w) AS dt
+        FROM w q JOIN w c ON c.token = q.token AND c.doc_id <> q.doc_id
+        WHERE q.doc_id < 10
+        GROUP BY q.doc_id, c.doc_id
+    ),
+    scored AS (
+        SELECT d.q_doc, d.c_doc,
+               ROUND(CAST(d.dt AS DOUBLE)
+                     / (sqrt(CAST(qn.nrm AS DOUBLE))
+                        * sqrt(CAST(cn.nrm AS DOUBLE))), 6) AS cos_sim
+        FROM dots d
+        JOIN norms qn ON qn.doc_id = d.q_doc
+        JOIN norms cn ON cn.doc_id = d.c_doc
+    )
+    SELECT q_doc, c_doc, cos_sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_doc ORDER BY cos_sim DESC, c_doc) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity search: tf-idf cosine top-5 per query
+    doc via the inverted-index join — the sparse complement of the
+    dense ANN stack (knn/IVF/LSH/PQ score embeddings; this scores
+    term vectors without ever materializing them).
+
+    The sparse trick IS the scale story: the dot product is computed
+    by joining postings on the shared token (only term-sharing pairs
+    ever meet — candidate volume follows posting-list sizes, not N²),
+    with the query side broadcast.  Smooth idf (ln((N+1)/(df+1)) + 1,
+    the sklearn form) keeps corpus-wide terms informative; weights are
+    quantized to integer micro-units so every dot product and norm is
+    an exact BIGINT sum — order-independent, bit-equal cross-engine —
+    and only the final cosine divides into doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokens_df(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfd"))
+    n_tbl = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("dfd") + 1.0)) + 1.0
+    w = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(F.col("tf") * idf * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("nrm")
+    )
+    q = w.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_doc"), "token", F.col("w").alias("qw")
+    )
+    dots = (
+        w.join(F.broadcast(q), "token")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("c_doc"))
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dt"))
+    )
+    qn = norms.select(
+        F.col("doc_id").alias("q_doc"), F.col("nrm").alias("q_nrm")
+    )
+    cn = norms.select(
+        F.col("doc_id").alias("c_doc"), F.col("nrm").alias("c_nrm")
+    )
+    cos = F.round(
+        F.col("dt").cast("double")
+        / (
+            F.sqrt(F.col("q_nrm").cast("double"))
+            * F.sqrt(F.col("c_nrm").cast("double"))
+        ),
+        6,
+    )
+    wdw = Window.partitionBy("q_doc").orderBy(
+        F.desc("cos_sim"), F.asc("c_doc")
+    )
+    return (
+        dots.join(F.broadcast(qn), "q_doc")
+        .join(cn, "c_doc")
+        .select("q_doc", "c_doc", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wdw).cast("int"))
+        .filter(F.col("rank") <= 5)
     )
