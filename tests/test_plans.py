@@ -278,3 +278,55 @@ def test_shard_export_reads_partitioned_tree(spark):
     directory column, so per-shard reads prune at listing time."""
     plan = _plan(spark, "shard_export_counts")
     assert "PartitionFilters" in plan or "partition" in plan.lower()
+
+
+def test_line_dedup_filters_and_shuffles_bounded(spark):
+    """Line dedup is two word-count shuffles (line key, doc key) plus
+    the join-back; no UDFs, no nested loops."""
+    plan = _plan(spark, "line_dedup_stats")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_vocab_broadcasts(spark):
+    """Both unigram LMs are vocab-sized and must broadcast back onto
+    the token stream — the token stream itself must never shuffle on
+    content."""
+    plan = _plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """SemDeDup's within-cluster pairing must be an equi-join on the
+    cell id (b_id < a_id rides as a join condition), never a cartesian
+    over the corpus."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparse_cosine_query_side_broadcasts(spark):
+    """The sparse dot product joins postings on the shared token with
+    the query-doc side broadcast; the corpus posting table must not be
+    nested-loop joined."""
+    plan = _plan(spark, "sparse_cosine_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_word_count_shape(spark):
+    """Index build is (token, doc_id) then token hash aggregates —
+    partial aggregation must be present and no Python in the path."""
+    plan = _plan(spark, "inverted_index_build")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_naive_join_not_lag(spark):
+    """The day-lag is an equi-join on (type, hour-24h); both sides come
+    from the same hourly rollup, joined hash-wise."""
+    plan = _plan(spark, "seasonal_naive_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
