@@ -650,14 +650,16 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression without the slice).
 
     Word-count shape end to end: one (token, doc_id) aggregate (the
-    postings themselves), then a vocab-sized rollup.  The posting list
-    is assembled with collect_list + array_sort so ordering never
-    depends on partitioning; at 100 TB the per-term list is bounded by
-    the slice (serving tiers page long postings), and the shuffle keys
-    are (token, doc_id) then token — both word-count keys.  This is
-    the sink-side twin of ``bm25_search``: what that query scores at
-    read time, this one materializes for the index writer
-    (``sources/sinks.py`` search-index stand-in).
+    postings themselves), then a vocab-sized rollup.  The df/tf stats
+    aggregate the full posting stream, but the head itself is pruned
+    BEFORE collection: a rank<=50 filter over (token ORDER BY doc_id)
+    plans as WindowGroupLimit (plan-asserted), so no reducer ever
+    materializes a full posting list — the difference between bounded
+    and unbounded executor state when a stopword's posting list is the
+    whole corpus.  Shuffle keys are (token, doc_id) then token — both
+    word-count keys.  This is the sink-side twin of ``bm25_search``:
+    what that query scores at read time, this one materializes for the
+    index writer (``sources/sinks.py`` search-index stand-in).
     """
     docs = load_table(spark, sf_dir, "documents")
     per_doc = (
@@ -665,26 +667,30 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    postings = F.array_join(
-        F.transform(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
-                1,
-                50,
-            ),
-            lambda x: F.concat(
-                x["doc_id"].cast("string"),
-                F.lit(":"),
-                x["tf"].cast("string"),
-            ),
-        ),
-        " ",
-    )
-    return per_doc.groupBy("token").agg(
+    stats = per_doc.groupBy("token").agg(
         F.count("*").alias("df_docs"),
         F.sum("tf").alias("total_tf"),
-        postings.alias("postings_head"),
     )
+    wdw = Window.partitionBy("token").orderBy(F.asc("doc_id"))
+    head = (
+        per_doc.withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= 50)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda x: F.concat(
+                        x["doc_id"].cast("string"),
+                        F.lit(":"),
+                        x["tf"].cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(head, "token")
 
 
 @query(

@@ -318,9 +318,12 @@ def test_sparse_cosine_query_side_broadcasts(spark):
 
 def test_inverted_index_word_count_shape(spark):
     """Index build is (token, doc_id) then token hash aggregates —
-    partial aggregation must be present and no Python in the path."""
+    partial aggregation must be present, the posting head must prune
+    via WindowGroupLimit (never collect a full posting list), and no
+    Python in the path."""
     plan = _plan(spark, "inverted_index_build")
     assert "HashAggregate" in plan
+    assert "WindowGroupLimit" in plan, "posting head collects unbounded lists"
     assert "BatchEvalPython" not in plan
 
 
