@@ -491,3 +491,117 @@ def ann_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("recall") >= 0.6).alias("recall_ok"),
         F.count("*").cast("int").alias("n_queries"),
     )
+
+
+def _jl_signs(d: int = 64, k: int = 16) -> list[list[int]]:
+    """Deterministic Achlioptas sign matrix: entry (i, j) from md5
+    parity — reproducible in any engine, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl|{i}|{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_D, _JL_K = 64, 16
+_JL = _jl_signs(_JL_D, _JL_K)
+
+
+def _jl_oracle() -> str:
+    proj = ",\n           ".join(
+        "CAST(list_sum(list_transform(range(1, %d), i -> e[i] * ([%s])[i])) AS BIGINT) AS y%d"
+        % (_JL_D + 1, ",".join(str(s) for s in _JL[j]), j)
+        for j in range(_JL_K)
+    )
+    ynorm = " + ".join(f"y{j} * y{j}" for j in range(_JL_K))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT)
+                   AS xnorm2,
+           {proj}
+        FROM emb
+    )
+    SELECT vec_id,
+           floor(y0 / sqrt({_JL_K}.0) + 0.5) / 1000000.0 AS p0,
+           floor(y1 / sqrt({_JL_K}.0) + 0.5) / 1000000.0 AS p1,
+           floor(({ynorm}) / ({_JL_K}.0 * xnorm2) * 1000000 + 0.5)
+               / 1000000.0 AS norm_ratio
+    FROM proj
+    """
+
+
+@query("random_projection_jl", oracle=_jl_oracle())
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, 64 -> 16 dims — the
+    dimensionality-reduction front end of the ANN stack (project, THEN
+    index; distances survive within (1 +/- eps)).  The sign matrix is
+    the sparse Achlioptas construction with md5-parity entries, so the
+    "random" projection is a deterministic pure function both engines
+    reproduce exactly.
+
+    Per output dim, y_j = sum_i (+/- x_i) over micro-int coordinates —
+    an exact BIGINT fold per ROW (a Project; zero shuffles, zero joins,
+    the matrix is 1 KB of literals inlined into the expression tree).
+    The emitted norm_ratio ||y||^2/(k*||x||^2) is the JL check itself:
+    concentrated near 1, every value exact until the final ROUND.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("e"))
+
+    def fold(j: int):
+        signs = F.array(*[F.lit(s) for s in _JL[j]])
+        return F.aggregate(
+            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    proj = e.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("xnorm2"),
+        *[fold(j).alias(f"y{j}") for j in range(_JL_K)],
+    )
+    ynorm2 = None
+    for j in range(_JL_K):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        ynorm2 = term if ynorm2 is None else ynorm2 + term
+    # floor-idiom micro-rounding, NOT ROUND: both engines round the
+    # identical IEEE double identically (DuckDB's float ROUND drifts
+    # 1 ulp from Spark's BigDecimal ROUND on ~1/500 values — observed).
+    k = float(_JL_K)
+    return proj.select(
+        "vec_id",
+        (
+            F.floor(F.col("y0") / F.sqrt(F.lit(k)) + F.lit(0.5)) / 1000000.0
+        ).alias("p0"),
+        (
+            F.floor(F.col("y1") / F.sqrt(F.lit(k)) + F.lit(0.5)) / 1000000.0
+        ).alias("p1"),
+        (
+            F.floor(
+                ynorm2 / (F.lit(k) * F.col("xnorm2")) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("norm_ratio"),
+    )
