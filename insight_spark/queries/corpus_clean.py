@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_spark.operators.similarity import dot, l2_norm
 from insight_spark.operators.text import tokenize, tokens_df
 from insight_spark.queries import query
 from insight_spark.sources import load_table
@@ -216,18 +215,24 @@ def _semantic_dedup_oracle() -> str:
         "WITH "
         + KMEANS_ASSIGN_CTE
         + f""",
-    ev AS (
+    nrm AS (
         SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+               CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT)
+                   AS nrm2
+        FROM emb
     ),
     pts AS (
-        SELECT a3.vec_id, a3.cell, ev.v
-        FROM a3 JOIN ev USING (vec_id)
+        SELECT a3.vec_id, a3.cell, emb.e, nrm.nrm2
+        FROM a3 JOIN emb USING (vec_id) JOIN nrm USING (vec_id)
     ),
     pairs AS (
         SELECT a.vec_id,
-               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+               floor(CAST(list_sum(list_transform(range(1, 65),
+                                                  i -> a.e[i] * b.e[i]))
+                          AS DOUBLE)
+                     / (sqrt(CAST(a.nrm2 AS DOUBLE))
+                        * sqrt(CAST(b.nrm2 AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000.0 AS sim
         FROM pts a JOIN pts b
           ON b.cell = a.cell AND b.vec_id < a.vec_id
     ),
@@ -238,7 +243,7 @@ def _semantic_dedup_oracle() -> str:
     SELECT p.vec_id,
            CAST(p.cell AS INTEGER) AS cell_id,
            CAST(COALESCE(s.n_lower, 0) AS BIGINT) AS n_lower,
-           ROUND(COALESCE(s.mx, -1.0), 6) AS max_sim_lower,
+           COALESCE(s.mx, -1.0) AS max_sim_lower,
            CAST(CASE WHEN COALESCE(s.mx, -1.0) >= {_SEMDEDUP_TAU}
                      THEN 1 ELSE 0 END AS INTEGER) AS is_dup
     FROM pts p LEFT JOIN stats s USING (vec_id)
@@ -255,69 +260,69 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustermate is >= tau; the lowest id of each duplicate group
     survives — the keep-one policy from the SemDeDup paper.
 
-    The cluster step IS the scale story: pairwise cosine is quadratic,
-    but only within a cell — with K ~ sqrt(N) cells the total pair
-    count is ~N^1.5/K tractable, and each cell's pair join is an
-    equi-join on cell id (shuffle on cell, AQE splits skewed cells).
-    Norms are hoisted per ROW before the pair join (N not N^2 sqrt
-    evaluations, the ``embedding_near_dup`` lesson); per-pair work is
-    a JVM higher-order fold, no Python.
+    Kernel history, because each step was measured on the 10x probe
+    (20k vectors, ~25M within-cell pairs):
+
+    1. Plain cell equi-join + per-pair JVM array fold: AQE coalesced
+       the small *input* shuffle to ONE partition while the *output*
+       exploded quadratically — a single task that ran >12 min.  AQE's
+       size-based rules cannot see explosion-under-coalescing.
+    2. Salted join (``operators/partitioning.salted_join``) restored
+       parallelism, but the per-pair zip_with/aggregate fold allocates
+       two arrays per pair — the kernel, not the distribution, was the
+       bottleneck (still minutes).
+    3. Final form — the SemDeDup paper's own kernel, distributed: ONE
+       ``applyInPandas`` per cell computing the pairwise Gram matrix
+       with blocked numpy matmul.  On micro-int coordinates every
+       product (<= 4e11) and 64-term sum (<= 3e13) is far below 2^53,
+       so float64 BLAS is EXACT integer arithmetic — bit-equal to the
+       DuckDB oracle's BIGINT folds, at BLAS speed.
+
+    Scale: cells bound the quadratic term (K ~ sqrt(N) in production);
+    per-cell memory is bounded by the row-blocked matmul (block x n,
+    never n x n); Arrow batches stream group-wise, and the only
+    shuffle is the groupBy(cell) exchange.
     """
+    import numpy as np
+    import pandas as pd
+
     from insight_spark.operators.clustering import lloyd, quantize_micro
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("e"))
-    assigned = lloyd(q, k=8, n_iter=2, vec_col="e", id_col="vec_id").select(
-        "vec_id", "cell"
+    final = lloyd(q, k=8, n_iter=2, vec_col="e", id_col="vec_id").select(
+        "vec_id", "cell", "e"
     )
-    pts = assigned.join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    ).select(
-        "vec_id",
-        "cell",
-        F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    a = pts.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cell").alias("a_cell"),
-        F.col("v").alias("a_v"),
-        F.col("nrm").alias("a_n"),
-    )
-    b = pts.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cell").alias("b_cell"),
-        F.col("v").alias("b_v"),
-        F.col("nrm").alias("b_n"),
-    )
-    denom = F.col("a_n") * F.col("b_n")
-    sim = F.round(
-        F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            dot(F.col("a_v"), F.col("b_v")) / denom
-        ),
-        6,
-    )
-    stats = (
-        a.join(
-            b,
-            (F.col("b_cell") == F.col("a_cell"))
-            & (F.col("b_id") < F.col("a_id")),
+    tau = _SEMDEDUP_TAU
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        # exact: micro-int coords as float64 (all sums < 2^53)
+        E = np.asarray(pdf["e"].tolist(), dtype="float64")
+        n = len(pdf)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        mx = np.full(n, -1.0)
+        B = 1024
+        for s in range(0, n, B):
+            g = E[s : s + B] @ E.T
+            cos = g / (nrm[s : s + B, None] * nrm[None, :])
+            cosr = np.floor(cos * 1000000 + 0.5) / 1000000.0
+            for r in range(g.shape[0]):
+                i = s + r
+                if i > 0:
+                    mx[i] = cosr[r, :i].max()
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell_id": pdf["cell"].astype("int32"),
+                "n_lower": np.arange(n, dtype="int64"),
+                "max_sim_lower": mx,
+                "is_dup": (mx >= tau).astype("int32"),
+            }
         )
-        .select(F.col("a_id").alias("vec_id"), sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("n_lower"), F.max("sim").alias("mx"))
-    )
-    mx = F.round(F.coalesce(F.col("mx"), F.lit(-1.0)), 6)
-    return (
-        pts.select("vec_id", "cell")
-        .join(stats, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cell").cast("int").alias("cell_id"),
-            F.coalesce(F.col("n_lower"), F.lit(0))
-            .cast("long")
-            .alias("n_lower"),
-            mx.alias("max_sim_lower"),
-            (mx >= _SEMDEDUP_TAU).cast("int").alias("is_dup"),
-        )
+
+    return final.groupBy("cell").applyInPandas(
+        score_cell,
+        schema="vec_id long, cell_id int, n_lower long, "
+        "max_sim_lower double, is_dup int",
     )

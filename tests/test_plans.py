@@ -298,11 +298,13 @@ def test_dsir_vocab_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_semantic_dedup_pair_join_is_equi(spark):
-    """SemDeDup's within-cluster pairing must be an equi-join on the
-    cell id (b_id < a_id rides as a join condition), never a cartesian
-    over the corpus."""
+def test_semantic_dedup_groups_per_cell(spark):
+    """SemDeDup's within-cluster pairing runs as ONE Arrow-batched
+    grouped-map per cell (the paper's numpy Gram kernel, distributed) —
+    never a pair join that could cartesian or serialize under AQE
+    coalescing (both prior kernels failed the 10x probe)."""
     plan = _plan(spark, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
