@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_spark.operators.text import tokenize, tokens_df
 from insight_spark.queries import query
@@ -325,4 +326,177 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_cell,
         schema="vec_id long, cell_id int, n_lower long, "
         "max_sim_lower double, is_dup int",
+    )
+
+
+@query(
+    "bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> [ts[i], ts[i + 1]])) AS g
+        FROM toks WHERE len(ts) >= 2
+    ),
+    pairs AS (SELECT doc_id, g[1] AS w1, g[2] AS w2 FROM grams),
+    uni AS (
+        SELECT w, COUNT(*) AS cu
+        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT SUM(cu) AS t FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+    micro AS (
+        SELECT p.doc_id,
+               CAST(ROUND(-log10(
+                   0.7 * (CAST(b.cb AS DOUBLE) / u1.cu)
+                   + 0.3 * (CAST(u2.cu AS DOUBLE) / tot.t)
+               ) * 1000000) AS BIGINT) AS s
+        FROM pairs p
+        JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN uni u1 ON u1.w = p.w1
+        JOIN uni u2 ON u2.w = p.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND((SUM(s) / COUNT(*)) / 1000000.0, 6) AS avg_surprisal
+    FROM micro GROUP BY doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score — the upgrade of
+    ``unigram_surprisal_score`` every production LM-filter makes:
+    per-doc mean surprisal under p = 0.7 * p(w2|w1) + 0.3 * p(w2),
+    with both model tables estimated from the corpus itself.  Docs
+    whose word ORDER is unusual (shuffled text, keyword stuffing)
+    now score high even when their unigram mix looks normal.
+
+    Scale shape: two word-count aggregates (bigram table keyed on the
+    pair, unigram on the token — both vocabulary-bounded, both
+    broadcast back onto the gram stream); the per-doc agg shuffles on
+    doc_id.  Float discipline: the per-gram surprisal is rounded to
+    integer micro-units before the per-doc sum (order-independent,
+    exact), one final division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("t"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    p = 0.7 * (F.col("cb").cast("double") / F.col("cu1")) + 0.3 * (
+        F.col("cu2").cast("double") / F.col("t")
+    )
+    micro = (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log10(p) * 1000000).cast("long").alias("s"),
+        )
+    )
+    return micro.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round((F.sum("s") / F.count("*")) / 1000000.0, 6).alias(
+            "avg_surprisal"
+        ),
+    )
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+               epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+        FROM events
+    ),
+    weighted AS (
+        SELECT user_id,
+               CAST(v_micro AS DECIMAL(38,0)) * CAST(t_next - t AS DECIMAL(38,0))
+                   AS wv,
+               CAST(t_next - t AS DECIMAL(38,0)) AS dt
+        FROM seq WHERE t_next IS NOT NULL AND t_next > t
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           floor(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+                 + 0.5) / 1000000.0 AS twap
+    FROM weighted GROUP BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — each reading is
+    held until the next one, so its weight is the interval it was live
+    (finance's TWAP / monitoring's time-weighted mean; the plain AVG
+    overweights burst periods).
+
+    One LEAD window per user (single exchange on user_id, the key the
+    sessionizer already uses), zero-length intervals dropped.  Exact
+    arithmetic: values quantized to micro-int, intervals are integer
+    MICROseconds (epoch_us/unix_micros — whole-second truncation would
+    silently diverge on sub-second timestamps, and DuckDB's epoch() is
+    a fractional double), products and sums carried as DECIMAL(38,0) (no float
+    accumulation, no BIGINT overflow at any scale); one final double
+    division with floor-idiom rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+        F.unix_micros("ts").alias("t"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t_next"),
+    )
+    weighted = seq.filter(
+        F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t"))
+    ).select(
+        "user_id",
+        (
+            F.col("v_micro").cast("decimal(38,0)")
+            * (F.col("t_next") - F.col("t")).cast("decimal(38,0)")
+        ).alias("wv"),
+        (F.col("t_next") - F.col("t")).cast("decimal(38,0)").alias("dt"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        (
+            F.floor(
+                F.sum("wv").cast("double") / F.sum("dt").cast("double")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("twap"),
     )
