@@ -79,11 +79,15 @@ BENCH_QUERIES = [
     "pii_scrub_audit",
     "minhash_recall_gate",
     "dedup_pipeline_summary",
-    # round-4 late additions: corpus-clean trio + index build
+    # round-4 late additions: corpus-clean family + search/vector ops
     "line_dedup_stats",
     "dsir_importance",
     "semantic_dedup",
     "inverted_index_build",
+    "sparse_cosine_topk",
+    "bigram_lm_score",
+    "random_projection_jl",
+    "twap_user_value",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
