@@ -605,3 +605,143 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("norm_ratio"),
     )
+
+
+_LR_D = 8
+
+
+def _logreg_oracle() -> str:
+    """Unrolled 2-epoch full-batch GD, mirroring the Spark loop
+    integer-for-integer (micro-int features/weights, per-sample
+    gradients floored to integers BEFORE the sum)."""
+    rng = f"(SELECT unnest(range(1, {_LR_D + 1})) AS pos)"
+    dot = f"list_sum(list_transform(range(1, {_LR_D + 1}), j -> w.w[j] * x[j]))"
+    return f"""
+    WITH emb8 AS (
+        SELECT vec_id, label % 2 AS y,
+               list_transform(list_slice(embedding, 1, {_LR_D}),
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS x
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS n FROM emb8),
+    -- epoch 1: w0 = 0 -> z = 0, p = 0.5, err = 0.5 - y (exact halves)
+    g1 AS (
+        SELECT pos,
+               SUM(CAST(floor((0.5 - y) * x[pos] + 0.5) AS BIGINT)) AS g
+        FROM emb8 CROSS JOIN {rng} GROUP BY pos
+    ),
+    w1 AS (
+        SELECT pos,
+               CAST(-floor(CAST(g AS DOUBLE) / n.n + 0.5) AS BIGINT) AS wv
+        FROM g1 CROSS JOIN n
+    ),
+    wl1 AS (SELECT list(wv ORDER BY pos) AS w FROM w1),
+    -- epoch 2: z from w1 (micro*micro = 1e12 scale), sigmoid, floored grads
+    s2 AS (
+        SELECT e.vec_id, e.y, e.x,
+               1.0 / (1.0 + exp(-(CAST({dot} AS DOUBLE) / 1e12))) AS p
+        FROM emb8 e CROSS JOIN wl1 w
+    ),
+    g2 AS (
+        SELECT pos,
+               SUM(CAST(floor((p - y) * x[pos] + 0.5) AS BIGINT)) AS g
+        FROM s2 CROSS JOIN {rng} GROUP BY pos
+    ),
+    w2 AS (
+        SELECT w1.pos,
+               w1.wv - CAST(floor(CAST(g2.g AS DOUBLE) / n.n + 0.5)
+                            AS BIGINT) AS wv
+        FROM w1 JOIN g2 USING (pos) CROSS JOIN n
+    ),
+    wl2 AS (SELECT list(wv ORDER BY pos) AS w FROM w2),
+    acc AS (
+        SELECT CAST(SUM(CASE WHEN ({dot} > 0) = (y = 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               COUNT(*) AS n_total
+        FROM emb8 CROSS JOIN wl2 w
+    )
+    SELECT CAST(w2.pos - 1 AS INTEGER) AS dim,
+           CAST(w2.wv AS BIGINT) AS w_micro,
+           acc.n_correct,
+           CAST(acc.n_total AS BIGINT) AS n_total
+    FROM w2 CROSS JOIN acc
+    """
+
+
+@query("logreg_gd_train", oracle=_logreg_oracle())
+def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression — 2 full-batch GD epochs on the
+    first 8 embedding dims predicting label parity, the supervised
+    sibling of ``kmeans_lloyd``'s unsupervised loop and the shape every
+    quality-classifier trainer compiles to on Spark.
+
+    Same training topology as MLlib's own LogisticRegression: weights
+    are DRIVER-resident model state (d integers), inlined as literals
+    into each epoch's gradient pass; the gradient is a map-side-combined
+    d-row aggregate, so per epoch the cluster moves d numbers and the
+    corpus never shuffles.  Exactness discipline: features and weights
+    live in integer micro-units, each sample's per-dim gradient is
+    floored to an integer BEFORE summation (order-independent), and the
+    weight update divides once on the driver — the oracle replays both
+    epochs integer-for-integer.  The only transcendental (sigmoid) is
+    computed per-sample on identical doubles; its output feeds the
+    floor quantizer, so a sub-ulp libm divergence cannot reach the
+    sums.  The decision threshold p>0.5 is evaluated as dot>0 — an
+    exact BIGINT comparison, so reported accuracy is float-free.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb8 = emb.select(
+        (F.col("label") % 2).alias("y"),
+        quantize_micro(F.slice(F.col("embedding"), 1, _LR_D)).alias("x"),
+    )
+    n = emb8.count()  # bounded driver scalar, like lloyd's seed read
+    w = [0] * _LR_D
+
+    def z_col():
+        terms = [F.lit(int(w[j])) * F.element_at("x", j + 1) for j in range(_LR_D)]
+        z = terms[0]
+        for t in terms[1:]:
+            z = z + t
+        return z
+
+    for _ in range(2):
+        if all(v == 0 for v in w):
+            err = F.lit(0.5) - F.col("y")
+        else:
+            p = 1.0 / (1.0 + F.exp(-(z_col().cast("double") / F.lit(1e12))))
+            err = p - F.col("y")
+        g = (
+            emb8.select(err.alias("err"), F.posexplode("x").alias("pos", "xv"))
+            .select(
+                "pos",
+                F.floor(F.col("err") * F.col("xv") + F.lit(0.5))
+                .cast("long")
+                .alias("gi"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("gi").alias("g"))
+            .collect()
+        )
+        import math
+
+        for r in g:
+            w[int(r["pos"])] -= int(math.floor(int(r["g"]) / n + 0.5))
+
+    acc = emb8.agg(
+        F.sum(((z_col() > 0) == (F.col("y") == 1)).cast("long")).alias(
+            "n_correct"
+        ),
+        F.count("*").alias("n_total"),
+    )
+    dims = spark.range(_LR_D).select(
+        F.col("id").cast("int").alias("dim"),
+        F.element_at(
+            F.array(*[F.lit(int(v)) for v in w]), F.col("id").cast("int") + 1
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return dims.crossJoin(F.broadcast(acc))
