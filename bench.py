@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "random_projection_jl",
     "twap_user_value",
+    "logreg_gd_train",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -115,6 +116,8 @@ ITERATIVE = {
     "dedup_pipeline_summary",
     # Lloyd rounds (centroid collects) run during build
     "semantic_dedup",
+    # GD epochs (gradient collects) run during build
+    "logreg_gd_train",
 }
 
 

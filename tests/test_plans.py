@@ -335,3 +335,27 @@ def test_seasonal_naive_join_not_lag(spark):
     plan = _plan(spark, "seasonal_naive_error")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_logreg_gradient_is_partial_aggregate(spark):
+    """Each GD epoch's gradient is a map-side-combined d-row hash
+    aggregate over the posexploded features; no Python in the plan
+    (the sigmoid is a JVM expression) and no shuffle of the corpus."""
+    import contextlib
+    import io
+
+    from insight_spark.queries import all_queries
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        all_queries()["logreg_gd_train"](spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_twap_single_window_exchange(spark):
+    """TWAP is one LEAD window + one group agg on the same user key —
+    at most the window exchange and the agg exchange."""
+    plan = _plan(spark, "twap_user_value")
+    assert plan.count("Exchange") <= 4, plan  # tree+detail list nodes twice
