@@ -85,7 +85,8 @@ _MODULES = (
 #: line_dedup_stats / dsir_importance / semantic_dedup, and
 #: inverted_index_build / seasonal_naive_error / sparse_cosine_topk /
 #: assoc_rules / random_projection_jl / bigram_lm_score /
-#: twap_user_value / logreg_gd_train — plus
+#: twap_user_value / logreg_gd_train / point_in_time_join /
+#: k_core_peel — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).

@@ -1378,3 +1378,74 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, value AS feat,
+               ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ),
+    facts AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id,
+           d.feat AS feat_at_click,
+           d.valid_from AS feat_version
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join — the feature-store correctness op:
+    each click is enriched with the purchase-value feature that was
+    CURRENT at click time (never a later one — the temporal-leakage
+    bug this op exists to prevent).  The dimension is the SCD-2
+    interval table built in-plan by one LEAD window (the
+    ``scd2_history`` shape); each fact matches exactly one version or
+    none (clicks before the user's first purchase keep a NULL
+    feature).
+
+    Plan shape, distinct from the as-of union+window trick (C9) and
+    the keyless range join (C8): a hash EQUI-join on user_id with the
+    validity range riding as a join filter — per-user version counts
+    are small, so the filter prunes a bounded candidate list per
+    probe, and both sides shuffle on the same user key the window just
+    used (one exchange reused).  At 100 TB this is the standard
+    "training-set assembly against a versioned feature table" join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").alias("feat"), "ts", "event_id")
+        .select(
+            F.col("user_id").alias("d_user"),
+            "feat",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w.partitionBy("user_id")).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("feat").alias("feat_at_click"),
+        F.col("valid_from").alias("feat_version"),
+    )

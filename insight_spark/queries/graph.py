@@ -279,3 +279,115 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return d.select(F.col("node").alias("token"), F.col("dist").cast("int").alias("dist"))
+
+
+_KCORE_K = 10
+#: Edge threshold as a fraction of |docs| — scale-invariant, so the
+#: graph keeps the same shape at every fixture SF.
+_KCORE_FRAC = 0.64
+
+
+@query(
+    "k_core_peel",
+    oracle=rf"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    t AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> ''))) AS tok
+        FROM documents
+    ),
+    e0 AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        CROSS JOIN n
+        GROUP BY 1, 2, n.c
+        HAVING COUNT(*) >= {_KCORE_FRAC} * n.c
+    ),
+    e AS (
+        SELECT ta AS u, tb AS v FROM e0
+        UNION ALL SELECT tb AS u, ta AS v FROM e0
+    ),
+    d0 AS (SELECT u, COUNT(*) AS deg0 FROM e GROUP BY u),
+    r1 AS (SELECT u, deg0, deg0 < {_KCORE_K} AS gone1 FROM d0),
+    d1 AS (
+        SELECT e.u, COUNT(*) AS deg1
+        FROM e
+        JOIN r1 su ON su.u = e.u AND NOT su.gone1
+        JOIN r1 sv ON sv.u = e.v AND NOT sv.gone1
+        GROUP BY e.u
+    )
+    SELECT r1.u AS token,
+           CAST(r1.deg0 AS BIGINT) AS deg0,
+           CAST(COALESCE(d1.deg1, CASE WHEN r1.gone1 THEN -1 ELSE 0 END)
+                AS BIGINT) AS deg1,
+           CAST(CASE WHEN r1.gone1 THEN 1
+                     WHEN COALESCE(d1.deg1, 0) < {_KCORE_K} THEN 2
+                     ELSE 0 END AS INTEGER) AS peel_status
+    FROM r1 LEFT JOIN d1 ON d1.u = r1.u
+    """,
+)
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition, two synchronized peel rounds over the
+    token co-occurrence graph — the degree-pruning primitive behind
+    spam-cluster filtering and dense-community mining, and a different
+    iteration shape from PageRank (value propagation) or CC (label
+    propagation): each round REMOVES vertices and recomputes degrees
+    among survivors.
+
+    peel_status: 1 = degree < k in the full graph, 2 = degree dropped
+    below k after round-1 removals cascaded, 0 = still in the
+    (2-round) k-core.  Each round is one degree aggregate plus
+    semi-join filters on the removed set — at 100 TB the removed set
+    is the only state carried between rounds (the standard distributed
+    k-core loop; here 2 rounds are unrolled so the DuckDB oracle
+    replays the cascade exactly).  The edge threshold scales with
+    |docs| so graph density is fixture-SF-invariant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tbl = docs.agg(F.count("*").alias("c"))
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    a = t.select("doc_id", F.col("tok").alias("ta"))
+    b = t.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tb"))
+    e0 = (
+        a.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .crossJoin(F.broadcast(n_tbl))
+        .filter(F.col("w") >= _KCORE_FRAC * F.col("c"))
+        .select("ta", "tb")
+    )
+    e = e0.select(F.col("ta").alias("u"), F.col("tb").alias("v")).unionAll(
+        e0.select(F.col("tb").alias("u"), F.col("ta").alias("v"))
+    )
+    d0 = e.groupBy("u").agg(F.count("*").alias("deg0"))
+    r1 = d0.select("u", "deg0", (F.col("deg0") < _KCORE_K).alias("gone1"))
+    keep = r1.filter(~F.col("gone1")).select("u")
+    d1 = (
+        e.join(keep, "u")
+        .join(keep.select(F.col("u").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count("*").alias("deg1"))
+    )
+    deg1 = F.coalesce(
+        F.col("deg1"),
+        F.when(F.col("gone1"), F.lit(-1)).otherwise(F.lit(0)),
+    ).cast("long")
+    status = (
+        F.when(F.col("gone1"), 1)
+        .when(F.coalesce(F.col("deg1"), F.lit(0)) < _KCORE_K, 2)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        r1.join(d1, "u", "left")
+        .select(
+            F.col("u").alias("token"),
+            F.col("deg0").cast("long").alias("deg0"),
+            deg1.alias("deg1"),
+            status.alias("peel_status"),
+        )
+    )
