@@ -348,3 +348,140 @@ def test_md5_family_signature_matches_hashlib(spark):
         ]
         want = {b: f"{h[2 * b]}|{h[2 * b + 1]}" for b in range(4)}
         assert got_bands[_id] == want, f"doc {_id} signature drifted"
+
+
+def test_line_dedup_ratio_bounds(spark, sf_dir):
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["line_dedup_stats"](spark, sf_dir)
+    bad = df.filter(
+        (F.col("n_boiler") > F.col("n_lines"))
+        | (F.col("boiler_ratio") < 0)
+        | (F.col("boiler_ratio") > 1)
+        | (F.col("n_lines") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_jl_norm_ratio_concentrates(spark, sf_dir):
+    """JL lemma in action: the norm ratio must concentrate near 1 —
+    mean within [0.7, 1.3] and every value positive."""
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["random_projection_jl"](spark, sf_dir)
+    row = df.agg(
+        F.avg("norm_ratio").alias("m"), F.min("norm_ratio").alias("lo")
+    ).collect()[0]
+    assert row["lo"] > 0
+    assert 0.7 < row["m"] < 1.3, row["m"]
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    """A time-weighted average cannot leave the per-user value hull."""
+    from insight_spark.queries import all_queries
+    from insight_spark.sources import load_table
+
+    twap = all_queries()["twap_user_value"](spark, sf_dir)
+    hull = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        twap.join(hull, "user_id")
+        .filter(
+            (F.col("twap") < F.col("lo") - 1e-6)
+            | (F.col("twap") > F.col("hi") + 1e-6)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_semantic_dedup_verdict_consistency(spark, sf_dir):
+    """is_dup must equal (max_sim_lower >= tau); n_lower counts the
+    lower-id clustermates, so per cell they must be 0..n-1 exactly."""
+    from insight_spark.queries import all_queries
+    from insight_spark.queries.corpus_clean import _SEMDEDUP_TAU
+
+    df = all_queries()["semantic_dedup"](spark, sf_dir).cache()
+    bad = df.filter(
+        ((F.col("max_sim_lower") >= _SEMDEDUP_TAU) != (F.col("is_dup") == 1))
+    ).count()
+    assert bad == 0
+    per_cell = (
+        df.groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_lower").alias("s"),
+        )
+        .filter(F.col("s") != F.col("n") * (F.col("n") - 1) / 2)
+        .count()
+    )
+    assert per_cell == 0
+    df.unpersist()
+
+
+def test_logreg_accuracy_and_dims(spark, sf_dir):
+    from insight_spark.queries import all_queries
+
+    rows = all_queries()["logreg_gd_train"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert {r["dim"] for r in rows} == set(range(8))
+    r0 = rows[0]
+    assert 0 <= r0["n_correct"] <= r0["n_total"]
+
+
+def test_kcore_peel_monotone(spark, sf_dir):
+    """Survivor degrees can only shrink (deg1 <= deg0), peeled-in-round-1
+    nodes carry deg1 = -1, and status 0 nodes must still clear k."""
+    from insight_spark.queries import all_queries
+    from insight_spark.queries.graph import _KCORE_K
+
+    df = all_queries()["k_core_peel"](spark, sf_dir).cache()
+    assert df.filter(F.col("deg1") > F.col("deg0")).count() == 0
+    assert df.filter(
+        (F.col("peel_status") == 1) & (F.col("deg1") != -1)
+    ).count() == 0
+    assert df.filter(
+        (F.col("peel_status") == 0) & (F.col("deg1") < _KCORE_K)
+    ).count() == 0
+    df.unpersist()
+
+
+def test_point_in_time_never_leaks_future(spark, sf_dir):
+    """No click may be matched to a purchase version that starts after
+    the click — the exact leakage this operator exists to prevent."""
+    from insight_spark.queries import all_queries
+    from insight_spark.sources import load_table
+
+    pit = all_queries()["point_in_time_join"](spark, sf_dir)
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", F.col("ts").alias("click_ts"))
+    )
+    bad = (
+        pit.filter(F.col("feat_version").isNotNull())
+        .join(clicks, "event_id")
+        .filter(F.col("feat_version") > F.col("click_ts"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sparse_cosine_rank_contract(spark, sf_dir):
+    """Exactly <=5 neighbors per query doc, ranks 1..k dense, cosine
+    within [-1, 1] and non-increasing along ranks."""
+    from insight_spark.queries import all_queries
+
+    rows = all_queries()["sparse_cosine_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_doc"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rs)
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
