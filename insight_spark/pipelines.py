@@ -13,6 +13,11 @@ reference user's workloads map 1:1:
 | corpus hygiene (dedup + stats) | ``prepare_corpus``           |
 | Pulsar consumer → serving      | ``streaming_ingest``         |
 
+``prepare_training_corpus`` is the one job the reference does NOT have:
+the LLM-training-data prep pipeline (exact dedup → PII scrub → quality
+gate → near-dup canonicalization → decontamination → token stats),
+composed from the same individually-oracled operators.
+
 Each stage is a declarative DataFrame (lazy); callers pick the sink
 (``sources.sinks``).  Every underlying operator is individually
 DuckDB-oracled via the query registry; the compositions are tested in
@@ -101,6 +106,138 @@ def build_suggestions(docs: DataFrame, min_tf: int = 2) -> DataFrame:
         F.substring("token", 1, 1).alias("prefix1"),
         F.substring("token", 1, 2).alias("prefix2"),
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.7,
+    decontaminate_n: int = 3,
+) -> dict[str, DataFrame]:
+    """The LLM-training-data prep job, end to end in one lazy plan pair.
+
+    Stages (order is load-bearing — SCALE.md records that verbatim
+    duplicates inflate LSH candidate pairs quadratically, so the cheap
+    digest shuffle runs first; PII scrub precedes the quality gate so
+    redaction placeholders count as tokens exactly once):
+
+    1. exact dedup        — sha256 arg-min keep (one digest shuffle)
+    2. PII scrub          — typed placeholders, map-only regexp chain
+    3. quality gate       — Gopher-style rules (Rae et al. 2021 §A1.1),
+                            map-only higher-order array functions
+    4. near-dup removal   — MinHash+LSH pairs → connected components →
+                            keep cluster-min canonical
+    5. decontamination    — drop docs sharing any ``decontaminate_n``-gram
+                            with ``benchmark`` (skipped when None)
+    6. token stats        — tokens / n_tokens / n_chars for the packer
+                            and shard export
+
+    Returns ``{"corpus": per-doc training rows, "funnel": one-row stage
+    counts (n_raw → n_exact → n_quality → n_canonical → n_clean)}``.
+    Both are lazy; the only eager step is a ``localCheckpoint`` of the
+    (small) near-dup id-pair list, which the CC rounds, the canonical
+    semi-join, and the funnel all reuse instead of re-running the
+    sketch pipeline per consumer.
+
+    Scale: every shuffle is on a bounded key (256-bit digest, band
+    bucket, 16-byte id pair, gram hash); document text crosses the wire
+    once per joining stage, never through the band join; the benchmark
+    gram side is broadcast-sized by construction.  No driver state
+    beyond CC's convergence flag.  At 100 TB, checkpoint the gated
+    survivor set between stages 3 and 4 so the map-only scrub+gate scan
+    isn't recomputed per downstream consumer.
+    """
+    from insight_spark.operators.components import canonical_assignment
+    from insight_spark.operators.dedup import near_dedup_minhash
+    from insight_spark.operators.text import ngrams, scrub_pii
+
+    keep = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id", "left_semi").withColumn(
+        "clean_text", scrub_pii(F.col("text"))
+    )
+
+    toks = tokenize(F.col("clean_text"))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stopset = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopset)))
+    passes = (
+        n_words.between(25, 90)
+        & (sum_len.cast("double") / n_words).between(4.0, 10.0)
+        & (alpha.cast("double") / n_words >= 0.8)
+        & (n_stop >= 2)
+    )
+    quality = survivors.filter(passes)
+
+    pairs = (
+        near_dedup_minhash(
+            quality,
+            text_col="clean_text",
+            threshold=near_dup_threshold,
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    canon = canonical_assignment(pairs, quality.select("doc_id"))
+    canonical = quality.join(
+        canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    if benchmark is not None:
+        bench_grams = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(
+                        ngrams(tokenize(F.col("text")), decontaminate_n)
+                    )
+                ).alias("gram")
+            )
+            .select(F.xxhash64("gram").alias("gram_h"))
+            .distinct()
+        )
+        doc_grams = canonical.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    ngrams(tokenize(F.col("clean_text")), decontaminate_n)
+                )
+            ).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("gram_h"))
+        contaminated = (
+            doc_grams.join(F.broadcast(bench_grams), "gram_h", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = canonical.join(contaminated, "doc_id", "left_anti")
+    else:
+        clean = canonical
+
+    corpus = clean.select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        toks.alias("tokens"),
+    ).select(
+        "doc_id",
+        "text",
+        "tokens",
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    funnel = (
+        docs.agg(F.count("*").alias("n_raw"))
+        .crossJoin(survivors.agg(F.count("*").alias("n_exact")))
+        .crossJoin(quality.agg(F.count("*").alias("n_quality")))
+        .crossJoin(canonical.agg(F.count("*").alias("n_canonical")))
+        .crossJoin(clean.agg(F.count("*").alias("n_clean")))
+    )
+    return {"corpus": corpus, "funnel": funnel}
 
 
 def streaming_ingest(
