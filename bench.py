@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "random_projection_jl",
     "twap_user_value",
     "logreg_gd_train",
+    "salted_join_priority_revenue",
+    "attribution_linear_touch",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

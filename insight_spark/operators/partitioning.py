@@ -97,6 +97,42 @@ def salted_join(
     return s.join(o, [on, "_salt"], how).drop("_salt")
 
 
+def hot_key_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    skewed_unique_col: str,
+    n_salts: int = 8,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Production form of :func:`salted_join`: salt ONLY the hot keys.
+
+    Full-dim salting replicates the entire ``other`` side n_salts×,
+    which is the dominant cost when skew is concentrated in a few keys
+    (it always is — that's what skew means).  This variant detects keys
+    whose fact-side row count reaches ``hot_threshold`` (one map-side-
+    combined count on the join key — |keys| rows, broadcast back), then
+    routes: hot fact rows take the salted join against the hot slice of
+    ``other`` (replicated n_salts×, but the slice is tiny by
+    construction), cold rows take the plain equi-join.  Result is the
+    exact union of both routes for every left-preserving join type —
+    routing never changes semantics, only physical distribution, so the
+    hot-set could equally come from a sample or a stats store at 100 TB
+    instead of the exact count used here.
+    """
+    counts = skewed.groupBy(on).agg(F.count("*").alias("_kn"))
+    hot = F.broadcast(
+        counts.filter(F.col("_kn") >= hot_threshold).select(on)
+    )
+    s_hot = skewed.join(hot, on, "left_semi")
+    s_cold = skewed.join(hot, on, "left_anti")
+    o_hot = other.join(hot, on, "left_semi")
+    j_hot = salted_join(s_hot, o_hot, on, skewed_unique_col, n_salts, how)
+    j_cold = s_cold.join(other, on, how)
+    return j_hot.unionByName(j_cold)
+
+
 def bucketed_range_join(
     left: DataFrame,
     right: DataFrame,

@@ -1449,3 +1449,107 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat").alias("feat_at_click"),
         F.col("valid_from").alias("feat_version"),
     )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.pid, p.v_micro, c.cid, c.cts,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n_touch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cts <= p.pts
+                     AND c.cts > p.pts - INTERVAL 72 HOURS
+    ),
+    alloc AS (
+        SELECT cid, cts,
+               v_micro // n_touch
+                 + CASE WHEN rn <= v_micro % n_touch THEN 1 ELSE 0 END
+                 AS a_micro
+        FROM touches
+    )
+    SELECT CAST(EXTRACT(hour FROM cts) AS INTEGER) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(CAST(a_micro AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000.0, 6) AS attributed_revenue
+    FROM alloc
+    GROUP BY 1
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (M89): each purchase's value is
+    split evenly across every click the user made in the 72 hours
+    before it, then attributed revenue rolls up by click hour-of-day
+    (the marketing-analytics complement of the as-of last-touch join).
+
+    Exact arithmetic where naive value/n would float-drift: the value
+    is quantized to integer micro-units and split by the
+    largest-remainder rule — every touch gets v DIV n, the first
+    (v MOD n) touches by (ts, click_id) get one extra micro — so the
+    allocation is all-integer, conserves the purchase total exactly,
+    and both engines reproduce it bit-for-bit; the only float appears
+    in the final fixed-formula projection.
+
+    Plan: hash equi-join on user_id with the 72 h band as a join
+    filter (bounded per-user candidates), then one window exchange on
+    purchase id for the fan-out normalization, then the hour rollup —
+    three bounded-key shuffles, no UDFs.  At 100 TB the band filter is
+    what keeps the per-user candidate list small regardless of history
+    length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 72 HOURS")),
+    )
+    w = Window.partitionBy("pid")
+    touches = touches.select(
+        "pid",
+        "v_micro",
+        "cid",
+        "cts",
+        F.count("*").over(w).alias("n_touch"),
+        F.row_number().over(w.orderBy("cts", "cid")).alias("rn"),
+    )
+    alloc = touches.select(
+        "cid",
+        "cts",
+        (
+            F.expr("v_micro DIV n_touch")
+            + F.when(
+                F.col("rn") <= F.expr("v_micro % n_touch"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("a_micro"),
+    )
+    return alloc.groupBy(F.hour("cts").alias("click_hour")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(
+            F.sum(F.col("a_micro").cast("decimal(38,0)")).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("attributed_revenue"),
+    )

@@ -77,6 +77,41 @@ def test_salted_join_matches_plain_join(spark):
     assert a == b
 
 
+def test_hot_key_salted_join_matches_plain_and_routes(spark):
+    from insight_spark.operators.partitioning import hot_key_salted_join
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # threshold 4: both routes carry real rows (lineitem has 1-7 lines
+    # per order), so the union is exercised, not a degenerate branch
+    hot_n = (
+        li.groupBy("l_orderkey").count().filter(F.col("count") >= 4).count()
+    )
+    cold_n = (
+        li.groupBy("l_orderkey").count().filter(F.col("count") < 4).count()
+    )
+    assert hot_n > 0 and cold_n > 0
+    joined = hot_key_salted_join(
+        li, orders, on="l_orderkey", skewed_unique_col="l_linenumber",
+        n_salts=4, hot_threshold=4,
+    )
+    plain = li.join(orders, "l_orderkey")
+    a = {tuple(r) for r in joined.collect()}
+    b = {tuple(r) for r in plain.select(joined.columns).collect()}
+    assert a == b
+    # left-preserving outer form: unmatched hot AND cold rows survive once
+    half = orders.filter(F.col("l_orderkey") % 2 == 0)
+    left = hot_key_salted_join(
+        li, half, on="l_orderkey", skewed_unique_col="l_linenumber",
+        n_salts=4, hot_threshold=4, how="left",
+    )
+    assert left.count() == li.join(half, "l_orderkey", "left").count()
+
+
 def test_salted_join_outer(spark):
     """Left join: unmatched skewed-side rows survive exactly once."""
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber")
