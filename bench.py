@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "logreg_gd_train",
     "salted_join_priority_revenue",
     "attribution_linear_touch",
+    "hybrid_search_rrf",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -745,3 +745,156 @@ def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_micro"),
     )
     return dims.crossJoin(F.broadcast(acc))
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(l) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(l) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(l)) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY token
+    ),
+    bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(CAST(SUM(CAST(
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (token)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    trank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rt
+        FROM bm25 QUALIFY rt <= 20
+    ),
+    vq AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cos AS (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)), qe), 6)
+                   AS cs
+        FROM embeddings CROSS JOIN vq
+        WHERE vec_id <> 0
+    ),
+    vrank AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rv
+        FROM cos QUALIFY rv <= 20
+    )
+    SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id,
+           CAST(COALESCE(rt, 0) AS INTEGER) AS text_rank,
+           CAST(COALESCE(rv, 0) AS INTEGER) AS vec_rank,
+           ROUND(COALESCE(1.0 / (60 + rt), 0.0)
+                 + COALESCE(1.0 / (60 + rv), 0.0), 9) AS rrf_score
+    FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.vec_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (M90) — the RAG-stack
+    retrieval op: BM25 top-20 for query terms {key, order} fused with
+    embedding-cosine top-20 against the vec_id=0 query vector, score
+    1/(60+rank) summed per list (Cormack et al. 2009, k=60), top-10
+    fused.  Absent-from-a-list contributes 0 and the rank column
+    reports 0 (never a nullable int — pandas would promote it to
+    float64 and break the driver's value hash).
+
+    Both legs reuse proven idioms: BM25 is the bm25_search formula
+    verbatim (exact DECIMAL(38,12) term accumulation, rank on the
+    rounded score with id tie-break); the vector leg is the
+    knn_cosine_topk shape with a single broadcast query row.  The RRF
+    doubles are the same two-term expression evaluated identically on
+    both engines — bit-equal, so the fused ordering agrees.
+
+    Scale: each leg ends in a TakeOrderedAndProject (per-partition
+    heaps, k·P driver merge — no global sort); the fusion join is
+    20×20 rows.  At 100 TB the legs run against the inverted index
+    (M78) and the ANN index (IVF/LSH/PQ) instead of full scans — the
+    fusion stage is unchanged.
+    """
+    from insight_spark.operators.similarity import cosine
+    from insight_spark.operators.text import bm25_scores
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # each leg: TakeOrderedAndProject to k rows FIRST, then a global
+    # row_number over the k-row result — the unpartitioned window is
+    # bounded by the limit, never by corpus size
+    t20 = (
+        bm25_scores(docs, ["key", "order"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    trank = t20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rt"),
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    v20 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6)
+            .alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(20)
+    )
+    vrank = v20.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), F.asc("vec_id")))
+        .alias("rv"),
+    )
+
+    fused = trank.join(vrank, trank.doc_id == vrank.vec_id, "full_outer")
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.coalesce(F.col("rt"), F.lit(0)).cast("int").alias("text_rank"),
+            F.coalesce(F.col("rv"), F.lit(0)).cast("int").alias("vec_rank"),
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("rt")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("rv")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
