@@ -485,3 +485,55 @@ def test_sparse_cosine_rank_contract(spark, sf_dir):
         assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rs)
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_attribution_conserves_purchase_totals(spark, sf_dir):
+    """Linear attribution must conserve value exactly: summed attributed
+    revenue equals the summed value of every purchase that has >=1
+    click touch in its 72 h window (the largest-remainder split's whole
+    point)."""
+    from insight_spark.queries import all_queries
+
+    out = all_queries()["attribution_linear_touch"](spark, sf_dir)
+    got = out.agg(F.sum("attributed_revenue")).first()[0]
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    touched = p.join(
+        c,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 72 HOURS")),
+        "left_semi",
+    )
+    want = touched.agg(F.sum("v_micro")).first()[0] / 1e6
+    # per-hour outputs are rounded to 6dp, so the sum drifts < 1e-5
+    assert got is not None and abs(got - want) < 1e-4
+
+
+def test_hybrid_rrf_rank_contract(spark, sf_dir):
+    """Fused top-10: ranks within [0, 20], at least one leg present per
+    row, scores consistent with the reported ranks and non-increasing."""
+    from insight_spark.queries import all_queries
+
+    rows = all_queries()["hybrid_search_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 <= r["text_rank"] <= 20 and 0 <= r["vec_rank"] <= 20
+        assert r["text_rank"] > 0 or r["vec_rank"] > 0
+        want = (1.0 / (60 + r["text_rank"]) if r["text_rank"] else 0.0) + (
+            1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-9
