@@ -87,7 +87,8 @@ _MODULES = (
 #: assoc_rules / random_projection_jl / bigram_lm_score /
 #: twap_user_value / logreg_gd_train / point_in_time_join /
 #: k_core_peel / salted_join_priority_revenue /
-#: attribution_linear_touch / hybrid_search_rrf — plus
+#: attribution_linear_touch / hybrid_search_rrf /
+#: stream_stream_left_join — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).

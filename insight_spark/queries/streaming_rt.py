@@ -540,3 +540,79 @@ def stream_upsert_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(os.path.join(out_dir, "serving"))
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           COALESCE(c.event_id, -1) AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/K8 outer form through the streaming engine: watermarked
+    stream-stream LEFT OUTER interval join.  Matched pairs emit as
+    both sides arrive (the inner path); a purchase with NO click in
+    its 30-minute window emits with a null side only once the CLICK
+    watermark passes its upper time bound — the state-eviction path an
+    inner join never exercises.  The far-future sentinel (flowing
+    through BOTH side filters so it advances BOTH watermarks) pushes
+    eviction past every real purchase, so the drained set must equal
+    the batch LEFT JOIN exactly: too-eager eviction drops matches,
+    too-lazy eviction strands unmatched purchases, double emission
+    duplicates them.
+
+    Null-side click_id is coalesced to -1 IN-PLAN (a nullable int
+    column would reach pandas as float64 and break the driver's value
+    hash); the sentinel's own self-match is filtered from the result.
+    """
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(
+        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+    )
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "p_user",
+        "purchase_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+    )
+    name = "mem_sslj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, joined, name, ckpt, output_mode="append")
+    return out.filter(F.col("p_user") != _SENTINEL_USER)
