@@ -146,6 +146,38 @@ def test_prepare_training_corpus_funnel_and_invariants(spark):
     assert bad == 0
 
 
+def test_resolve_entities_clusters_typos(spark):
+    from insight_spark.pipelines import resolve_entities
+
+    records = spark.createDataFrame(
+        [
+            (1, "john smith"),
+            (2, "jon smith"),      # d=1 of 1 → same entity, canonical 1
+            (3, "john smyth"),     # d=1 of 1 → chains into entity 1
+            (4, "jane doe"),
+            (5, "j4ne doe"),       # d=1 of 4 → entity 4
+            (6, "alice wong"),     # singleton
+            (7, "robert b brown"),
+            (8, "carla mendes"),   # d(7,8) huge → both singletons
+        ],
+        "c_custkey long, c_name string",
+    )
+    resolved = resolve_entities(records)
+    ent = {r["c_custkey"]: r["entity_id"] for r in resolved.collect()}
+    assert len(ent) == 8  # one row per record, none lost or duplicated
+    assert ent[1] == ent[2] == ent[3] == 1  # transitive typo cluster
+    assert ent[4] == ent[5] == 4
+    assert ent[6] == 6 and ent[7] == 7 and ent[8] == 8
+    # skew safeguard: a degenerate shared-stem corpus (every block
+    # identical) with a tiny cap is skipped wholesale — no pairs, every
+    # record its own entity, and the join volume never goes quadratic
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    capped = resolve_entities(cust, max_block=2)
+    ent2 = {r["c_custkey"]: r["entity_id"] for r in capped.collect()}
+    assert len(ent2) == cust.count()
+    assert all(e == k for k, e in ent2.items())
+
+
 def test_streaming_ingest_matches_batch_rollup(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
