@@ -1553,3 +1553,122 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("attributed_revenue"),
     )
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS t_mid
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) >= t_mid THEN 1 ELSE 0 END AS cur,
+               LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        FROM events CROSS JOIN bounds
+    ),
+    grid AS (
+        SELECT DISTINCT event_type, b.bin
+        FROM binned CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+    ),
+    counts AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END), 0) AS ref_n,
+               COALESCE(SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END), 0) AS cur_n
+        FROM grid g
+        LEFT JOIN binned x ON x.event_type = g.event_type AND x.bin = g.bin
+        GROUP BY g.event_type, g.bin
+    ),
+    tot AS (
+        SELECT event_type,
+               SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t
+        FROM counts GROUP BY event_type
+    ),
+    terms AS (
+        SELECT c.event_type,
+               CAST(floor(
+                   ((CAST(cur_n + 1 AS DOUBLE) / (cur_t + 10))
+                    - (CAST(ref_n + 1 AS DOUBLE) / (ref_t + 10)))
+                   * ln((CAST(cur_n + 1 AS DOUBLE) / (cur_t + 10))
+                        / (CAST(ref_n + 1 AS DOUBLE) / (ref_t + 10)))
+                   * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM counts c JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) AS psi
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type (M92) — the standard
+    feature-drift monitor an ML serving pipeline runs between a
+    reference window and the current one (PSI < 0.1 stable, > 0.25
+    drifted); the binned-proportions complement of the KS statistic
+    (M66).
+
+    Value binned into 10 fixed-width buckets (width 50, top-clamped);
+    reference = first half of the time range, current = second
+    (integer-microsecond midpoint — no float epoch).  Laplace-smoothed
+    proportions (+1 per bin) keep empty bins finite, and every bin of
+    the 10-bin grid participates on both sides via the grid outer
+    join.  Exactness: counts are integers, each bin's PSI term is one
+    fixed float expression quantized to nano-units BEFORE the per-type
+    sum (sum order cannot move the result), one final rounded double.
+
+    Scale: two passes — a 1-row time-bounds broadcast, then one hash
+    aggregate on (type, bin) whose output is |types|·10 rows; the term
+    math runs on that bounded table.  At 100 TB the scan dominates and
+    everything after the first aggregate is metadata-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("t_mid")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") >= F.col("t_mid"), 1)
+        .otherwise(0)
+        .alias("cur"),
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    counts = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("ref_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("cur_n"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p_cur = (F.col("cur_n") + 1).cast("double") / (F.col("cur_t") + 10)
+    p_ref = (F.col("ref_n") + 1).cast("double") / (F.col("ref_t") + 10)
+    term_nano = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        counts.join(tot, "event_type")
+        .select("event_type", term_nano.alias("term_nano"))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum("term_nano").cast("double") / 1000000000.0, 6
+            ).alias("psi")
+        )
+    )
