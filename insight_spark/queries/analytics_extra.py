@@ -1672,3 +1672,69 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi")
         )
     )
+
+
+@query(
+    "cdc_apply_log",
+    oracle="""
+    WITH oplog AS (
+        SELECT o_custkey AS key,
+               o_orderkey AS seq,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                         IN ('0', '1') THEN 'D' ELSE 'U' END AS op,
+               CAST(o_totalprice AS DECIMAL(38,6)) AS payload
+        FROM orders
+    ),
+    latest AS (
+        SELECT key, op, payload,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM oplog
+    )
+    SELECT key,
+           ROUND(CAST(payload AS DOUBLE), 6) AS current_value
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (M93): materialize the CURRENT state of a
+    keyed table from an insert/update/delete change log — keep each
+    key's highest-sequence operation, and a trailing delete tombstone
+    removes the key entirely.  The third member of the mutation
+    family: merge_upsert is SCD-1 (two-table merge), scd2_history
+    keeps every version, this is the log-compaction semantics a
+    Kafka-compacted-topic / Debezium consumer applies.
+
+    The op log is synthesized deterministically from orders (seq =
+    orderkey; ~1/8 of ops are tombstones via an md5 range on the seq),
+    so both engines replay the identical log.  One window exchange on
+    the key — the same single-shuffle shape as keyed dedup; at 100 TB
+    this runs per ingest batch over the (batch ∪ snapshot) union with
+    the snapshot pre-partitioned on key, so only the batch shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    oplog = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+                "0", "1"
+            ),
+            "D",
+        )
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        oplog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.round(F.col("payload").cast("double"), 6).alias(
+                "current_value"
+            ),
+        )
+    )
