@@ -359,3 +359,46 @@ def test_twap_single_window_exchange(spark):
     at most the window exchange and the agg exchange."""
     plan = _plan(spark, "twap_user_value")
     assert plan.count("Exchange") <= 4, plan  # tree+detail list nodes twice
+
+
+def test_salted_join_routes_without_cartesian(spark):
+    """Hot-key salted join: both routes are hash joins (never a
+    nested-loop/cartesian), the dim replication Generate exists only
+    on the hot route, and the two routes union."""
+    plan = _plan(spark, "salted_join_priority_revenue")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert plan.count("Generate") >= 1  # per-salt explode, hot slice only
+
+
+def test_attribution_bounded_shuffles(spark):
+    """Linear attribution: user-key hash join (range as join filter,
+    not a nested loop), one window exchange on purchase id, one hour
+    rollup — no Python, no cartesian."""
+    plan = _plan(spark, "attribution_linear_touch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_search_legs_take_ordered(spark):
+    """Each retrieval leg ends in TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of the corpus."""
+    plan = _plan(spark, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_psi_metadata_sized_tail(spark):
+    """PSI: the only nested-loop is the 1-row time-bounds broadcast;
+    everything after the (type, bin) aggregate is metadata-sized."""
+    plan = _plan(spark, "psi_drift")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdc_single_key_exchange(spark):
+    """CDC compaction is the keyed-dedup shape: one window exchange on
+    the key (plus detail-list duplication in formatted output)."""
+    plan = _plan(spark, "cdc_apply_log")
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan
