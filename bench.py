@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "salted_join_priority_revenue",
     "attribution_linear_touch",
     "hybrid_search_rrf",
+    "psi_drift",
+    "cdc_apply_log",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
