@@ -402,3 +402,36 @@ def test_cdc_single_key_exchange(spark):
     plan = _plan(spark, "cdc_apply_log")
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """At-scale scan behavior: joining a partitioned fact against a
+    filtered dim must inject a dynamic-pruning subquery into the fact
+    scan's PartitionFilters, so only the dim-selected partitions are
+    read — the mechanism that bounds a 100 TB scan by the dim filter
+    instead of the whole table."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.sources import load_table
+    from insight_spark.sources.sinks import write_partitioned
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF, "events")
+    write_partitioned(ev, fact_path, ["event_type"])
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.5)], "event_type string, w double"
+    ).filter(F.col("w") > 0.8)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result honors the pruning semantics
+    rows = {r["event_type"]: r["count"] for r in joined.collect()}
+    assert set(rows) == {"purchase"}
