@@ -88,7 +88,8 @@ _MODULES = (
 #: twap_user_value / logreg_gd_train / point_in_time_join /
 #: k_core_peel / salted_join_priority_revenue /
 #: attribution_linear_touch / hybrid_search_rrf /
-#: stream_stream_left_join / psi_drift / cdc_apply_log — plus
+#: stream_stream_left_join / psi_drift / cdc_apply_log /
+#: label_propagation — plus
 #: any r4 failures repaired; fill the rest of the 50 with green
 #: canaries.  All were pre-validated this round on a vanilla
 #: driver-style session at sf0.01 (zero failures).

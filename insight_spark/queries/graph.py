@@ -15,7 +15,7 @@ check on an iterative graph algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insight_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE, pagerank
@@ -390,4 +390,109 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg1.alias("deg1"),
             status.alias("peel_status"),
         )
+    )
+
+
+@query(
+    "label_propagation",
+    oracle=rf"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    t AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> ''))) AS tok
+        FROM documents
+    ),
+    e0 AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        CROSS JOIN n
+        GROUP BY 1, 2, n.c
+        HAVING COUNT(*) >= {_KCORE_FRAC} * n.c
+    ),
+    e AS (
+        SELECT ta AS u, tb AS v FROM e0
+        UNION ALL SELECT tb AS u, ta AS v FROM e0
+    ),
+    l0 AS (SELECT DISTINCT u, u AS lbl FROM e),
+    n1 AS (
+        SELECT e.u, l.lbl, COUNT(*) AS cnt
+        FROM e JOIN l0 l ON l.u = e.v
+        GROUP BY e.u, l.lbl
+    ),
+    l1 AS (
+        SELECT u, lbl FROM (
+            SELECT u, lbl, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+            FROM n1) WHERE rn = 1
+    ),
+    n2 AS (
+        SELECT e.u, l.lbl, COUNT(*) AS cnt
+        FROM e JOIN l1 l ON l.u = e.v
+        GROUP BY e.u, l.lbl
+    ),
+    l2 AS (
+        SELECT u, lbl FROM (
+            SELECT u, lbl, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+            FROM n2) WHERE rn = 1
+    )
+    SELECT u AS token, lbl AS community FROM l2
+    """,
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (M94), two synchronous
+    rounds over the token co-occurrence graph — the fourth distinct
+    iteration shape in the graph family: MODE propagation (each vertex
+    adopts its neighbors' most frequent label, ties to the
+    lexicographic minimum), vs CC's min propagation, PageRank's value
+    propagation, and k-core's vertex removal.  Communities of
+    co-occurring vocabulary are the spam-template / boilerplate-cluster
+    signal corpus curation uses one level above near-dup clusters.
+
+    Each round is one (edges ⋈ labels) join + a (vertex, label) count
+    + one per-vertex arg-max window — all shuffles on the vertex id the
+    previous round already used.  Synchronous rounds (not Spark-GraphX
+    async) keep the result deterministic and let the DuckDB oracle
+    replay both rounds exactly; the deterministic tie-break makes the
+    label table value-checkable, which async LPA fundamentally isn't.
+    At 100 TB: label state is |V| rows, the join volume is |E| per
+    round, and round count is the usual LPA handful.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tbl = docs.agg(F.count("*").alias("c"))
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    a = t.select("doc_id", F.col("tok").alias("ta"))
+    b = t.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tb"))
+    e0 = (
+        a.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .crossJoin(F.broadcast(n_tbl))
+        .filter(F.col("w") >= _KCORE_FRAC * F.col("c"))
+        .select("ta", "tb")
+    )
+    e = e0.select(F.col("ta").alias("u"), F.col("tb").alias("v")).unionAll(
+        e0.select(F.col("tb").alias("u"), F.col("ta").alias("v"))
+    )
+    labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(2):
+        votes = (
+            e.join(
+                labels.select(F.col("u").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "lbl")
+        )
+    return labels.select(
+        F.col("u").alias("token"), F.col("lbl").alias("community")
     )
