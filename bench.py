@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "psi_drift",
     "cdc_apply_log",
+    "label_propagation",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
