@@ -435,3 +435,19 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # and the result honors the pruning semantics
     rows = {r["event_type"]: r["count"] for r in joined.collect()}
     assert set(rows) == {"purchase"}
+
+
+def test_no_rowwise_python_anywhere_in_bench_surface(spark):
+    """Engine-wide guard: no benched query may plan a row-at-a-time
+    Python eval (BatchEvalPython).  Arrow-batched forms
+    (ArrowEvalPython, FlatMapGroupsInPandas, MapInPandas/Arrow) are the
+    sanctioned Python surface.  Iterative/streaming queries are skipped
+    — building their DataFrame executes the operation (their Python
+    usage is plan-asserted in their dedicated tests)."""
+    import bench
+
+    for name in bench.BENCH_QUERIES:
+        if name in bench.ITERATIVE:
+            continue
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} plans rowwise Python"
