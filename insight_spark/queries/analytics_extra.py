@@ -1041,15 +1041,29 @@ def ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF_b| over the pooled value grid.
 
     Spark-first: the correlated per-point CDF subqueries (the oracle's
-    textbook form, O(n²) as written) become ONE sorted window pass
-    over the pooled tagged sample — running per-group counts divided
-    by group totals give both CDFs at every grid point, and the sup is
-    a max aggregate.  One value-ordered exchange total; the pooled
-    sort is the cost, same as any exact quantile.  Tie values collapse
-    to the grid point's final cumulative count on both engines (the
-    window carries a unique tie-break and the max is taken per
-    distinct value).
+    textbook form, O(n²) as written) become an exact TWO-PHASE
+    distributed cumulative sum — no global single-partition sort
+    anywhere in the plan:
+
+    1. pre-aggregate the tagged sample to per-distinct-value counts
+       (map-side-combined groupBy; ties collapse here, so no
+       tie-break bookkeeping later);
+    2. ``repartitionByRange(P, value)`` the distinct values — range
+       boundaries come from Spark's deterministic reservoir sketch,
+       so partition i holds strictly smaller values than i+1;
+    3. a *partitioned* window per range-partition computes local
+       running counts in parallel (P concurrent sorted scans of
+       ~|V|/P values each);
+    4. per-partition totals (= max of the local cumulative) roll up
+       to prefix offsets over ≤P rows — bounded by construction, the
+       one tiny driver-scale window — and broadcast-join back.
+
+    local cumulative + prefix offset = exact global CDF at every
+    grid point; the sup is a max aggregate.  At 100 TB the pooled
+    sample never lands on one task: the only global structures are
+    the P-row offset table and the 1-row totals, both broadcast.
     """
+    n_parts = 32
     ev = load_table(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
         "value",
@@ -1059,18 +1073,43 @@ def ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = tagged.agg(
         F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
     )
-    wcum = Window.orderBy("value", "is_a").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # phase 0: collapse to per-distinct-value counts (shuffle 1, combined)
+    per_v_counts = tagged.groupBy("value").agg(
+        F.sum("is_a").alias("na_v"), F.sum("is_b").alias("nb_v")
     )
-    cum = tagged.select(
+    # phase 1: range-partition the value grid; local cumulative per range
+    ranged = per_v_counts.repartitionByRange(n_parts, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_local = ranged.select(
         "value",
-        F.sum("is_a").over(wcum).alias("ca"),
-        F.sum("is_b").over(wcum).alias("cb"),
+        "pid",
+        F.sum("na_v").over(w_local).alias("ca_l"),
+        F.sum("nb_v").over(w_local).alias("cb_l"),
     )
-    # per distinct value, the CDF is the LAST cumulative count at that
-    # value — max works because cumulative counts are nondecreasing
-    per_v = cum.groupBy("value").agg(
-        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    # phase 2: per-partition totals -> exclusive prefix offsets.
+    # ≤ n_parts rows by construction — the unpartitioned window here
+    # is driver-scale metadata, not data (guarded allowlist case).
+    ptot = cum_local.groupBy("pid").agg(
+        F.max("ca_l").alias("pa"), F.max("cb_l").alias("pb")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = ptot.select(
+        "pid",
+        F.coalesce(F.sum("pa").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("pb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    per_v = cum_local.join(F.broadcast(offsets), "pid").select(
+        "value",
+        (F.col("ca_l") + F.col("oa")).alias("ca"),
+        (F.col("cb_l") + F.col("ob")).alias("cb"),
     )
     return (
         per_v.crossJoin(F.broadcast(totals))

@@ -223,27 +223,24 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget + corpus share (mixture-weighting input).
 
-    One hash aggregate over sources plus an empty-frame window for the
-    global total — the total is |sources| rows, so the unpartitioned
-    window is over the *aggregated* frame, never the corpus.
+    One hash aggregate over sources; the corpus total attaches as a
+    1-row broadcast (agg + crossJoin) instead of an empty-frame window,
+    so no single-task exchange exists even when |sources| grows — the
+    share division stays a map-side projection.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(
-        Window.partitionBy()  # |sources| rows only — safe single partition
-    )
-    return per_source.select(
+    total = per_source.agg(F.sum("n_tokens").alias("_tot"))
+    return per_source.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / total, 6).alias(
-            "token_share"
-        ),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("_tot"), 6
+        ).alias("token_share"),
     )
 
 

@@ -484,9 +484,10 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the max quarterly revenue.
 
-    The max is a window over the per-supplier aggregate — |suppliers|
-    rows, so the unpartitioned window is a non-issue; comparison happens
-    on the exact decimal, not the rounded output."""
+    The scalar MAX attaches as a 1-row broadcast (agg + crossJoin)
+    rather than a global window, so the per-supplier aggregate is never
+    coalesced onto one task; comparison happens on the exact decimal,
+    not the rounded output."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -495,8 +496,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("_total")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("_max", F.max("_total").over(w)).filter(
+    mx = revenue.agg(F.max("_total").alias("_max"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("_total") == F.col("_max")
     )
     return (

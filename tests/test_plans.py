@@ -451,3 +451,88 @@ def test_no_rowwise_python_anywhere_in_bench_surface(spark):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} plans rowwise Python"
+
+
+def _window_specs(plan: str) -> list[str]:
+    """Extract every ``windowspecdefinition(...)`` argument string from
+    a physical-plan dump, with balanced-paren parsing (args contain
+    nested calls like specifiedwindowframe(...))."""
+    specs = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        specs.append(plan[j + len(marker) : k - 1])
+        i = k
+    return specs
+
+
+def _is_unpartitioned(spec: str) -> bool:
+    """A windowspecdefinition's args are partition cols, then order
+    cols (tagged ``ASC``/``DESC``), then the frame.  No untagged arg
+    before the frame => no partition spec => single-task window."""
+    depth = 0
+    args, cur = [], []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    cols = [a for a in args if not a.startswith("specifiedwindowframe")]
+    return all(" ASC " in c or " DESC " in c for c in cols) if cols else True
+
+
+#: Queries allowed to plan an unpartitioned Window — each input is
+#: bounded BY CONSTRUCTION before the window, so the single task holds
+#: metadata-scale rows, not data:
+#: - ks_distribution_shift: prefix-offset rollup over the 32 explicit
+#:   range partitions (<= 32 rows; the data-scale CDF windows are
+#:   partitioned by pid).
+#: - hybrid_search_rrf: rank windows run on the two TakeOrdered(k)
+#:   legs (<= k rows each) before the k x k RRF fusion.
+#: - histogram_quantile: cumulative counts over the fixed bucket grid
+#:   (|buckets| rows post-aggregate).
+#: - wow_revenue_delta: lag over week_start after a per-week aggregate
+#:   (|weeks| rows).
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    "ks_distribution_shift",
+    "hybrid_search_rrf",
+    "histogram_quantile",
+    "wow_revenue_delta",
+}
+
+
+def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
+    """Engine-wide guard (companion to the rowwise-Python guard): no
+    declared query may plan a Window whose partition spec is empty —
+    the shape that serializes the whole input onto ONE task at scale —
+    unless the query is on the documented bounded-input allowlist.
+    Catches the `WARN WindowExec: No Partition Defined` class of
+    regression at test time instead of in a 100 TB run."""
+    offenders = {}
+    for name, fn in all_queries().items():
+        if name in _BOUNDED_GLOBAL_WINDOW_OK:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [s for s in _window_specs(plan) if _is_unpartitioned(s)]
+        if bad:
+            offenders[name] = bad[0][:120]
+    assert not offenders, f"unpartitioned windows: {offenders}"
