@@ -121,6 +121,15 @@ def hot_key_salted_join(
     hot-set could equally come from a sample or a stats store at 100 TB
     instead of the exact count used here.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOW
+    }:
+        raise ValueError(
+            f"hot_key_salted_join supports {sorted(_SALT_SAFE_HOW)} join "
+            f"types; got how={how!r} (right/full outer would leave hot "
+            f"dim rows unmatched on the cold route and duplicate cold "
+            f"dim rows across routes)"
+        )
     counts = skewed.groupBy(on).agg(F.count("*").alias("_kn"))
     hot = F.broadcast(
         counts.filter(F.col("_kn") >= hot_threshold).select(on)

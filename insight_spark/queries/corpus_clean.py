@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_spark.operators.text import tokenize, tokens_df
+from insight_spark.operators.text import tokenize
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -43,13 +43,14 @@ _BOILER_DOCS = 3
                    AS ts
         FROM documents
     ),
+    nonempty AS (SELECT * FROM toks WHERE len(ts) > 0),
     lines AS (
         SELECT doc_id,
                list_aggregate(
                    list_slice(ts, (i - 1) * {_LINE_LEN} + 1,
                               i * {_LINE_LEN}),
                    'string_agg', ' ') AS line
-        FROM toks
+        FROM nonempty
         CROSS JOIN (SELECT unnest(range(1, 100000)) AS i)
         WHERE (i - 1) * {_LINE_LEN} < len(ts)
     ),
@@ -82,7 +83,12 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     any line seen more than once" rule compiles to at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    # empty-token docs produce a DESCENDING F.sequence(1, 0) — two
+    # spurious empty "lines" the oracle never emits; drop them first
+    # (mirrors bigram_lm_score's F.size guard)
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("ts")
+    ).filter(F.size("ts") > 0)
     n_lines = F.ceil(F.size("ts") / F.lit(_LINE_LEN)).cast("int")
     lines = toks.select(
         "doc_id",
@@ -301,7 +307,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact: micro-int coords as float64 (all sums < 2^53)
         E = np.asarray(pdf["e"].tolist(), dtype="float64")
         n = len(pdf)
-        nrm = np.sqrt((E * E).sum(axis=1))
+        # micro-int norms are integers >= 1 when nonzero; clamp the
+        # all-zero-vector case so cosines stay finite (0, never NaN)
+        # instead of diverging from the oracle's MAX-over-NaN semantics
+        nrm = np.maximum(np.sqrt((E * E).sum(axis=1)), 1.0)
         mx = np.full(n, -1.0)
         B = 1024
         for s in range(0, n, B):

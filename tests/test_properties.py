@@ -363,6 +363,37 @@ def test_line_dedup_ratio_bounds(spark, sf_dir):
     assert bad == 0
 
 
+def test_line_dedup_skips_empty_docs(spark, tmp_path):
+    """A whitespace-only document tokenizes to an empty array; the
+    descending F.sequence(1, 0) would emit two spurious empty 'lines'
+    (ADVICE r4).  The empty-doc filter must drop it on BOTH engines —
+    oracle parity on a fixture that actually contains one."""
+    import os
+
+    import pandas as pd
+
+    from insight_spark.queries import all_queries, all_oracle_sql
+    from tests.oracle_harness import compare_query
+
+    tmp = str(tmp_path / "sf_empty")
+    os.makedirs(tmp)
+    for t in os.listdir("/root/testdata/sf0.001"):
+        if t != "documents.parquet":
+            os.symlink(f"/root/testdata/sf0.001/{t}", os.path.join(tmp, t))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f", "   ", "x y z"],
+            "source": ["s", "s", "s"],
+            "lang": ["en", "en", "en"],
+        }
+    ).to_parquet(os.path.join(tmp, "documents.parquet"))
+    df = all_queries()["line_dedup_stats"](spark, tmp)
+    rep = compare_query(df, all_oracle_sql()["line_dedup_stats"], tmp)
+    assert rep["ok"], rep
+    assert {r["doc_id"] for r in df.collect()} == {1, 3}
+
+
 def test_jl_norm_ratio_concentrates(spark, sf_dir):
     """JL lemma in action: the norm ratio must concentrate near 1 —
     mean within [0.7, 1.3] and every value positive."""
