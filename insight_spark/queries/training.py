@@ -175,8 +175,47 @@ _PACK_BUDGET = 2048
 _PACK_SHARDS = 8
 
 
-@query("pack_token_budget")  # rows-only: greedy packing is inherently
-# sequential per group; properties asserted in tests/test_training.py
+@query(
+    "pack_token_budget",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' THEN 0
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' THEN 1
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '60' THEN 2
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' THEN 3
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'a0' THEN 4
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 5
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 6
+                         ELSE 7 END AS BIGINT) AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    docs AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source, shard ORDER BY doc_id) AS rn
+        FROM base
+    ),
+    walk AS (
+        SELECT doc_id, source, shard, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id,
+               CAST(n_tokens AS BIGINT) AS used
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.source, d.shard, d.n_tokens, d.rn,
+               CASE WHEN w.used > 0 AND w.used + d.n_tokens > 2048
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.used > 0 AND w.used + d.n_tokens > 2048
+                    THEN CAST(d.n_tokens AS BIGINT)
+                    ELSE w.used + d.n_tokens END
+        FROM walk w JOIN docs d
+          ON d.source = w.source AND d.shard = w.shard
+         AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, source, shard, n_tokens, bin_id FROM walk
+    """,
+)
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into context-window bins of ≤ 2048 tokens per
     (source, shard) group (sequence packing for pretraining).
@@ -186,16 +225,30 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget get a bin alone).  The scan is inherently sequential per
     group — exactly what ``applyInPandas`` (L3) is for: each group's
     docs stream through one Arrow-batched Python worker while groups
-    parallelize across executors.  The shard salt
-    (``xxhash64(doc_id) % _PACK_SHARDS``, deterministic) bounds the
-    largest group, so a skewed source never serializes the stage; bins
-    are identified by (source, shard, bin_id) and stay within shards,
-    costing at most one partially-filled bin per shard.
+    parallelize across executors.  The shard salt (md5 hex-prefix
+    bands, the ``kfold_assign`` idiom — cross-engine deterministic, so
+    the greedy walk is value-oracled via a recursive CTE instead of
+    rows-only) bounds the largest group, so a skewed source never
+    serializes the stage; bins are identified by (source, shard,
+    bin_id) and stay within shards, costing at most one
+    partially-filled bin per shard.
     """
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    shard = (
+        F.when(h2 < "20", 0)
+        .when(h2 < "40", 1)
+        .when(h2 < "60", 2)
+        .when(h2 < "80", 3)
+        .when(h2 < "a0", 4)
+        .when(h2 < "c0", 5)
+        .when(h2 < "e0", 6)
+        .otherwise(7)
+        .cast("long")
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        shard.alias("shard"),
         F.size(tokenize(F.col("text"))).alias("n_tokens"),
     )
 
