@@ -237,7 +237,15 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
 
 def tws_runtime_available() -> bool:
     """True iff the ``transformWithStateInPandas`` runtime can start
-    (its Python state-server protocol needs ``google.protobuf``)."""
+    (its Python state-server protocol needs ``google.protobuf`` — in
+    this offline container that is satisfied by the cloud-sdk vendored
+    copy wired up by :mod:`insight_spark.streaming.proto_shim`; the
+    shim must be active BEFORE the SparkSession's JVM launches so
+    worker subprocesses inherit PYTHONPATH)."""
+    from insight_spark.streaming.proto_shim import activate
+
+    if not activate():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 

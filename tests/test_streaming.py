@@ -267,14 +267,34 @@ def test_tws_user_totals_converges_to_batch(spark, stream_env):
 
         pytest.skip("google.protobuf absent: TWS runtime cannot start")
 
-    stream = read_events_stream(spark, stream_env["in_dir"])
-    result = run_stream_to_memory(
-        spark,
-        user_totals_tws(stream),
-        "user_totals_tws_stream",
-        os.path.join(stream_env["base"], "ckpt_tws"),
-        output_mode="update",
+    # TWS state lives in named column families — HDFS-backed store
+    # can't host them; RocksDB (bundled with Spark 4) is the
+    # production provider for this operator anyway.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        stream = read_events_stream(spark, stream_env["in_dir"])
+        result = run_stream_to_memory(
+            spark,
+            user_totals_tws(stream),
+            "user_totals_tws_stream",
+            os.path.join(stream_env["base"], "ckpt_tws"),
+            output_mode="update",
+        )
+        _assert_tws_matches_batch(spark, result)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def _assert_tws_matches_batch(spark, result):
     import pyspark.sql.window as W
 
     w = W.Window.partitionBy("user_id").orderBy(F.desc("n_events"))
