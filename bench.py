@@ -137,6 +137,11 @@ def main() -> None:
     from insight_spark.sources import load_table
 
     spark = get_spark("insight_spark_bench")
+    # The only remaining unpartitioned windows are the 4 plan-guarded
+    # bounded-input ones (tests/test_plans.py allowlist), so WARN-level
+    # WindowExec noise carries no signal — ERROR keeps the bench log
+    # clean enough that a real regression stands out in `tail`.
+    spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
     # warm the JVM / codegen paths
@@ -174,12 +179,49 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Stage split for the flagship funnel (tracked round-over-round so
+    # a cost shift between digest / sketch / closure stages is visible
+    # even while the end-to-end number stays flat).
+    stages: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from insight_spark.operators.components import canonical_assignment
+        from insight_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs_md5,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        keep = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        survivors = docs.join(keep, "doc_id", "left_semi")
+        survivors.count()
+        stages["exact_dedup"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        pairs = (
+            minhash_lsh_pairs_md5(survivors)
+            .select("a_id", "b_id")
+            .localCheckpoint()
+        )
+        stages["lsh_pairs"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        canonical_assignment(pairs, survivors.select("doc_id")).agg(
+            F.countDistinct("canonical_id")
+        ).collect()
+        stages["connected_components"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["_funnel_stages"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_warm_s",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "funnel_stages": stages,
         "sf": sf,
     }
     if errors:
