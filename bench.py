@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "psi_drift",
     "cdc_apply_log",
     "label_propagation",
+    # round-5 additions: mixing / sampling / fingerprinting family
+    "source_mixture_temperature",
+    "token_budget_sampler",
+    "ccnet_perplexity_buckets",
+    "winnowing_fingerprints",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -56,6 +56,7 @@ _MODULES = (
     "insight_spark.queries.sources_rt",
     "insight_spark.queries.streaming_rt",
     "insight_spark.queries.corpus_clean",
+    "insight_spark.queries.mixing",
 )
 
 #: Driver-facing registration order.  The external correctness driver

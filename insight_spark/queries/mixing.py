@@ -1,0 +1,339 @@
+"""Corpus mixing / sampling / fingerprinting queries (SURVEY §2.M95+).
+
+The data-mixture layer of an LLM pretraining pipeline: once the corpus
+is deduped and quality-scored, these decide HOW MUCH of each slice is
+trained on (temperature re-weighting, per-source token budgets,
+perplexity terciles) and give the plagiarism-robust fingerprint
+(winnowing) used for overlap audits.
+
+Scale shapes: every query here is either map-only + a |sources|- or
+|vocab|-bounded aggregate, or a window PARTITIONED on a data key
+(source / lang) — nothing global, nothing driver-side.  Float
+discipline follows SURVEY §7.4: cross-engine doubles only ever appear
+(a) rounded to integer micro-units before any aggregation, or
+(b) divided once and rounded at output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_spark.operators.text import tokenize, tokens_df
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+#: Mixture temperature (alpha): 0 = uniform over sources, 1 = natural.
+#: 0.3 is the multilingual-mixing standard (mT5 / XLM-R lineage).
+_MIX_ALPHA = 0.3
+
+#: Per-source token budget for the deterministic subsampler.
+_SAMPLE_BUDGET = 500
+
+#: Winnowing parameters: k-gram size and window width (MOSS defaults
+#: scaled down to the fixture's short documents).
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@query(
+    "source_mixture_temperature",
+    oracle=rf"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_source),
+    scored AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / tot.t AS p,
+               CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE) / tot.t,
+                                {_MIX_ALPHA}) * 1000000) AS BIGINT) AS s
+        FROM per_source CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(s) AS z FROM scored)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS nat_share,
+           ROUND(CAST(s AS DOUBLE) / norm.z, 6) AS temp_weight,
+           ROUND((CAST(s AS DOUBLE) / norm.z)
+                 * (SELECT t FROM tot) / n_tokens, 6) AS expected_epochs
+    FROM scored CROSS JOIN norm
+    """,
+)
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the knob that decides
+    how often each corpus slice is sampled during pretraining:
+    w_i ∝ p_i^α with α={0.3}, flattening the natural distribution so
+    low-resource sources are up-sampled (and `expected_epochs` shows by
+    how much: the number of passes over source i when one corpus-sized
+    token budget is drawn under w).
+
+    Plan: one token-count aggregate to |sources| rows; the two scalars
+    (corpus total, normalizer Z) attach as 1-row broadcasts — the same
+    no-global-window shape as ``source_token_budget``.  Cross-engine
+    float discipline: p is one IEEE division of exact ints; p^α rounds
+    to integer micro-units before the (exact) normalizer sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    scored = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "t",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("p"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("t"), _MIX_ALPHA)
+            * 1000000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    norm = scored.agg(F.sum("s").alias("z"))
+    return scored.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("nat_share"),
+        F.round(F.col("s").cast("double") / F.col("z"), 6).alias(
+            "temp_weight"
+        ),
+        F.round(
+            (F.col("s").cast("double") / F.col("z"))
+            * F.col("t")
+            / F.col("n_tokens"),
+            6,
+        ).alias("expected_epochs"),
+    )
+
+
+@query(
+    "token_budget_sampler",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS rk,
+               CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        FROM sized
+        WINDOW w AS (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+    )
+    SELECT doc_id, source, n_tokens, rk, running
+    FROM ranked WHERE running <= {_SAMPLE_BUDGET}
+    """,
+)
+def token_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped deterministic corpus subsample: within each
+    source, take documents in md5(doc_id) priority order until the
+    per-source token budget ({500} here) is exhausted — how an
+    over-represented source is down-sampled to its mixture allocation
+    without RNG (append-stable: new docs sort into the priority order
+    but never reshuffle which earlier docs were kept for a fixed
+    budget frontier).
+
+    One window partitioned ON source (the data key — scale-safe per
+    the engine-wide unpartitioned-window guard) computes rank and
+    running token total in a single pass; the filter is map-side after
+    it.  At 100 TB the md5 priority makes the kept set a uniform
+    random-looking sample, but reproducible from the corpus alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("running"),
+    )
+    return ranked.filter(F.col("running") <= _SAMPLE_BUDGET)
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    micro AS (
+        SELECT t.doc_id, t.lang,
+               CAST(ROUND(-log10(CAST(v.c AS DOUBLE) / tot.n) * 1000000)
+                    AS BIGINT) AS s
+        FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS score_micro
+        FROM micro GROUP BY doc_id, lang
+    ),
+    bucketed AS (
+        SELECT lang, score_micro,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                    ORDER BY score_micro, doc_id) AS INTEGER) AS bucket
+        FROM per_doc
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND((SUM(score_micro) / COUNT(*)) / 1000000.0, 6)
+               AS avg_surprisal
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, split documents
+    into head/middle/tail terciles of LM score (here the corpus-unigram
+    surprisal proxy), the classic pre-filter that keeps `head` for
+    high-quality training data and routes `tail` to review.
+
+    Plan: the unigram-surprisal machinery (vocab count-aggregate,
+    broadcast back, micro-int per-token scores) feeds one NTILE window
+    partitioned ON lang — the data key, so terciles of a 100-language
+    100 TB corpus compute as 100 independent sorted passes, not one.
+    Per-doc scores round to integer micro-units before every
+    aggregation, so tercile boundaries and bucket means are bit-equal
+    cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    micro = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log10(F.col("c").cast("double") / F.col("n")) * 1000000
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    per_doc = micro.groupBy("doc_id", "lang").agg(
+        F.round(F.sum("s").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("score_micro")
+    )
+    w = Window.partitionBy("lang").orderBy("score_micro", "doc_id")
+    bucketed = per_doc.select(
+        "lang", "score_micro", F.ntile(3).over(w).alias("bucket")
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round((F.sum("score_micro") / F.count("*")) / 1000000.0, 6).alias(
+            "avg_surprisal"
+        ),
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ts) - {_WINNOW_K} + 2),
+                   i -> md5(list_aggregate(
+                            list_slice(ts, i, i + {_WINNOW_K} - 1),
+                            'string_agg', ' '))) AS hs
+        FROM toks WHERE len(ts) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    fp AS (
+        SELECT doc_id, hs,
+               list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                   i -> list_aggregate(
+                            list_slice(hs, i, i + {_WINNOW_W} - 1),
+                            'min')) AS fps
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INTEGER) AS n_windows,
+           CAST(len(list_distinct(fps)) AS INTEGER) AS n_fingerprints,
+           list_aggregate(fps, 'min') AS min_fp,
+           list_aggregate(fps, 'max') AS max_fp
+    FROM fp
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every k-gram, slide a w-wide window over the hash
+    sequence, record each window's minimum — guaranteeing any shared
+    substring of length ≥ k+w-1 between two documents shares a
+    fingerprint, with ~2/(w+1) of positions selected.  The
+    overlap-audit complement to MinHash: position-aware, so it catches
+    copied PASSAGES, not just similar documents.
+
+    Plan: pure per-row higher-order-function projection (transform +
+    slice + array_min over md5 hex strings — lexicographic min, no
+    hex-to-int conversion needed cross-engine), zero shuffles, zero
+    Python.  At 100 TB this is the map-side pass that feeds a
+    (fingerprint → postings) word-count aggregate for passage-overlap
+    joins; the per-doc summary here keeps the verified surface
+    deterministic and bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= _WINNOW_K + _WINNOW_W - 1)
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - _WINNOW_K + 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("ts"), i, _WINNOW_K), " ")
+            ),
+        ).alias("hs"),
+    )
+    fp = grams.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - _WINNOW_W + 1),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        ).alias("fps"),
+    )
+    return fp.select(
+        "doc_id",
+        F.size("fps").alias("n_windows"),
+        F.size(F.array_distinct("fps")).alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

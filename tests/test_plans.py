@@ -536,3 +536,37 @@ def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
         if bad:
             offenders[name] = bad[0][:120]
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_winnowing_map_only(spark):
+    """Winnowing fingerprints must be a pure projection: per-row
+    higher-order functions over the scan, no shuffle, no join, no
+    Python."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_token_budget_sampler_single_source_window(spark):
+    """One window exchange on the source key; the budget filter is
+    map-side after it (no second shuffle)."""
+    plan = _plan(spark, "token_budget_sampler")
+    assert plan.count("Exchange") <= 2, plan  # tree+detail double-count
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_vocab_broadcasts(spark):
+    """The unigram vocab and corpus total must broadcast back onto the
+    token stream (the unigram_surprisal shape), not shuffle-join it."""
+    plan = _plan(spark, "ccnet_perplexity_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_temperature_no_global_window(spark):
+    """Both scalars (corpus total, normalizer) attach as 1-row
+    broadcasts — the no-global-window discipline."""
+    plan = _plan(spark, "source_mixture_temperature")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row attach
