@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "token_budget_sampler",
     "ccnet_perplexity_buckets",
     "winnowing_fingerprints",
+    "langid_trigram_predict",
+    "bpe_train_merges",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -129,6 +131,8 @@ ITERATIVE = {
     "semantic_dedup",
     # GD epochs (gradient collects) run during build
     "logreg_gd_train",
+    # merge-rule argmax collects + localCheckpoints run during build
+    "bpe_train_merges",
 }
 
 

@@ -57,6 +57,7 @@ _MODULES = (
     "insight_spark.queries.streaming_rt",
     "insight_spark.queries.corpus_clean",
     "insight_spark.queries.mixing",
+    "insight_spark.queries.langtok",
 )
 
 #: Driver-facing registration order.  The external correctness driver

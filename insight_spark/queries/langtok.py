@@ -1,0 +1,285 @@
+"""Language identification + tokenizer training (SURVEY §2.M99-M100).
+
+Two model-fitting ops over the corpus itself:
+
+- ``langid_trigram_predict`` upgrades the marker-word heuristic
+  (``lang_id_heuristic``) to real per-language character-trigram
+  profiles — the fastText-style n-gram route every production
+  language-ID takes.
+- ``bpe_train_merges`` upgrades the single pair-count round
+  (``bpe_merge_pairs``) to an actual iterative BPE trainer: 3 merge
+  rules learned greedily, each applied back to the vocabulary before
+  the next count.
+
+Both follow the driver-resident-model discipline (kmeans/logreg
+precedent): distributed aggregates produce bounded model state (a
+|langs|×T profile table, one merge rule per round), which re-enters
+the plan as broadcast/literals — never a driver-side loop over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_spark.operators.text import tokens_df
+from insight_spark.queries import query
+from insight_spark.sources import load_table
+
+#: Trigrams kept per language profile.
+_PROFILE_TOP = 50
+
+#: BPE merge rounds learned (and replayed by the oracle).
+_BPE_ROUNDS = 3
+
+#: Symbol separator for the BPE fold-free merge application.  The
+#: corpus alphabet is [a-y ] (measured), so '|' never collides.  Every
+#: symbol boundary carries a DOUBLE separator ("||a||b||"): a merge
+#: pattern "|a||b|" then consumes one separator from each boundary it
+#: touches, leaving one behind — so plain left-to-right non-overlapping
+#: REPLACE implements exactly the greedy BPE pass, identically in
+#: Spark and DuckDB, with no sequential fold anywhere.
+_SEP = "|"
+
+
+@query(
+    "langid_trigram_predict",
+    oracle=f"""
+    WITH tris AS (
+        SELECT doc_id, lang,
+               list_transform(range(1, len(text) - 1),
+                              i -> substr(text, i, 3)) AS ts
+        FROM documents WHERE len(text) >= 3
+    ),
+    occurrences AS (
+        SELECT lang, unnest(ts) AS tri FROM tris
+    ),
+    profile AS (
+        SELECT lang AS cand_lang, tri FROM (
+            SELECT lang, tri, ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY COUNT(*) DESC, tri) AS rk
+            FROM occurrences GROUP BY lang, tri
+        ) WHERE rk <= {_PROFILE_TOP}
+    ),
+    doc_tris AS (
+        SELECT doc_id, lang, unnest(list_distinct(ts)) AS tri FROM tris
+    ),
+    matches AS (
+        SELECT d.doc_id, d.lang, p.cand_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM doc_tris d JOIN profile p USING (tri)
+        GROUP BY d.doc_id, d.lang, p.cand_lang
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang, n_matched
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY n_matched DESC, cand_lang) AS rk
+        FROM matches
+    ) WHERE rk = 1
+    """,
+)
+def langid_trigram_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: build a top-{50} trigram profile
+    per language from the (labeled) corpus, then classify every
+    document by how many of its distinct trigrams hit each profile —
+    argmax with deterministic (count desc, lang asc) tie-break.
+
+    Scale shape: profile building is a word-count aggregate to
+    |langs|×T rows (KB-sized model state, broadcast back — the
+    fastText/CLD ship-the-model topology); classification is one
+    distinct-trigram explode, a broadcast join against the profile,
+    and a doc-key aggregate + doc-partitioned argmax window.  Nothing
+    global, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substring("text", i, 3),
+        ).alias("ts"),
+    )
+    occ = tris.select("lang", F.explode("ts").alias("tri"))
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), "tri"
+    )
+    profile = (
+        occ.groupBy("lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= _PROFILE_TOP)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    doc_tris = tris.select(
+        "doc_id", "lang", F.explode(F.array_distinct("ts")).alias("tri")
+    )
+    matches = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_matched"), "cand_lang"
+    )
+    return (
+        matches.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_matched"
+        )
+    )
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the 3-round greedy BPE trainer: identical
+    vocab seeding, pair counting, (freq desc, l, r) tie-break, and the
+    double-separator REPLACE merge application."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    pairs{r} AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wf) AS BIGINT) AS freq
+        FROM (
+            SELECT wf, unnest(list_transform(range(1, len(syms)),
+                                             i -> [syms[i], syms[i+1]])) AS pr
+            FROM (
+                SELECT wf, list_filter(string_split(s, '||'), x -> x <> '')
+                           AS syms
+                FROM {prev}
+            ) WHERE len(syms) >= 2
+        ) GROUP BY pr[1], pr[2]
+    ),
+    best{r} AS (
+        SELECT l, r, freq FROM pairs{r}
+        ORDER BY freq DESC, l, r LIMIT 1
+    ),
+    v{r} AS (
+        SELECT word, wf,
+               replace(s, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|') AS s
+        FROM {prev} CROSS JOIN best{r} b
+    )"""
+        )
+        prev = f"v{r}"
+    merge_union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS left_sym, r_ AS right_sym, freq FROM "
+        f"(SELECT l, r AS r_, freq FROM best{r})"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    v0 AS (
+        SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS wf,
+               '||' || list_aggregate(
+                   list_transform(range(1, len(token) + 1),
+                                  i -> substr(token, i, 1)),
+                   'string_agg', '||') || '||' AS s
+        FROM toks GROUP BY token
+    ),{",".join(rounds)},
+    final_stat AS (
+        SELECT CAST(SUM(wf * len(list_filter(string_split(s, '||'),
+                                             x -> x <> ''))) AS BIGINT)
+                   AS corpus_symbols
+        FROM v{_BPE_ROUNDS}
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym,
+           left_sym || right_sym AS merged, freq,
+           (SELECT corpus_symbols FROM final_stat) AS corpus_symbols
+    FROM ({merge_union})
+    """
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — {3} greedy merge rounds, each
+    counting corpus-weighted adjacent-symbol pairs on the VOCABULARY
+    (never the token stream), taking the (freq desc, pair asc) argmax
+    as the next rule, and applying it before the next count.
+
+    The merge application is fold-free: symbols live in a
+    double-separated string ("||a||b||"), so one plain REPLACE of
+    "|a||b|" → "|ab|" performs exactly the greedy left-to-right merge
+    pass (each boundary donates one of its two separators to the
+    match, leaving one for the next adjacent match) — identical
+    semantics in Spark and DuckDB, no UDF, no recursion.
+
+    Model topology (kmeans/logreg precedent): each round's argmax is
+    ONE collected row (the merge rule — driver-resident model state);
+    everything else is vocab-sized aggregates.  At 100 TB the single
+    token-count shuffle reduces the corpus to |vocab| rows up front
+    and all {3} rounds are arithmetic on that table; output carries
+    the learned merge table plus the distributed post-merge corpus
+    symbol count (verification value, computed not asserted).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokens_df(docs).groupBy("token").agg(F.count("*").alias("wf"))
+    s0 = F.concat(
+        F.lit(_SEP * 2),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token")),
+                lambda i: F.substring("token", i, 1),
+            ),
+            _SEP * 2,
+        ),
+        F.lit(_SEP * 2),
+    )
+    cur = words.select(
+        F.col("token").alias("word"), "wf", s0.alias("s")
+    ).localCheckpoint()  # vocab-sized; truncates lineage across rounds
+
+    syms = F.filter(F.split("s", r"\|\|"), lambda x: x != "")
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select("wf", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("freq"))
+        )
+        best = pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()[0]
+        merges.append((r, best["l"], best["r"], int(best["freq"])))
+        pat = _SEP + best["l"] + _SEP * 2 + best["r"] + _SEP
+        rep = _SEP + best["l"] + best["r"] + _SEP
+        # pat/rep contain only [a-y|] so repr() is a valid SQL literal
+        cur = cur.select(
+            "word",
+            "wf",
+            F.expr(f"replace(s, {pat!r}, {rep!r})").alias("s"),
+        ).localCheckpoint()
+
+    stat = cur.select(
+        (F.col("wf") * F.size(syms)).alias("ns")
+    ).agg(F.sum("ns").alias("corpus_symbols"))
+    rows = spark.createDataFrame(
+        [
+            (r, l, rr, l + rr, f)
+            for (r, l, rr, f) in merges
+        ],
+        "rank int, left_sym string, right_sym string, merged string, freq long",
+    )
+    return rows.crossJoin(F.broadcast(stat))

@@ -570,3 +570,21 @@ def test_mixture_temperature_no_global_window(spark):
     plan = _plan(spark, "source_mixture_temperature")
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row attach
+
+
+def test_langid_profile_broadcasts(spark):
+    """The |langs|*T profile is model state: it must broadcast onto the
+    doc-trigram stream, never shuffle-join it; the argmax window is
+    partitioned on doc_id."""
+    plan = _plan(spark, "langid_trigram_predict")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bpe_trainer_counts_on_vocab(spark):
+    """Every BPE round's pair count must aggregate the vocabulary
+    (partial_sum present), and the plan stays Python-free."""
+    plan = _plan(spark, "bpe_train_merges")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
