@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "langid_trigram_predict",
     "bpe_train_merges",
+    "bucketed_join_roundtrip",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -133,6 +134,8 @@ ITERATIVE = {
     "logreg_gd_train",
     # merge-rule argmax collects + localCheckpoints run during build
     "bpe_train_merges",
+    # bucketed table writes run during build
+    "bucketed_join_roundtrip",
 }
 
 

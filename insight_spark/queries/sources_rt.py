@@ -331,3 +331,68 @@ def shard_export_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join (A6b): write orders and
+    lineitem bucketed by the JOIN KEY (8 buckets, sorted, one file per
+    bucket via a same-hash repartition), read both back through the
+    catalog, and sort-merge-join them WITHOUT a shuffle — the
+    pre-shuffle-once / join-many-times layout that turns the biggest
+    recurring exchange in a 100 TB star schema into a one-time write
+    cost.  Plan-asserted: the only Exchange left is the small
+    post-join priority aggregate.
+
+    The quantity sum casts to BIGINT per row before aggregation
+    (TPC-H quantities are integer-valued doubles), keeping the
+    round-trip value-exact on both engines.
+    """
+    import re as _re
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    base = _rt_path(sf_dir, "bucketed")
+    n_buckets = 8
+    t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(n_buckets, "o_orderkey")  # same hash as bucketBy ->
+        .write.mode("overwrite")               # exactly 1 file per bucket
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, t_orders))
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_quantity").cast("long").alias("qty"))
+        .repartition(n_buckets, "l_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, t_lineitem))
+        .format("parquet")
+        .saveAsTable(t_lineitem)
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").alias("sum_qty"),
+        )
+    )

@@ -588,3 +588,16 @@ def test_bpe_trainer_counts_on_vocab(spark):
     plan = _plan(spark, "bpe_train_merges")
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """The bucketed fact-fact join must be co-located: the ONLY
+    Exchange in the plan is the small post-join priority aggregate —
+    the join itself reads pre-bucketed files on both sides."""
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["bucketed_join_roundtrip"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(o_orderpriority" in plan, plan
