@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "langid_trigram_predict",
     "bpe_train_merges",
     "bucketed_join_roundtrip",
+    "multimodal_video_frames",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -187,3 +187,71 @@ def wav_frames(data: bytes, frame_len: int) -> list[tuple[int, int, int]]:
             break
         pos += 8 + size + (size % 2)
     return frames
+
+
+def encode_y4m(width: int, height: int, frame_lumas: list[int]) -> bytes:
+    """YUV4MPEG2 (Y4M) uncompressed video, 4:2:0 planar: plain-text
+    stream header, then per frame a ``FRAME\\n`` marker + Y plane
+    (w*h bytes) + U and V planes (w/2 * h/2 each).  Each frame's Y
+    plane is a constant fill of ``frame_lumas[i]`` with neutral chroma
+    (128) — so the expected per-frame mean luma is exactly the fill
+    value, IF the decoder separates planes and skips chroma correctly.
+    """
+    assert width % 2 == 0 and height % 2 == 0
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    cw, ch = width // 2, height // 2
+    out = [header]
+    for luma in frame_lumas:
+        assert 0 <= luma <= 255
+        out.append(b"FRAME\n")
+        out.append(bytes([luma]) * (width * height))
+        out.append(b"\x80" * (cw * ch * 2))
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, int, float]:
+    """Parse Y4M → (width, height, n_frames, mean_luma over ALL
+    frames' Y planes).  Mean excludes chroma planes — including them
+    is the planar-layout bug this decoder is tested against."""
+    nl = data.index(b"\n")
+    fields = data[:nl].decode().split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    width = height = None
+    for f in fields[1:]:
+        if f.startswith("W"):
+            width = int(f[1:])
+        elif f.startswith("H"):
+            height = int(f[1:])
+        elif f.startswith("C") and f != "C420":
+            raise ValueError(f"unsupported chroma mode {f}")
+    if width is None or height is None:
+        raise ValueError("Y4M missing W/H header fields")
+    y_len = width * height
+    c_len = (width // 2) * (height // 2)
+    pos = nl + 1
+    n_frames, total = 0, 0
+    while pos < len(data):
+        if data[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        pos += 6
+        total += sum(data[pos : pos + y_len])
+        pos += y_len + 2 * c_len
+        n_frames += 1
+    mean = total / (n_frames * y_len) if n_frames else 0.0
+    return width, height, n_frames, mean
+
+
+def y4m_frame_lumas(data: bytes) -> list[float]:
+    """Per-frame mean luma of a Y4M stream (frame-sample support)."""
+    width, height, _n, _m = decode_y4m(data)
+    nl = data.index(b"\n")
+    y_len = width * height
+    c_len = (width // 2) * (height // 2)
+    pos = nl + 1
+    out = []
+    while pos < len(data):
+        pos += 6  # FRAME\n
+        out.append(sum(data[pos : pos + y_len]) / y_len)
+        pos += y_len + 2 * c_len
+    return out

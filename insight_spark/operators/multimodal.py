@@ -2,11 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct — the Spark-side plumbing (schema, partitioning, Arrow batch
-shape through mapInPandas) is real and tested; the actual codec work is
-STUBBED (this container ships no image/audio libraries): decode either
-raises NotImplementedError (real-codec path) or produces a
-deterministic fake derived from the payload bytes, so tests can assert
-the full pipeline shape end-to-end.
+shape through mapInPandas) is real and tested.  The ``*_real`` family
+parses genuine bytes for all three modalities via the zero-dependency
+codecs in ``operators/codecs.py`` (BMP / PCM WAV / Y4M video); the
+original stub family remains for the formats that DO need external
+libraries (PNG/JPEG/MP4...), where decode either raises
+NotImplementedError (real-codec path) or produces a deterministic fake
+derived from the payload bytes, so tests can assert the full pipeline
+shape end-to-end either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (mapInPandas is a streaming iterator — nothing accumulates);
@@ -256,15 +259,15 @@ REAL_DECODED_SCHEMA = T.StructType(
 
 def attach_real_media_columns(docs: DataFrame) -> DataFrame:
     """Like attach_media_columns, but the payloads are REAL media bytes:
-    valid uncompressed BMP images and PCM WAV audio synthesized
-    deterministically from doc_id (operators/codecs.py), plus opaque
-    mp4-tagged blobs for the still-stubbed video branch.
+    valid uncompressed BMP images, PCM WAV audio, and Y4M (YUV4MPEG2)
+    video synthesized deterministically from doc_id
+    (operators/codecs.py) — all three modalities decode for real.
 
     The synthesis formulas are pure arithmetic in doc_id, so a SQL
     oracle can recompute every decoded field without a codec — making
     the real decode path value-checkable cross-engine.
     """
-    from insight_spark.operators.codecs import encode_bmp, encode_wav
+    from insight_spark.operators.codecs import encode_bmp, encode_wav, encode_y4m
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -282,8 +285,10 @@ def attach_real_media_columns(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_wav(samples, rate))
                     mimes.append("audio/wav")
                 else:
-                    payloads.append(str(text).encode("utf-8"))
-                    mimes.append("video/mp4")
+                    w, h = 8 + (d % 4) * 2, 4 + (d % 3) * 2
+                    lumas = [(d * 29 + f * 13) % 256 for f in range(2 + d % 4)]
+                    payloads.append(encode_y4m(w, h, lumas))
+                    mimes.append("video/y4m")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads}
             )
@@ -294,14 +299,17 @@ def attach_real_media_columns(docs: DataFrame) -> DataFrame:
 
 
 def decode_media_real(media_df: DataFrame) -> DataFrame:
-    """J8 real-codec decode: parse actual BMP/WAV bytes via mapInPandas.
+    """J8 real-codec decode: parse actual BMP/WAV/Y4M bytes via
+    mapInPandas.
 
     Per-mime dispatch inside the Arrow batch loop — the production
-    shape (PIL/ffmpeg would slot into the same branches).  Unsupported
-    mimes (video/mp4 here) yield null fields rather than failing the
-    batch; a strict pipeline would route them to a quarantine sink.
+    shape (PIL/ffmpeg would slot into the same branches).  Video fills
+    width/height/mean_luma (mean over every frame's Y plane) and
+    reports its frame count through n_samples; unknown mimes yield
+    null fields rather than failing the batch (a strict pipeline would
+    route them to a quarantine sink).
     """
-    from insight_spark.operators.codecs import decode_bmp, decode_wav
+    from insight_spark.operators.codecs import decode_bmp, decode_wav, decode_y4m
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -321,6 +329,12 @@ def decode_media_real(media_df: DataFrame) -> DataFrame:
                 elif mime == "audio/wav":
                     _ch, rate, n, first = decode_wav(b)
                     rec.update(n_samples=n, sample_rate=rate, first_sample=first)
+                elif mime == "video/y4m":
+                    w, h, nf, luma = decode_y4m(b)
+                    rec.update(
+                        width=w, height=h,
+                        mean_luma=round(luma, 6), n_samples=nf,
+                    )
                 rows.append(rec)
             out = pd.DataFrame(rows)
             for c in ("width", "height", "n_samples", "sample_rate", "first_sample"):
@@ -416,3 +430,39 @@ def audio_frames_real(media_df: DataFrame, frame_len: int = 16) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(frames, AUDIO_FRAMES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def video_frames_real(media_df: DataFrame, every: int = 2) -> DataFrame:
+    """J8 REAL frame-sample (video form): walk each Y4M stream's FRAME
+    markers, compute every frame's Y-plane mean luma, and emit every
+    ``every``-th frame — the keyframe-sampling shape a training
+    pipeline runs before per-frame feature extraction.  mapInPandas,
+    one input row to N output rows, chroma planes skipped (the planar
+    bug the codec tests pin)."""
+    from insight_spark.operators.codecs import y4m_frame_lumas
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lumas = [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, luma in enumerate(y4m_frame_lumas(bytes(payload))):
+                    if i % every == 0:
+                        ids.append(int(d))
+                        idxs.append(i)
+                        lumas.append(round(luma, 6))
+            out = pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "mean_luma": lumas}
+            )
+            out["frame_idx"] = out["frame_idx"].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(frames, VIDEO_FRAMES_SCHEMA)

@@ -214,15 +214,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
                            WHEN 1 THEN 'audio/wav'
-                           ELSE 'video/mp4' END AS mime,
-           CASE WHEN doc_id % 3 = 0
-                THEN CAST(8 + doc_id % 16 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 3 = 0
-                THEN CAST(4 + doc_id % 8 AS INTEGER) END AS height,
-           CASE WHEN doc_id % 3 = 0
-                THEN CAST((doc_id * 37 + 11) % 251 AS DOUBLE) END AS mean_luma,
-           CASE WHEN doc_id % 3 = 1
-                THEN CAST(32 + doc_id % 64 AS INTEGER) END AS n_samples,
+                           ELSE 'video/y4m' END AS mime,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(8 + doc_id % 16 AS INTEGER)
+                WHEN 2 THEN CAST(8 + (doc_id % 4) * 2 AS INTEGER)
+           END AS width,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(4 + doc_id % 8 AS INTEGER)
+                WHEN 2 THEN CAST(4 + (doc_id % 3) * 2 AS INTEGER)
+           END AS height,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST((doc_id * 37 + 11) % 251 AS DOUBLE)
+                WHEN 2 THEN ROUND(
+                    CAST(list_sum(list_transform(range(0, 2 + doc_id % 4),
+                         f -> (doc_id * 29 + f * 13) % 256)) AS DOUBLE)
+                    / (2 + doc_id % 4), 6)
+           END AS mean_luma,
+           CASE doc_id % 3
+                WHEN 1 THEN CAST(32 + doc_id % 64 AS INTEGER)
+                WHEN 2 THEN CAST(2 + doc_id % 4 AS INTEGER)
+           END AS n_samples,
            CASE WHEN doc_id % 3 = 1
                 THEN CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) END AS sample_rate,
            CASE WHEN doc_id % 3 = 1
@@ -232,14 +243,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL-codec pipeline (J8 + L4): synthesize genuine
-    uncompressed-BMP / PCM-WAV payloads from doc_id, then parse them
-    back with the pure-Python decoders (operators/codecs.py) through
-    mapInPandas.
+    uncompressed-BMP / PCM-WAV / Y4M-video payloads from doc_id, then
+    parse them back with the pure-Python decoders
+    (operators/codecs.py) through mapInPandas — all three modalities
+    decode for real as of r5.
 
     The oracle recomputes every decoded field from the synthesis
-    arithmetic — a header-layout, stride-padding, or chunk-walk bug in
-    the decoder breaks the value hash.  Unsupported mimes (video/mp4)
-    decode to nulls on both sides.
+    arithmetic — a header-layout, stride-padding, chunk-walk, or
+    planar-offset bug in any decoder breaks the value hash.  Video's
+    mean_luma averages every frame's constant Y plane (exact int
+    division, rounded identically both sides); its frame count reports
+    through n_samples.
     """
     docs = load_table(spark, sf_dir, "documents")
     media = attach_real_media_columns(docs)
@@ -560,3 +574,43 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "audio/wav"
     )
     return audio_frames_real(media, 16)
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT doc_id, unnest(range(0, n)) AS f FROM vids
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST((doc_id * 29 + f * 13) % 256 AS DOUBLE) AS mean_luma
+    FROM frames WHERE f % 2 = 0
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 real-codec FRAME-SAMPLE (video form, r5): walk each Y4M
+    stream's FRAME markers, compute every frame's Y-plane mean luma,
+    and keep every 2nd frame — the keyframe-sampling pass a training
+    pipeline runs before per-frame feature extraction, with a REAL
+    planar 4:2:0 chunk walk underneath (a chroma-offset bug shifts
+    every subsequent frame's plane and breaks the hash).
+
+    The oracle regenerates each sampled frame's mean from the
+    synthesis arithmetic: frame f's Y plane is a constant fill of
+    (doc_id*29 + f*13) % 256, so the mean is that value exactly.
+    """
+    from insight_spark.operators.multimodal import (
+        attach_real_media_columns,
+        video_frames_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_real_media_columns(docs).filter(
+        F.col("mime") == "video/y4m"
+    )
+    return video_frames_real(media, every=2)

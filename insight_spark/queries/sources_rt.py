@@ -183,7 +183,7 @@ def schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
     """Get-or-create a directory of real media FILES (one per doc) for
-    the binaryFile source: BMP/WAV/mp4-tagged payloads synthesized from
+    the binaryFile source: BMP/WAV/Y4M payloads synthesized from
     doc_id (operators/multimodal.attach_real_media_columns).  Written
     via foreachPartition — each task writes its own rows, the same
     shape as a distributed per-object PUT to an object store; no
@@ -194,7 +194,9 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = f"media_{st.st_size}_{st.st_mtime_ns}"
+    # v2: video branch became real Y4M in r5 — the version bump
+    # invalidates media trees cached by earlier rounds
+    tag = f"media_v2_{st.st_size}_{st.st_mtime_ns}"
     out = _rt_path(sf_dir, tag)
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
@@ -202,7 +204,7 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(out, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
     media = attach_real_media_columns(docs)
-    ext = {"image/bmp": "bmp", "audio/wav": "wav", "video/mp4": "mp4"}
+    ext = {"image/bmp": "bmp", "audio/wav": "wav", "video/y4m": "y4m"}
 
     def write_part(rows):
         for r in rows:
@@ -224,12 +226,18 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
                                WHEN 1 THEN 'audio/wav'
-                               ELSE 'video/mp4' END AS mime,
+                               ELSE 'video/y4m' END AS mime,
                CASE doc_id % 3
                    WHEN 0 THEN 54 + ((3 * (8 + doc_id % 16) + 3) // 4 * 4)
                                     * (4 + doc_id % 8)
                    WHEN 1 THEN 44 + 2 * (32 + doc_id % 64)
-                   ELSE octet_length(encode(text))
+                   ELSE len('YUV4MPEG2 W' || (8 + (doc_id % 4) * 2)
+                            || ' H' || (4 + (doc_id % 3) * 2)
+                            || ' F25:1 Ip A1:1 C420') + 1
+                        + (2 + doc_id % 4)
+                          * (6 + (8 + (doc_id % 4) * 2) * (4 + (doc_id % 3) * 2)
+                               + 2 * ((8 + (doc_id % 4) * 2) // 2)
+                                   * ((4 + (doc_id % 3) * 2) // 2))
                END AS n_bytes
         FROM documents
     )
@@ -245,14 +253,15 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source evidence (A11, first driver row): write one
-    real media file per document (BMP/WAV/opaque-mp4, payloads
+    real media file per document (BMP/WAV/Y4M, payloads
     synthesized from doc_id), scan the directory with Spark's
     ``binaryFile`` format, and aggregate per-mime file counts and size
     stats from the scan's ``length`` column.
 
     The oracle recomputes every file size from the codec layout
     arithmetic (BMP = 54-byte header + stride-padded rows; WAV = 44 +
-    2·n_samples; mp4 stand-in = utf-8 text length) — a header-layout
+    2·n_samples; Y4M = text header + per-frame 6-byte marker + planar
+    4:2:0 payload) — a header-layout
     change, a dropped file, or a listing bug breaks the hash.  The
     scan itself never reads file CONTENT for this query: (path,
     length) come from the file listing, so column pruning keeps the
@@ -262,10 +271,10 @@ def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insight_spark.sources import read_binary_files
 
     d = _media_files_dir(spark, sf_dir)
-    files = read_binary_files(spark, d, glob="*.{bmp,wav,mp4}")
+    files = read_binary_files(spark, d, glob="*.{bmp,wav,y4m}")
     mime = F.when(F.col("path").endswith(".bmp"), "image/bmp").otherwise(
         F.when(F.col("path").endswith(".wav"), "audio/wav").otherwise(
-            "video/mp4"
+            "video/y4m"
         )
     )
     return (

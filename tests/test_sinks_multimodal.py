@@ -238,8 +238,12 @@ def test_real_decode_pipeline_end_to_end(spark):
         elif d % 3 == 1:
             assert r["n_samples"] == 32 + d % 64
             assert r["first_sample"] == (d * 31) % 4096 - 2048
-        else:
-            assert r["width"] is None and r["n_samples"] is None
+        else:  # video: real Y4M as of r5
+            n = 2 + d % 4
+            assert (r["width"], r["height"]) == (8 + (d % 4) * 2, 4 + (d % 3) * 2)
+            assert r["n_samples"] == n
+            want = sum((d * 29 + f * 13) % 256 for f in range(n)) / n
+            assert abs(r["mean_luma"] - want) < 1e-6
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
@@ -331,3 +335,59 @@ def test_wav_frames_tail_and_values():
     frames = wav_frames(encode_wav(samples, 8000), 16)
     assert [(i, n) for i, n, _ in frames] == [(0, 16), (1, 16), (2, 5)]
     assert [f[2] for f in frames] == [samples[0], samples[16], samples[32]]
+
+
+def test_y4m_roundtrip_varied_shapes():
+    """Every (w, h, frame-count) combination the synthesizer emits,
+    plus mixed lumas — the mean must be the exact frame-luma average
+    (chroma planes skipped)."""
+    from insight_spark.operators.codecs import (
+        decode_y4m,
+        encode_y4m,
+        y4m_frame_lumas,
+    )
+
+    for w in (8, 10, 12, 14):
+        for h in (4, 6, 8):
+            for lumas in ([0], [255, 0], [1, 2, 3, 4, 5]):
+                b = encode_y4m(w, h, lumas)
+                gw, gh, gn, gm = decode_y4m(b)
+                assert (gw, gh, gn) == (w, h, len(lumas))
+                assert gm == sum(lumas) / len(lumas)
+                assert y4m_frame_lumas(b) == [float(x) for x in lumas]
+
+
+def test_y4m_rejects_bad_input():
+    import pytest as _pytest
+
+    from insight_spark.operators.codecs import decode_y4m, encode_y4m
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"RIFF....WAVE\n")
+    good = encode_y4m(8, 4, [10, 20])
+    with _pytest.raises(ValueError):
+        decode_y4m(good[:40] + b"XXXXXX" + good[46:])  # corrupt marker
+
+
+def test_video_frames_real_sampling(spark):
+    """The video frame-sampler must emit exactly the even-indexed
+    frames with their constant-plane means."""
+    from insight_spark.operators.multimodal import (
+        attach_real_media_columns,
+        video_frames_real,
+    )
+    from insight_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    vids = attach_real_media_columns(docs).filter(F.col("mime") == "video/y4m")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["mean_luma"]
+        for r in video_frames_real(vids, every=2).collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect() if r["doc_id"] % 3 == 2]
+    want = {
+        (d, f): float((d * 29 + f * 13) % 256)
+        for d in ids
+        for f in range(0, 2 + d % 4, 2)
+    }
+    assert got == want
