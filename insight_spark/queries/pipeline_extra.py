@@ -392,3 +392,123 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_out("_sum_price").alias("sum_price"),
         )
     )
+
+
+@query(
+    "ivm_additive_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value * 1000000 AS BIGINT)) AS BIGINT)
+               AS sum_micro,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ivm_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for additive aggregates: the corpus
+    splits into a BASE batch and a DELTA batch (md5 range — the
+    yesterday/today ingest boundary), each is aggregated
+    independently, and the two partial states merge algebraically
+    (counts add, micro-sums add, min/least, max/greatest) — never
+    touching base rows again.
+
+    The oracle aggregates the WHOLE table in one pass: the hash check
+    proves merged-partials == full recompute, the property that makes
+    a 100 TB rolling aggregate maintainable by shipping only each
+    day's delta partials.  Values quantize to integer micros before
+    summing, so partial sums merge exactly in any order (the SURVEY
+    §7.4 discipline applied to state, not just output).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    is_delta = F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 2
+    ) >= "c0"
+    micro = F.round(F.col("value") * 1000000).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(micro).alias("sum_micro"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partial(ev.filter(~is_delta))
+    delta = partial(ev.filter(is_delta))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full")
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.sum_micro"), F.lit(0))
+                + F.coalesce(F.col("d.sum_micro"), F.lit(0))
+            ).alias("sum_micro"),
+            F.least(F.col("b.min_value"), F.col("d.min_value")).alias(
+                "min_value"
+            ),
+            F.greatest(F.col("b.max_value"), F.col("d.max_value")).alias(
+                "max_value"
+            ),
+        )
+    )
+
+
+@query(
+    "hashing_trick_features",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(CASE WHEN substr(md5(token), 1, 1) < '8'
+                         THEN ascii(substr(md5(token), 2, 1))
+                         ELSE ascii(substr(md5(token), 2, 1)) + 128
+                    END % 16 AS INTEGER) AS bucket
+        FROM toks
+    )
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM bucketed GROUP BY doc_id, bucket
+    """,
+)
+def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens hash directly into a
+    fixed 16-dim bucket space — the vocabulary-free featurizer that
+    feeds linear quality classifiers at corpus scale (no vocab table
+    to build, broadcast, or version; collisions are the accepted
+    trade).
+
+    Bucket = a cross-engine md5-derived value (first hex nibble picks
+    the high bit, second's ASCII code the rest — pure string ops, no
+    hex-to-int cast needed) mod 16.  Map-only explode + one (doc,
+    bucket) count aggregate; output is the sparse (doc_id, bucket,
+    weight) triple form that assembles into vectors downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    h = F.md5("token")
+    code = F.ascii(F.substring(h, 2, 1)) + F.when(
+        F.substring(h, 1, 1) < "8", 0
+    ).otherwise(128)
+    return (
+        toks.select("doc_id", (code % 16).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("weight"))
+    )
