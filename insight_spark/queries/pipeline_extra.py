@@ -168,12 +168,65 @@ def event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only: approximate (cell pruning), like ann_lsh
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS c_vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_vec_id) - 1 AS INTEGER)
+                   AS cell_id,
+               e AS centroid
+        FROM (SELECT * FROM c ORDER BY c_vec_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT c_vec_id, e, cell_id FROM (
+            SELECT c.c_vec_id, c.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_vec_id
+                       ORDER BY list_distance(c.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT c_vec_id AS q_vec_id, e AS q_e FROM c WHERE c_vec_id < 10),
+    probes AS (
+        SELECT q_vec_id, q_e, cell_id FROM (
+            SELECT q.q_vec_id, q.q_e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_vec_id
+                       ORDER BY list_distance(q.q_e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM q CROSS JOIN cents
+        ) WHERE rn <= 3
+    ),
+    pairs AS (
+        SELECT p.q_vec_id, a.c_vec_id,
+               ROUND(list_cosine_similarity(p.q_e, a.e), 6) AS cos_sim
+        FROM probes p JOIN assigned a USING (cell_id)
+    )
+    SELECT q_vec_id, c_vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec_id ORDER BY cos_sim DESC, c_vec_id
+        ) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn via IVF cells (J3 scale path #2).
 
-    Deterministic coarse quantizer + 2-cell probe; recall vs exact knn
-    asserted in tests/test_pipeline_extra.py.
+    Deterministic coarse quantizer (first-8-by-id centroids) + 3-cell
+    probe; recall vs exact knn asserted in
+    tests/test_pipeline_extra.py.  Value-oracled as of r5: every stage
+    (centroid seeding, nearest-cell assignment with (dist, cell) tie
+    break, probe selection, per-cell cosine ranking) is replayed by
+    DuckDB — Euclidean argmin ordering is monotone-invariant to the
+    sqrt so list_distance mirrors l2_distance exactly.
     """
     from insight_spark.operators.similarity import (
         ivf_assign,
