@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "bucketed_join_roundtrip",
     "multimodal_video_frames",
+    "ivm_additive_merge",
+    "hashing_trick_features",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

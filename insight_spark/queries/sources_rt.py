@@ -405,3 +405,46 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (A6c): the #1 recurring maintenance op on
+    a long-lived 100 TB table.  Stage 1 writes the subset fragmented
+    (maxRecordsPerFile=50 — the shape a streaming ingest or
+    over-parallel job leaves behind); stage 2 compacts by reading the
+    fragment tree and rewriting through a single coalesced partition
+    with the cap lifted.  The returned rows come from the COMPACTED
+    tree, so the value hash proves compaction is loss- and
+    duplication-free; the file-count collapse is asserted in
+    tests/test_plans.py (fragmented >> compacted).
+
+    At scale the coalesce(1) becomes repartition(target_file_count) or
+    a size-based `spark.sql.files.maxPartitionBytes`-aligned rewrite;
+    the read-rewrite-swap shape is identical.
+    """
+    frag = _rt_path(sf_dir, "compact_frag")
+    compact = _rt_path(sf_dir, "compact_out")
+    subset = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+    (
+        subset.write.mode("overwrite")
+        .option("maxRecordsPerFile", 50)
+        .parquet(frag)
+    )
+    (
+        spark.read.parquet(frag)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact)

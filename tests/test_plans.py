@@ -601,3 +601,20 @@ def test_bucketed_join_no_shuffle(spark):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning(o_orderpriority" in plan, plan
+
+
+def test_compaction_collapses_file_count(spark):
+    """The compaction round-trip must actually compact: the fragmented
+    tree has many parquet files, the rewritten tree has 1."""
+    import glob
+    import os
+
+    from insight_spark.queries import all_queries
+    from insight_spark.queries.sources_rt import _rt_path
+
+    df = all_queries()["compaction_roundtrip"](spark, SF)
+    assert df.count() > 0
+    n_frag = len(glob.glob(os.path.join(_rt_path(SF, "compact_frag"), "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(_rt_path(SF, "compact_out"), "*.parquet")))
+    assert n_frag > 5, n_frag
+    assert n_comp == 1, n_comp
