@@ -70,12 +70,16 @@ _MODULES = (
 #: the remaining streaming contract rows (K4/K6/K8 + stream-stream
 #: joins), multimodal decode/resize/frames, and the analytics tail
 #: (interp/seasonal/assoc/PIT/attribution/PSI/CDC/k-core/LPA/TWAP);
-#: (b) 16 green canaries spanning operator families (one each:
-#: flagship, TPC-H, streaming, sink, sketch, LSH-dedup, kNN, window
-#: sessionization, graph, clustering, exact dedup, PII, multimodal,
-#: grouping sets, range join, n-gram decontamination) to detect
-#: regressions in previously-verified surface.  Exactly 50 names.
-#: Unlisted queries follow in module-registration order.
+#: (b) the 7 queries whose semantics/plan/oracle CHANGED this round
+#: (re-proving green status outranks pure canaries — the round-4
+#: lesson applied to round-5's own edits); (c) 9 of the 11 round-5
+#: additions (mixing/sampling/fingerprinting, language-ID, BPE
+#: trainer, bucketed join, video frames, IVM merge) — first-time
+#: evidence.  hashing_trick_features and compaction_roundtrip are the
+#: two left-over additions (simple word-count / roundtrip shapes,
+#: local oracle evidence only) — ROUND-6 ROTATION: put those two
+#: first, then fill with canaries spanning operator families.
+#: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)
     "minhash_recall_gate",
@@ -117,23 +121,26 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: graph tail
     "k_core_peel",
     "label_propagation",
-    # green canaries — one per operator family, all pass-r1..r4
-    "flagship_top_customers",
-    "tpch_q1_pricing_summary",
-    "stream_hourly_counts",
-    "partitioned_sink_roundtrip",
-    "cms_heavy_hitters",
-    "minhash_lsh_pairs",
-    "knn_cosine_topk",
-    "sessionize",
-    "pagerank_tokens",
-    "kmeans_lloyd",
-    "dedup_hash",
-    "pii_scrub_audit",
-    "binary_stats",
-    "grouping_id_flags",
-    "interval_join_global",
-    "ngram_decontaminate",
+    # round-5 CHANGED queries — semantics/plan/oracle touched this
+    # round, so their green status needs re-proving (this outranks
+    # pure canaries, the round-4 lesson):
+    "ks_distribution_shift",     # two-phase distributed CDF rewrite
+    "tpch_q15_top_supplier",     # global window -> 1-row broadcast max
+    "source_token_budget",       # global window -> 1-row broadcast total
+    "pack_token_budget",         # md5 shard salt + first value oracle
+    "binary_stats",              # video leg became real Y4M
+    "multimodal_decode_real",    # y4m decode branch added
+    "ann_ivf_topk",              # first value oracle (was rows-only)
+    # round-5 NEW queries — first-time driver evidence
+    "source_mixture_temperature",
+    "token_budget_sampler",
+    "ccnet_perplexity_buckets",
+    "winnowing_fingerprints",
+    "langid_trigram_predict",
+    "bpe_train_merges",
+    "bucketed_join_roundtrip",
+    "multimodal_video_frames",
+    "ivm_additive_merge",
 )
 
 _loaded = False
