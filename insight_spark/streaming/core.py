@@ -339,3 +339,56 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Data
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """K6/M12 depth: per-(user, event_type) running counts held in a
+    TWS **MapState** handle — the keyed-dictionary state a per-key
+    model registry or feature store uses (vs the single-struct
+    ValueState of :func:`user_totals_tws`).
+
+    Emits each key's full map every batch in update mode; the LAST
+    emission per user must equal the batch groupBy — order-insensitive
+    within the map, so deterministic under any micro-batch chunking.
+    Same runtime requirements as user_totals_tws
+    (:func:`tws_runtime_available`, RocksDB state store).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                for et, n in pdf["event_type"].value_counts().items():
+                    prev = (
+                        int(self._counts.getValue((et,))[0])
+                        if self._counts.containsKey((et,))
+                        else 0
+                    )
+                    self._counts.updateValue((et,), (prev + int(n),))
+            items = [
+                (k[0], int(v[0])) for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_type": [t for t, _ in items],
+                    "n_events": [n for _, n in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -346,3 +346,62 @@ def test_sliding_window_stream_matches_batch(spark, stream_env):
     assert len(emitted) > 0, "stream emitted nothing"
     for row in emitted:
         assert row in batch_canon, f"stream row not in batch result: {row}"
+
+
+def test_tws_mapstate_type_counts_converges_to_batch(spark, stream_env):
+    """K6/M12 depth: MapState-backed per-(user, type) running counts —
+    the keyed-dictionary state handle — must converge to the batch
+    groupBy after all micro-batches drain."""
+    from insight_spark.streaming.core import (
+        tws_runtime_available,
+        user_type_counts_tws,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("google.protobuf absent: TWS runtime cannot start")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, stream_env["in_dir"])
+        result = run_stream_to_memory(
+            spark,
+            user_type_counts_tws(stream),
+            "user_type_counts_tws_stream",
+            os.path.join(stream_env["base"], "ckpt_tws_map"),
+            output_mode="update",
+        )
+        import pyspark.sql.window as W
+
+        w = W.Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("n_events")
+        )
+        final = (
+            result.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got = {
+            (r["user_id"], r["event_type"]): r["n_events"]
+            for r in final.collect()
+        }
+        want = {
+            (r["user_id"], r["event_type"]): r["n_events"]
+            for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
