@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_spark.operators.text import tokens_df
+from insight_spark.operators.text import tokenize, tokens_df
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -283,3 +283,119 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left_sym string, right_sym string, merged string, freq long",
     )
     return rows.crossJoin(F.broadcast(stat))
+
+
+def _bpe_apply_oracle() -> str:
+    """Extends the trainer replay: after the 3 learned merges, roll the
+    per-word symbol counts back onto the corpus per source."""
+    base = _bpe_oracle()
+    # reuse everything up to v{rounds}; replace the final SELECT
+    head = base[: base.rindex("SELECT CAST(rank AS INTEGER)")]
+    return (
+        head
+        + f""", corpus AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    word_syms AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(s, '||'), x -> x <> ''))
+                    AS BIGINT) AS n_syms,
+               CAST(len(word) AS BIGINT) AS n_chars
+        FROM v{_BPE_ROUNDS}
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.n_chars) AS BIGINT) AS chars_before,
+           CAST(SUM(w.n_syms) AS BIGINT) AS syms_after,
+           ROUND(CAST(SUM(w.n_chars) AS DOUBLE) / SUM(w.n_syms), 6)
+               AS compression
+    FROM corpus c JOIN word_syms w ON c.token = w.word
+    GROUP BY c.source
+    """
+    )
+
+
+@query("bpe_apply_compression", oracle=_bpe_apply_oracle())
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→APPLY lifecycle: run the same 3-round trainer, then
+    roll the learned segmentation back onto the corpus — per-source
+    character count vs post-merge symbol count, i.e. the compression
+    the tokenizer actually buys on each slice (the number a tokenizer
+    team tracks per data source before committing a vocab).
+
+    Scale shape: the apply step never re-tokenizes the corpus — the
+    vocabulary table (word → post-merge symbol count) broadcasts back
+    onto the corpus token stream, so application costs one
+    broadcast-join + one |sources|-row aggregate regardless of how
+    many merges were learned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokens_df(docs).groupBy("token").agg(F.count("*").alias("wf"))
+    s0 = F.concat(
+        F.lit(_SEP * 2),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token")),
+                lambda i: F.substring("token", i, 1),
+            ),
+            _SEP * 2,
+        ),
+        F.lit(_SEP * 2),
+    )
+    cur = words.select(
+        F.col("token").alias("word"), "wf", s0.alias("s")
+    ).localCheckpoint()
+    syms = F.filter(F.split("s", r"\|\|"), lambda x: x != "")
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            cur.select("wf", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("freq"))
+        )
+        best = pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()[0]
+        pat = _SEP + best["l"] + _SEP * 2 + best["r"] + _SEP
+        rep = _SEP + best["l"] + best["r"] + _SEP
+        cur = cur.select(
+            "word",
+            "wf",
+            F.expr(f"replace(s, {pat!r}, {rep!r})").alias("s"),
+        ).localCheckpoint()
+
+    word_syms = cur.select(
+        "word",
+        F.size(syms).cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    corpus = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return (
+        corpus.join(
+            F.broadcast(word_syms), corpus.token == word_syms.word
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_chars").alias("chars_before"),
+            F.sum("n_syms").alias("syms_after"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_syms"), 6
+            ).alias("compression"),
+        )
+    )
