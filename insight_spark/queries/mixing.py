@@ -337,3 +337,107 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, len(text) AS n FROM documents
+    ),
+    cut AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n >= 8 THEN
+                   [0] || list_transform(
+                       list_filter(range(1, n - 6),
+                           i -> i + 7 < n AND
+                                list_sum(list_transform(range(0, 8),
+                                    j -> CAST(ascii(substr(text, i + j, 1))
+                                              AS BIGINT)
+                                         * CAST(31 ** (7 - j) AS BIGINT)))
+                                % 64 = 0),
+                       i -> i + 7) || [n]
+               ELSE [0, n] END AS cuts
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(cuts)),
+                   k -> md5(substr(text, cuts[k] + 1,
+                                   cuts[k + 1] - cuts[k])))) AS ch
+        FROM cut
+    ),
+    freq AS (
+        SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_shared
+    FROM chunks c JOIN freq f USING (ch)
+    GROUP BY c.doc_id
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash dedup
+    primitive): cut each document where an 8-char polynomial hash
+    (Horner, base 31) hits 0 mod 64 — boundaries follow CONTENT, so an
+    insertion early in a document shifts only the chunk it lands in,
+    and every later chunk still dedups against the corpus (the
+    property fixed-size blocks lack; the storage-layer complement to
+    MinHash document-level dedup).  Per doc: chunk count + how many of
+    its chunks also appear in other documents.
+
+    Scale shape: chunking is a pure per-row higher-order projection
+    (no UDF — the Horner fold is a nested JVM ``aggregate``); only
+    16-byte chunk digests shuffle for the corpus frequency (never
+    content), then a doc-key re-aggregate — exactly the `dedup_hash`
+    digest discipline applied sub-document.  Production CDC adds
+    min/max chunk-size clamps; the cut rule here is the textbook form
+    so both engines replay it bit-exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            """
+            CASE WHEN length(text) >= 8 THEN
+                concat(
+                    array(0),
+                    transform(
+                        filter(sequence(1, length(text) - 7),
+                            i -> i + 7 < length(text) AND
+                                 aggregate(sequence(0, 7), 0L,
+                                     (acc, j) -> acc * 31L +
+                                         ascii(substring(text, i + j, 1)))
+                                 % 64 = 0),
+                        i -> i + 7),
+                    array(length(text)))
+            ELSE array(0, length(text)) END
+            """
+        ).alias("cuts"),
+    )
+    chunks = cut.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cuts) - 1),"
+                " k -> md5(substring(text, element_at(cuts, k) + 1,"
+                " element_at(cuts, k + 1) - element_at(cuts, k))))"
+            )
+        ).alias("ch"),
+    )
+    freq = chunks.groupBy("ch").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("int")).cast("int").alias(
+                "n_shared"
+            ),
+        )
+    )
