@@ -75,10 +75,11 @@ _MODULES = (
 #: lesson applied to round-5's own edits); (c) 9 of the 11 round-5
 #: additions (mixing/sampling/fingerprinting, language-ID, BPE
 #: trainer, bucketed join, video frames, IVM merge) — first-time
-#: evidence.  hashing_trick_features, compaction_roundtrip, and
-#: bpe_apply_compression are the left-over additions (local oracle
-#: evidence only) — ROUND-6 ROTATION: put those three first, then
-#: fill with canaries spanning operator families.
+#: evidence.  hashing_trick_features, compaction_roundtrip,
+#: bpe_apply_compression, and cdc_chunk_dedup are the left-over
+#: additions (local oracle evidence only) — ROUND-6 ROTATION: put
+#: those four first, then fill with canaries spanning operator
+#: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)

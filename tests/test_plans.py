@@ -618,3 +618,11 @@ def test_compaction_collapses_file_count(spark):
     n_comp = len(glob.glob(os.path.join(_rt_path(SF, "compact_out"), "*.parquet")))
     assert n_frag > 5, n_frag
     assert n_comp == 1, n_comp
+
+
+def test_cdc_chunking_digest_only_shuffle(spark):
+    """CDC chunking must be Python-free with no cartesian anywhere;
+    the only shuffled payload is the 16-byte chunk digest."""
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
