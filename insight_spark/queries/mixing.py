@@ -441,3 +441,96 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "data_prep_funnel",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, source, text, sha256(text) AS h,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS nt
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+    dedup AS (
+        SELECT b.* FROM base b JOIN keep k ON b.doc_id = k.keep_id
+    ),
+    quality AS (SELECT * FROM dedup WHERE nt >= 10),
+    ranked AS (
+        SELECT doc_id, source, nt,
+               SUM(nt) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+        FROM quality
+    ),
+    sampled AS (SELECT * FROM ranked WHERE running <= {_SAMPLE_BUDGET}),
+    per_source AS (
+        SELECT source, SUM(nt) AS st FROM sampled GROUP BY source
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup) AS n_after_dedup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_after_quality,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled) AS n_sampled,
+           (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM sampled)
+               AS sampled_tokens,
+           (SELECT CAST(COALESCE(SUM((st + 2047) // 2048), 0) AS BIGINT)
+            FROM per_source) AS n_bins_lb
+    """,
+)
+def data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-prep lifecycle in ONE report (flagship #2, composing
+    the round-5 surface the way a training-data team actually runs
+    it): exact dedup (sha256 keep-min) → quality gate (min token
+    count) → per-source md5-priority budget sampling → context-window
+    bin lower bound (ceil tokens/2048 per source — the fixed-width
+    bound the greedy packer refines).
+
+    Every stage count is value-checked in one row, so a regression in
+    ANY stage's semantics breaks the hash.  Plan: one digest shuffle,
+    map-side quality filter, one source-partitioned window, and
+    1-row-aggregate crossJoins — the same stage shapes as the verified
+    standalone queries (`dedup_hash`, `token_budget_sampler`,
+    `pack_token_budget`), composed without materialization between
+    stages.
+    """
+    from insight_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text",
+        F.size(tokenize(F.col("text"))).alias("nt"),
+    )
+    keep = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    dedup = base.join(keep, "doc_id", "left_semi")
+    quality = dedup.filter(F.col("nt") >= 10)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = quality.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.sum("nt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"),
+    )
+    sampled = ranked.filter(F.col("running") <= _SAMPLE_BUDGET)
+    per_source = sampled.groupBy("source").agg(F.sum("nt").alias("st"))
+    m1 = base.agg(F.count("*").alias("n_docs"))
+    m2 = dedup.agg(F.count("*").alias("n_after_dedup"))
+    m3 = quality.agg(F.count("*").alias("n_after_quality"))
+    m4 = sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.coalesce(F.sum("nt"), F.lit(0)).alias("sampled_tokens"),
+    )
+    m5 = per_source.agg(
+        F.coalesce(
+            F.sum(F.floor((F.col("st") + 2047) / 2048)), F.lit(0)
+        ).alias("n_bins_lb")
+    )
+    return (
+        m1.crossJoin(m2).crossJoin(m3).crossJoin(m4).crossJoin(m5)
+    )
