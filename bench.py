@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "multimodal_video_frames",
     "ivm_additive_merge",
     "hashing_trick_features",
+    "cdc_chunk_dedup",
+    "data_prep_funnel",
+    "bpe_apply_compression",
+    "compaction_roundtrip",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -139,6 +143,9 @@ ITERATIVE = {
     "bpe_train_merges",
     # bucketed table writes run during build
     "bucketed_join_roundtrip",
+    # merge-rule collects run during build; compaction writes during build
+    "bpe_apply_compression",
+    "compaction_roundtrip",
 }
 
 
