@@ -391,3 +391,35 @@ def test_video_frames_real_sampling(spark):
         for f in range(0, 2 + d % 4, 2)
     }
     assert got == want
+
+
+def test_avro_codec_spec_invariants():
+    """Container layout checks beyond self-round-trip: magic, metadata
+    keys, sync repetition, zigzag-varint edge values."""
+    from insight_spark.operators.avro_codec import (
+        make_schema,
+        read_avro_bytes,
+        write_avro_bytes,
+        _read_long,
+        _write_long,
+    )
+
+    for n in (0, 1, -1, 63, 64, -64, -65, 2**40, -(2**40), 2**62):
+        data = _write_long(n)
+        got, pos = _read_long(data, 0)
+        assert got == n and pos == len(data), n
+
+    sch = make_schema("t", [("k", "long"), ("s", "string"), ("x", "double")])
+    rows = [(i, f"v{i}", i / 4) for i in range(100)]
+    b = write_avro_bytes(rows, sch)
+    assert b[:4] == b"Obj\x01"
+    assert b"avro.schema" in b and b"avro.codec" in b
+    s2, got = read_avro_bytes(b)
+    assert got == rows
+    assert [f["name"] for f in s2["fields"]] == ["k", "s", "x"]
+    # corrupting the sync must be detected
+    import pytest as _pytest
+
+    bad = b[:-1] + bytes([b[-1] ^ 0xFF])
+    with _pytest.raises(ValueError):
+        read_avro_bytes(bad)
