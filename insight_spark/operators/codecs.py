@@ -255,3 +255,53 @@ def y4m_frame_lumas(data: bytes) -> list[float]:
         out.append(sum(data[pos : pos + y_len]) / y_len)
         pos += y_len + 2 * c_len
     return out
+
+
+def encode_bmp_rows(width: int, height: int, row_lumas: list[int]) -> bytes:
+    """Uncompressed 24-bit BMP with a DIFFERENT constant per image row
+    (``row_lumas`` in top-down image order).  BMP stores rows
+    bottom-up, so the encoder writes them reversed — decoding in file
+    order without flipping is the orientation bug the feature tests
+    pin (a constant-fill image can't catch it)."""
+    assert len(row_lumas) == height
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_data = b"".join(
+        bytes([luma] * row_bytes) + b"\x00" * pad
+        for luma in reversed(row_lumas)  # bottom-up storage
+    )
+    offset = 14 + 40
+    file_size = offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixel_data
+
+
+def bmp_row_band_means(data: bytes, n_bands: int) -> list[float]:
+    """Feature extraction from a real BMP: mean luma of ``n_bands``
+    equal horizontal bands in TOP-DOWN image order (rows must be
+    un-reversed from the file's bottom-up layout and de-padded)."""
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    _hs, width, height, _p, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    height = abs(height)
+    assert height % n_bands == 0
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    # file row f corresponds to image row (height - 1 - f)
+    row_sum = [0] * height
+    for f in range(height):
+        row = data[offset + f * stride : offset + f * stride + row_bytes]
+        row_sum[height - 1 - f] = sum(row)
+    per_band = height // n_bands
+    return [
+        sum(row_sum[b * per_band : (b + 1) * per_band])
+        / (per_band * row_bytes)
+        for b in range(n_bands)
+    ]

@@ -76,9 +76,11 @@ _MODULES = (
 #: additions (mixing/sampling/fingerprinting, language-ID, BPE
 #: trainer, bucketed join, video frames, IVM merge) — first-time
 #: evidence.  hashing_trick_features, compaction_roundtrip,
-#: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel, and avro_roundtrip are the left-over
+#: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
+#: avro_roundtrip, k_anonymity_suppress, and multimodal_image_features
+#: are the left-over
 #: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those six first, then fill with canaries spanning operator
+#: those eight first, then fill with canaries spanning operator
 #: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

@@ -614,3 +614,68 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "video/y4m"
     )
     return video_frames_real(media, every=2)
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest(range(0, 4)) AS b FROM imgs
+    )
+    SELECT doc_id,
+           CAST(b AS INTEGER) AS band,
+           CAST(((doc_id * 37 + (2 * b) * 5) % 256
+                 + (doc_id * 37 + (2 * b + 1) * 5) % 256) AS DOUBLE) / 2
+               AS band_mean
+    FROM bands
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 real-codec FEATURE-EXTRACT (r5): synthesize row-gradient BMPs
+    (image row r has constant luma (doc_id*37 + r*5) % 256, 8 rows),
+    then extract a 4-band mean-luma feature vector by parsing the
+    actual bytes — which forces the decoder to un-reverse BMP's
+    bottom-up row storage and strip stride padding.  A decoder that
+    reads rows in file order produces the bands REVERSED and fails the
+    hash (constant-fill fixtures can't catch that orientation bug —
+    this one exists to).
+
+    The band means are exact halves (avg of two ints), so the oracle
+    recomputes them from the synthesis arithmetic bit-exactly.  Shape:
+    one mapInPandas over Arrow batches (encode + parse per row), 4
+    rows out per image — the thumbnail-embedding extraction pass of a
+    vision-data pipeline, with PIL swapping into the same inner loop.
+    """
+    from insight_spark.operators.codecs import (
+        bmp_row_band_means,
+        encode_bmp_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            ids, bands, means = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + d % 8
+                lumas = [(d * 37 + r * 5) % 256 for r in range(8)]
+                blob = encode_bmp_rows(w, 8, lumas)
+                for b, m in enumerate(bmp_row_band_means(blob, 4)):
+                    ids.append(d)
+                    bands.append(b)
+                    means.append(m)
+            out = pd.DataFrame(
+                {"doc_id": ids, "band": bands, "band_mean": means}
+            )
+            out["band"] = out["band"].astype("int32")
+            yield out
+
+    return docs.select("doc_id").mapInPandas(
+        feats, "doc_id long, band int, band_mean double"
+    )

@@ -534,3 +534,52 @@ def data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m1.crossJoin(m2).crossJoin(m3).crossJoin(m4).crossJoin(m5)
     )
+
+
+@query(
+    "k_anonymity_suppress",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+           CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           n >= 5 AS released
+    FROM cells
+    GROUP BY 1, 2, released
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (privacy-preserving corpus stats): the
+    (lang, source) quasi-identifier cells are released only when they
+    hold ≥ k=5 documents; smaller cells collapse into one suppressed
+    '*'/'*' bucket — so no published row isolates fewer than k
+    individuals' documents.  The pre-release step any corpus-stats
+    dashboard or datasheet runs before sharing slice counts.
+
+    Plan: one quasi-identifier aggregate (map-side combined), then a
+    second tiny aggregate over the |cells| rows that folds the
+    sub-threshold cells together — both shuffles on bounded keys; the
+    release decision is a projection, never a per-row filter that
+    would leak counts via absence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    released = F.col("n") >= 5
+    return (
+        cells.select(
+            F.when(released, F.col("lang")).otherwise("*").alias("lang"),
+            F.when(released, F.col("source")).otherwise("*").alias("source"),
+            "n",
+            released.alias("released"),
+        )
+        .groupBy("lang", "source", "released")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("n_cells"),
+        )
+        .select("lang", "source", "n_docs", "n_cells", "released")
+    )
