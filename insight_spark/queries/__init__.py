@@ -77,10 +77,10 @@ _MODULES = (
 #: trainer, bucketed join, video frames, IVM merge) — first-time
 #: evidence.  hashing_trick_features, compaction_roundtrip,
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
-#: avro_roundtrip, k_anonymity_suppress, and multimodal_image_features
-#: are the left-over
+#: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
+#: and dynamic_partition_overwrite are the left-over
 #: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those eight first, then fill with canaries spanning operator
+#: those nine first, then fill with canaries spanning operator
 #: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

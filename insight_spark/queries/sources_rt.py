@@ -531,3 +531,48 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "o_orderkey long, o_orderstatus string, o_orderpriority string",
     )
+
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CASE WHEN o_orderstatus = 'F' AND o_orderkey <= 500
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition backfill (A6d): rewrite ONE partition of a
+    status-partitioned table with corrected data while every other
+    partition's files stay untouched — `partitionOverwriteMode=dynamic`,
+    the daily-restatement primitive of a partitioned 100 TB lakehouse
+    table (static mode would wipe the whole root; dynamic replaces only
+    the partitions present in the incoming frame).
+
+    The round-trip: write the subset partitioned by status, then
+    overwrite just the 'F' partition with doubled prices, read the
+    whole tree back.  The value hash proves (a) the backfill landed,
+    (b) no other partition was dropped or duplicated.
+    """
+    path = _rt_path(sf_dir, "dyn_overwrite")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fixed = (
+        base.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
