@@ -405,3 +405,46 @@ def test_tws_mapstate_type_counts_converges_to_batch(spark, stream_env):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Operational recovery contract: a NEW query started on the SAME
+    checkpoint must resume from the committed offsets — files already
+    processed before the stop are not reprocessed, files arriving
+    while the query was down are picked up exactly once."""
+    ev = load_table(spark, SF_DIR, "events")
+    in_dir = str(tmp_path / "restart_input")
+    ckpt = str(tmp_path / "ckpt_restart")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    write_single_parquet(half1, os.path.join(in_dir, "f1.parquet"))
+
+    def start(name):
+        stream = read_events_stream(spark, in_dir)
+        counts = stream.groupBy("event_type").count()
+        return (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start("restart_run1")
+    q1.processAllAvailable()
+    n1 = {r["event_type"]: r["count"] for r in spark.table("restart_run1").collect()}
+    q1.stop()
+    assert sum(n1.values()) == half1.count()
+
+    # downtime arrival, then a brand-new query on the same checkpoint
+    write_single_parquet(half2, os.path.join(in_dir, "f2.parquet"))
+    q2 = start("restart_run2")
+    q2.processAllAvailable()
+    n2 = {r["event_type"]: r["count"] for r in spark.table("restart_run2").collect()}
+    q2.stop()
+
+    want = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    assert n2 == want, "restart must resume exactly-once (no loss, no dup)"
