@@ -78,9 +78,9 @@ _MODULES = (
 #: evidence.  hashing_trick_features, compaction_roundtrip,
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
-#: and dynamic_partition_overwrite are the left-over
+#: dynamic_partition_overwrite, and symspell_suggest are the left-over
 #: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those nine first, then fill with canaries spanning operator
+#: those ten first, then fill with canaries spanning operator
 #: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

@@ -810,3 +810,108 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wdw).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query(
+    "symspell_suggest",
+    oracle=r"""
+    WITH vocab AS (
+        SELECT token AS term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY token HAVING COUNT(*) >= 5
+    ),
+    deletes AS (
+        SELECT term, freq, term AS dkey FROM vocab
+        UNION ALL
+        SELECT term, freq,
+               unnest(list_distinct(list_transform(
+                   range(1, len(term) + 1),
+                   i -> substr(term, 1, i - 1)
+                        || substr(term, i + 1, len(term))))) AS dkey
+        FROM vocab
+    ),
+    probes AS (
+        SELECT term AS src,
+               substr(term, 1, 1) || substr(term, 3, len(term)) AS q
+        FROM (
+            SELECT term, ROW_NUMBER() OVER (
+                       ORDER BY freq DESC, term) AS rk
+            FROM vocab WHERE len(term) >= 4
+        ) WHERE rk <= 20
+    ),
+    cands AS (
+        SELECT DISTINCT p.q, d.term, d.freq
+        FROM probes p JOIN deletes d ON p.q = d.dkey
+    )
+    SELECT q, term AS suggestion, freq, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY q ORDER BY freq DESC, term) AS rank
+        FROM cands
+    ) WHERE rank <= 3
+    """,
+)
+def symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spelling correction (the search-domain index
+    trick): precompute every vocab term's 1-character deletes ONCE,
+    then a misspelled query resolves by EQUI-JOIN on the delete key
+    instead of a levenshtein scan of the vocabulary — O(|q|)
+    candidates per lookup vs O(|vocab|) distance computations (the
+    complementary method to `blocked_fuzzy_match`'s block+verify).
+
+    Probes are synthesized deterministically (the 20 most frequent
+    ≥4-char terms with their 2nd character removed), so every stage —
+    delete-index build, candidate join, (freq desc, term) ranking — is
+    replayed exactly by the oracle.  At 100 TB the delete index is
+    vocabulary-bounded (|vocab| × avg_len rows), built once,
+    broadcast or bucketed for serving.
+    """
+    vocab = (
+        tokens_df(load_table(spark, sf_dir, "documents"))
+        .groupBy(F.col("token").alias("term"))
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    one_deletes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.substring("term", 1, i - 1),
+                F.col("term").substr(i + 1, F.length("term")),
+            ),
+        )
+    )
+    deletes = vocab.select(
+        "term", "freq", F.col("term").alias("dkey")
+    ).unionByName(
+        vocab.select(
+            "term", "freq", F.explode(one_deletes).alias("dkey")
+        )
+    )
+    w_top = Window.orderBy(F.desc("freq"), "term")
+    probes = (
+        vocab.filter(F.length("term") >= 4)
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1),
+                F.col("term").substr(F.lit(3), F.length("term")),
+            ).alias("q")
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(deletes, F.col("q") == F.col("dkey"))
+        .select("q", "term", "freq")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("q").orderBy(F.desc("freq"), "term")
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("q", F.col("term").alias("suggestion"), "freq", "rank")
+    )
