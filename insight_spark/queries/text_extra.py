@@ -891,11 +891,12 @@ def symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "freq", F.explode(one_deletes).alias("dkey")
         )
     )
-    w_top = Window.orderBy(F.desc("freq"), "term")
+    # TakeOrderedAndProject, not a global row_number window: the probe
+    # head is a distributed per-partition heap + driver merge of 20
     probes = (
         vocab.filter(F.length("term") >= 4)
-        .withColumn("rk", F.row_number().over(w_top))
-        .filter(F.col("rk") <= 20)
+        .orderBy(F.desc("freq"), "term")
+        .limit(20)
         .select(
             F.concat(
                 F.substring("term", 1, 1),
