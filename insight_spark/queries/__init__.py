@@ -78,9 +78,10 @@ _MODULES = (
 #: evidence.  hashing_trick_features, compaction_roundtrip,
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
-#: dynamic_partition_overwrite, and symspell_suggest are the left-over
+#: dynamic_partition_overwrite, symspell_suggest, and
+#: sql_text_interface are the left-over
 #: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those ten first, then fill with canaries spanning operator
+#: those eleven first, then fill with canaries spanning operator
 #: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

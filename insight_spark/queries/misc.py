@@ -679,3 +679,40 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         feats, "doc_id long, band int, band_mean double"
     )
+
+
+_SQL_SURFACE_TEXT = """
+    WITH revenue AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r.n_orders) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(r.total_spend) AS DOUBLE), 6) AS segment_spend
+    FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_text_interface", oracle=_SQL_SURFACE_TEXT)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SECOND entry mode: raw SQL text over registered
+    views (`spark.sql(...)`), demonstrating that a user of the
+    reference who writes SQL — CTEs, joins, aggregates — can run the
+    same statements unchanged; the oracle IS the query text, so the
+    check proves Spark SQL and DuckDB agree on the shared ANSI
+    dialect (with the repo's decimal-sum discipline embedded in the
+    statement itself).
+
+    Catalyst treats SQL text and DataFrame calls identically after
+    parsing — same optimized plan, same broadcast/pushdown behavior —
+    so everything the plan guards assert for the DataFrame surface
+    holds here too.
+    """
+    from insight_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_SURFACE_TEXT)
