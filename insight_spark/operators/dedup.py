@@ -185,10 +185,12 @@ def near_dedup_minhash(
     candidate, false-positive rate observable downstream).
 
     At scale every stage is a shuffle on bounded keys: band-bucket
-    cardinality ~ corpus size, the self-join happens per bucket, and
+    cardinality ~ corpus size, candidates explode per bucket from a
+    sorted id array (the r5 rewrite — a band self-join would evaluate
+    the signature subplan twice, see ``minhash_lsh_pairs_md5``), and
     the pair-dedup shuffle moves 16-byte id pairs — the (possibly
     large) shingle arrays are shuffled once per side by the
-    verification joins, never through the band join.
+    verification joins, never through the band stage.
     """
     rows_per_band = n_hashes // n_bands
     shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
@@ -214,14 +216,22 @@ def near_dedup_minhash(
         ).alias("_band", "_bucket"),
     )
 
+    buckets = (
+        bands.groupBy("_band", "_bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        bands.select(F.col("_id").alias("a_id"), "_band", "_bucket")
-        .join(
-            bands.select(F.col("_id").alias("b_id"), "_band", "_bucket"),
-            ["_band", "_bucket"],
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     sets = toks.select("_id", "_sh")
