@@ -315,11 +315,25 @@ def prefix_filtered_jaccard_join(
             ).alias("_tok"),
         )
     )
+    # bucket-array candidates (r5): a prefix self-join would evaluate
+    # the explode+freq-join+sort prefix subplan twice per side — group
+    # each rare-token bucket to a sorted id array and explode pairs
+    pbuckets = (
+        prefix.groupBy("_tok")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        prefix.select(F.col("_id").alias("a_id"), "_tok")
-        .join(prefix.select(F.col("_id").alias("b_id"), "_tok"), "_tok")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        pbuckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     cand = cand.join(
