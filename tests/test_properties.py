@@ -568,3 +568,41 @@ def test_hybrid_rrf_rank_contract(spark, sf_dir):
             1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
         )
         assert abs(r["rrf_score"] - want) < 1e-9
+
+
+def _greedy_merge_reference(symbols, left, right):
+    """Textbook single greedy left-to-right BPE merge pass."""
+    out, i = [], 0
+    while i < len(symbols):
+        if (
+            i + 1 < len(symbols)
+            and symbols[i] == left
+            and symbols[i + 1] == right
+        ):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@PROP
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("ab", "c"), ("c", "ab")]),
+)
+def test_bpe_double_separator_replace_equals_greedy(symbols, pair):
+    """The langtok BPE trick — double-separated symbol strings where one
+    plain str.replace of '|l||r|' -> '|lr|' IS the greedy left-to-right
+    merge pass — must agree with the textbook loop on adversarial
+    sequences (overlaps like a,a,a; symbols that are concatenations of
+    others like 'ab' next to 'c')."""
+    left, right = pair
+    s = "||" + "||".join(symbols) + "||" if symbols else "||"
+    merged = s.replace(
+        "|" + left + "||" + right + "|", "|" + left + right + "|"
+    )
+    got = [x for x in merged.split("||") if x]
+    want = _greedy_merge_reference(symbols, left, right)
+    assert got == want, (symbols, pair, got, want)
