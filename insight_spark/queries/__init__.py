@@ -79,9 +79,9 @@ _MODULES = (
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
 #: dynamic_partition_overwrite, symspell_suggest, and
-#: sql_text_interface are the left-over
+#: sql_text_interface, and jdbc_roundtrip are the left-over
 #: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those eleven first, then fill with canaries spanning operator
+#: those twelve first, then fill with canaries spanning operator
 #: families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

@@ -576,3 +576,27 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "o_orderstatus", "o_orderkey", "o_totalprice"
     )
+
+
+@query("jdbc_roundtrip", oracle=_SUBSET_ORACLE)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC sink+scan round-trip (A8, upgraded r5 from the
+    parquet stand-in): ``df.write.jdbc`` batch-INSERTs the subset into
+    an embedded Apache Derby database (the JDBC driver Spark already
+    ships for its metastore), ``spark.read.jdbc`` scans it back
+    through the same driver — the exact code path a PostgreSQL
+    serving layer uses; production swaps the URL and driver class,
+    nothing else.
+
+    The value hash proves type mapping (BIGINT/VARCHAR) and row
+    fidelity survive the SQL-database round trip.
+    """
+    import re as _re
+
+    from insight_spark.sources.sinks import read_jdbc, write_jdbc
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    url = f"jdbc:derby:{_rt_path(sf_dir, 'derby')}/db;create=true"
+    table = f"orders_subset_{tag}"
+    write_jdbc(_subset(spark, sf_dir), url, table)
+    return read_jdbc(spark, url, table)

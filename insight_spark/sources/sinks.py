@@ -190,3 +190,23 @@ def write_orc(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.orc(path)
+
+
+#: Embedded Derby ships with Spark (metastore dependency) — a REAL JDBC
+#: endpoint with zero extra deps.  Production PG swaps url + driver.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite") -> None:
+    """A8 real JDBC sink: the actual ``df.write.jdbc`` path (executors
+    open driver connections and batch INSERTs — the same code path a
+    PostgreSQL serving layer uses, pointed at embedded Derby here)."""
+    df.write.mode(mode).jdbc(url, table, properties={"driver": DERBY_DRIVER})
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str) -> DataFrame:
+    """A8 read side: ``spark.read.jdbc`` — full-table scan through the
+    JDBC driver (production adds partitionColumn/bounds for parallel
+    reads; Derby embedded serves one JVM, so a single partition is the
+    honest shape here)."""
+    return spark.read.jdbc(url, table, properties={"driver": DERBY_DRIVER})
