@@ -315,25 +315,22 @@ def prefix_filtered_jaccard_join(
             ).alias("_tok"),
         )
     )
-    # bucket-array candidates (r5): a prefix self-join would evaluate
-    # the explode+freq-join+sort prefix subplan twice per side — group
-    # each rare-token bucket to a sorted id array and explode pairs
-    pbuckets = (
-        prefix.groupBy("_tok")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    # Candidates stay a STREAMING self-join here — deliberately NOT the
+    # bucket-array form used by the MinHash LSH stages: a prefix-token
+    # bucket is unbounded (a doc made of corpus-common tokens puts a
+    # high-df token in its prefix), and materializing one bucket's
+    # pair array OOMed at sf0.1 (measured — 8 GiB heap, ~5k-id bucket
+    # → 12.5M struct array in a single row).  The join streams the
+    # same pair volume through the shuffle instead; its per-side
+    # subplan (explode + vocab join + sort) is cheap enough that the
+    # double evaluation is the right trade.  Bucket arrays are safe
+    # only where bucket cardinality is bounded by construction
+    # (LSH signature buckets after exact dedup).
     cand = (
-        pbuckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(x AS a_id, y AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id")
+        prefix.select(F.col("_id").alias("a_id"), "_tok")
+        .join(prefix.select(F.col("_id").alias("b_id"), "_tok"), "_tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     cand = cand.join(

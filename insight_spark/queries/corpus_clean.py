@@ -153,7 +153,8 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND((SUM(s) / COUNT(*)) / 1000000.0, 6) AS avg_log_ratio
+           CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               / 1000000.0 AS avg_log_ratio
     FROM micro GROUP BY doc_id
     """,
 )
@@ -203,9 +204,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return micro.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round((F.sum("s") / F.count("*")) / 1000000.0, 6).alias(
-            "avg_log_ratio"
-        ),
+        (F.round(F.sum("s") / F.count("*")).cast("long")
+         / F.lit(1000000.0)).alias("avg_log_ratio"),
     )
 
 
@@ -374,7 +374,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND((SUM(s) / COUNT(*)) / 1000000.0, 6) AS avg_surprisal
+           CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           / 1000000.0 AS avg_surprisal
     FROM micro GROUP BY doc_id
     """,
 )
@@ -433,9 +434,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return micro.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round((F.sum("s") / F.count("*")) / 1000000.0, 6).alias(
-            "avg_surprisal"
-        ),
+        (F.round(F.sum("s") / F.count("*")).cast("long")
+         / F.lit(1000000.0)).alias("avg_surprisal"),
     )
 
 

@@ -558,7 +558,8 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND((SUM(s) / COUNT(*)) / 1000000.0, 6) AS avg_surprisal
+           CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           / 1000000.0 AS avg_surprisal
     FROM micro GROUP BY doc_id
     """,
 )
@@ -594,7 +595,8 @@ def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return micro.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round((F.sum("s") / F.count("*")) / 1000000.0, 6).alias("avg_surprisal"),
+        (F.round(F.sum("s") / F.count("*")).cast("long")
+         / F.lit(1000000.0)).alias("avg_surprisal"),
     )
 
 

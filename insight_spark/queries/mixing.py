@@ -205,8 +205,8 @@ def token_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND((SUM(score_micro) / COUNT(*)) / 1000000.0, 6)
-               AS avg_surprisal
+           CAST(ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               / 1000000.0 AS avg_surprisal
     FROM bucketed GROUP BY lang, bucket
     """,
 )
@@ -254,9 +254,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count("*").alias("n_docs"),
-        F.round((F.sum("score_micro") / F.count("*")) / 1000000.0, 6).alias(
-            "avg_surprisal"
-        ),
+        (F.round(F.sum("score_micro") / F.count("*")).cast("long")
+         / F.lit(1000000.0)).alias("avg_surprisal"),
     )
 
 
