@@ -1,0 +1,207 @@
+"""Plan-shape scale audit — the engine's 100 TB lint, as a library.
+
+The plan guards that protect the declared surface
+(``tests/test_plans.py``) exist because correctness tests cannot see a
+lost broadcast, an unpartitioned window, or a row-at-a-time Python
+eval: those run *fine* on 60k rows and melt on a 1000-executor
+cluster.  ``scale_audit(df)`` makes that protection a user-facing
+feature — point it at any DataFrame you are about to ship and it
+returns the scale-killers its physical plan contains, before the
+cluster finds them for you.
+
+Rules (severity in parentheses):
+
+- ``cartesian-product`` (fatal): an all-pairs ``CartesianProduct``
+  node.  O(N·M) rows at scale; rewrite with an equi-key, a bucketed
+  prefilter (LSH / PPJoin / cell blocking), or a bounded broadcast.
+- ``unpartitioned-window`` (fatal): a window function whose partition
+  spec is empty — Spark moves the ENTIRE input to one task (the
+  ``WARN WindowExec: No Partition Defined`` shape).  Partition the
+  window, or bound its input first (aggregate to a grid / TakeOrdered).
+- ``rowwise-python`` (fatal): a ``BatchEvalPython`` node — a
+  row-at-a-time Python UDF in the hot path, ~10-100x slower than the
+  Arrow-batched forms (``pandas_udf`` / ``mapInPandas``) and the
+  vectorized built-ins.
+- ``nested-loop-join`` (warn): ``BroadcastNestedLoopJoin`` — sound
+  when the broadcast side is bounded by construction (a 1-row
+  aggregate, a k-row head), quadratic otherwise.  The audit cannot see
+  row counts, so this is a warning to check the broadcast side.
+- ``global-sort`` (warn): a global ``Sort`` that is not the
+  ``TakeOrderedAndProject`` fusion.  Legitimate as a final
+  presentation order (range-partitioned, parallel), wasteful as an
+  intermediate step; top-k intents should reach TakeOrdered.
+- ``shuffle-count`` (info): number of shuffle exchanges in the plan —
+  the unit of cluster cost to minimize, reported for trend-watching.
+
+The engine-wide test guards import ``window_specs`` /
+``is_unpartitioned`` from here, so the lint the tests enforce and the
+lint users run are the same code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "Finding",
+    "is_unpartitioned",
+    "physical_plan",
+    "scale_audit",
+    "window_specs",
+]
+
+
+@dataclass(frozen=True)
+class Finding:
+    """One audit hit: a kebab-case rule id, a severity
+    (``fatal`` / ``warn`` / ``info``), and a human-readable detail
+    (plan excerpt or count)."""
+
+    rule: str
+    severity: str
+    detail: str
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (physical) plan as its full tree string — the
+    representation every rule below parses."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def window_specs(plan: str) -> list[str]:
+    """Extract every ``windowspecdefinition(...)`` argument string from
+    a physical-plan dump, with balanced-paren parsing (args contain
+    nested calls like ``specifiedwindowframe(...)``)."""
+    specs = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        specs.append(plan[j + len(marker) : k - 1])
+        i = k
+    return specs
+
+
+def is_unpartitioned(spec: str) -> bool:
+    """A windowspecdefinition's args are partition cols, then order
+    cols (tagged ``ASC``/``DESC``), then the frame.  No untagged arg
+    before the frame => no partition spec => single-task window."""
+    depth = 0
+    args: list[str] = []
+    cur: list[str] = []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    cols = [a for a in args if not a.startswith("specifiedwindowframe")]
+    return all(" ASC " in c or " DESC " in c for c in cols) if cols else True
+
+
+def _global_sort_lines(plan: str) -> list[str]:
+    """``Sort [...], true, 0`` nodes (global flag set) that are NOT the
+    TakeOrderedAndProject fusion — candidate wasted full-data sorts."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("*+-( )0123456789")
+        if s.startswith("Sort [") and "], true," in s:
+            hits.append(s[:160])
+    return hits
+
+
+def scale_audit(df: DataFrame) -> list[Finding]:
+    """Lint ``df``'s physical plan for shapes that are invisible at
+    test scale and fatal at 100 TB.  Returns findings sorted
+    fatal-first; an empty list is a clean bill.
+
+    >>> bad = [f for f in scale_audit(df) if f.severity == "fatal"]
+    >>> assert not bad, bad
+    """
+    plan = physical_plan(df)
+    findings: list[Finding] = []
+
+    n_cart = plan.count("CartesianProduct")
+    if n_cart:
+        findings.append(
+            Finding(
+                "cartesian-product",
+                "fatal",
+                f"{n_cart} CartesianProduct node(s): O(N*M) pair "
+                "explosion at scale; use an equi-key, bucketed "
+                "prefilter, or bounded broadcast",
+            )
+        )
+
+    bad_windows = [s for s in window_specs(plan) if is_unpartitioned(s)]
+    if bad_windows:
+        findings.append(
+            Finding(
+                "unpartitioned-window",
+                "fatal",
+                f"{len(bad_windows)} window(s) with empty partition "
+                f"spec (whole input on ONE task): {bad_windows[0][:120]}",
+            )
+        )
+
+    n_rowwise = plan.count("BatchEvalPython")
+    if n_rowwise:
+        findings.append(
+            Finding(
+                "rowwise-python",
+                "fatal",
+                f"{n_rowwise} BatchEvalPython node(s): row-at-a-time "
+                "Python UDF; use pandas_udf / mapInPandas / built-ins",
+            )
+        )
+
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj:
+        findings.append(
+            Finding(
+                "nested-loop-join",
+                "warn",
+                f"{n_bnlj} BroadcastNestedLoopJoin(s): sound only if "
+                "the broadcast side is bounded by construction "
+                "(1-row aggregate, k-row head)",
+            )
+        )
+
+    for line in _global_sort_lines(plan):
+        findings.append(
+            Finding(
+                "global-sort",
+                "warn",
+                "global Sort (fine as final presentation order, "
+                f"wasteful as an intermediate): {line}",
+            )
+        )
+
+    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    findings.append(
+        Finding("shuffle-count", "info", f"{n_shuffle} shuffle exchange(s)")
+    )
+
+    rank = {"fatal": 0, "warn": 1, "info": 2}
+    findings.sort(key=lambda f: rank[f.severity])
+    return findings

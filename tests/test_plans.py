@@ -453,50 +453,13 @@ def test_no_rowwise_python_anywhere_in_bench_surface(spark):
         assert "BatchEvalPython" not in plan, f"{name} plans rowwise Python"
 
 
-def _window_specs(plan: str) -> list[str]:
-    """Extract every ``windowspecdefinition(...)`` argument string from
-    a physical-plan dump, with balanced-paren parsing (args contain
-    nested calls like specifiedwindowframe(...))."""
-    specs = []
-    marker = "windowspecdefinition("
-    i = 0
-    while True:
-        j = plan.find(marker, i)
-        if j < 0:
-            break
-        k = j + len(marker)
-        depth = 1
-        while k < len(plan) and depth:
-            if plan[k] == "(":
-                depth += 1
-            elif plan[k] == ")":
-                depth -= 1
-            k += 1
-        specs.append(plan[j + len(marker) : k - 1])
-        i = k
-    return specs
-
-
-def _is_unpartitioned(spec: str) -> bool:
-    """A windowspecdefinition's args are partition cols, then order
-    cols (tagged ``ASC``/``DESC``), then the frame.  No untagged arg
-    before the frame => no partition spec => single-task window."""
-    depth = 0
-    args, cur = [], []
-    for ch in spec:
-        if ch == "," and depth == 0:
-            args.append("".join(cur).strip())
-            cur = []
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        cur.append(ch)
-    if cur:
-        args.append("".join(cur).strip())
-    cols = [a for a in args if not a.startswith("specifiedwindowframe")]
-    return all(" ASC " in c or " DESC " in c for c in cols) if cols else True
+# The window-spec parser is the PRODUCT's plan lint
+# (insight_spark/plans/audit.py) — the tests enforce the same rules
+# users run via scale_audit(df), from the same code.
+from insight_spark.plans.audit import (  # noqa: E402
+    is_unpartitioned as _is_unpartitioned,
+    window_specs as _window_specs,
+)
 
 
 #: Queries allowed to plan an unpartitioned Window — each input is
