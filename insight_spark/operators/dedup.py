@@ -161,6 +161,44 @@ def minhash_signature(tokens: Column, n_hashes: int, seed: int = 42) -> Column:
     )
 
 
+def _bucket_pair_candidates(bands: DataFrame, *key_cols: str) -> DataFrame:
+    """LSH candidate generation via bucket arrays (single source of
+    truth for both the xxhash64 production path and the md5
+    value-oracled twin): the band table aggregates to (bucket →
+    sorted ``_id`` array) ONCE, and unordered pairs (a < b by the
+    sort) explode from each array — a band self-join would evaluate
+    the whole signature subplan twice and shuffle n² rows per bucket
+    where the array holds n ids.
+
+    PRECONDITION (the r5 PPJoin lesson): bucket sizes must be bounded
+    by construction — collect_list materializes each bucket's id array
+    on one task.  For MinHash bands that's exactly what running exact
+    dedup FIRST guarantees (identical docs, the one unbounded-bucket
+    source, are already gone); do NOT reuse this shape where a single
+    key can collect an unbounded id set.
+
+    Returns distinct (a_id, b_id) pairs.
+    """
+    buckets = (
+        bands.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def near_dedup_minhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -216,24 +254,7 @@ def near_dedup_minhash(
         ).alias("_band", "_bucket"),
     )
 
-    buckets = (
-        bands.groupBy("_band", "_bucket")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(x AS a_id, y AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = _bucket_pair_candidates(bands, "_band", "_bucket")
     sets = toks.select("_id", "_sh")
     cand = cand.join(
         sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a_sh")),
@@ -459,24 +480,7 @@ def minhash_lsh_pairs_md5(
     sh, bands = _md5_shingle_bands(
         docs, text_col, id_col, n_hashes, n_bands, shingle_n
     )
-    buckets = (
-        bands.groupBy("_band", "_bkey")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(x AS a_id, y AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = _bucket_pair_candidates(bands, "_band", "_bkey")
     sets = sh.select("_id", "_sh")
     cand = cand.join(
         sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_a")), "a_id"

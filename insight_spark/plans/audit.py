@@ -195,11 +195,24 @@ def scale_audit(df: DataFrame) -> list[Finding]:
             )
         )
 
-    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
+    n_single = plan.count("Exchange SinglePartition")
+    n_shuffle = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + n_single
     )
     findings.append(
-        Finding("shuffle-count", "info", f"{n_shuffle} shuffle exchange(s)")
+        Finding(
+            "shuffle-count",
+            "info",
+            f"{n_shuffle} shuffle exchange(s)"
+            + (
+                f" ({n_single} SinglePartition — everything onto one "
+                "task; fine only after aggregation bounds the rows)"
+                if n_single
+                else ""
+            ),
+        )
     )
 
     rank = {"fatal": 0, "warn": 1, "info": 2}

@@ -19,7 +19,7 @@ the plan as broadcast/literals — never a driver-side loop over data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -201,29 +201,26 @@ def _bpe_oracle() -> str:
     """
 
 
-@query("bpe_train_merges", oracle=_bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE tokenizer training — {3} greedy merge rounds, each
-    counting corpus-weighted adjacent-symbol pairs on the VOCABULARY
-    (never the token stream), taking the (freq desc, pair asc) argmax
-    as the next rule, and applying it before the next count.
+def _bpe_syms() -> Column:
+    """Symbol array of the double-separated form ("||a||b||" → [a, b])."""
+    return F.filter(F.split("s", r"\|\|"), lambda x: x != "")
 
-    The merge application is fold-free: symbols live in a
-    double-separated string ("||a||b||"), so one plain REPLACE of
-    "|a||b|" → "|ab|" performs exactly the greedy left-to-right merge
-    pass (each boundary donates one of its two separators to the
-    match, leaving one for the next adjacent match) — identical
-    semantics in Spark and DuckDB, no UDF, no recursion.
 
-    Model topology (kmeans/logreg precedent): each round's argmax is
-    ONE collected row (the merge rule — driver-resident model state);
-    everything else is vocab-sized aggregates.  At 100 TB the single
-    token-count shuffle reduces the corpus to |vocab| rows up front
-    and all {3} rounds are arithmetic on that table; output carries
-    the learned merge table plus the distributed post-merge corpus
-    symbol count (verification value, computed not asserted).
+def _bpe_train(
+    docs: DataFrame,
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The shared 3-round greedy BPE trainer (single source of truth —
+    ``bpe_train_merges`` reports the learned rules,
+    ``bpe_apply_compression`` rolls the vocabulary back onto the
+    corpus; any tie-break or separator-discipline change lands in both
+    and in lock-step with ``_bpe_oracle``'s replay).
+
+    Returns ``(vocab_df, merges)``: vocab_df is (word, wf, s) with all
+    merges applied; merges is the [(rank, left, right, freq)] rule
+    list.  Each round's argmax is ONE collected row (driver-resident
+    model state, the kmeans/logreg precedent); everything else is
+    vocab-sized aggregates with lineage truncated per round.
     """
-    docs = load_table(spark, sf_dir, "documents")
     words = tokens_df(docs).groupBy("token").agg(F.count("*").alias("wf"))
     s0 = F.concat(
         F.lit(_SEP * 2),
@@ -240,11 +237,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("word"), "wf", s0.alias("s")
     ).localCheckpoint()  # vocab-sized; truncates lineage across rounds
 
-    syms = F.filter(F.split("s", r"\|\|"), lambda x: x != "")
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
-            cur.select("wf", syms.alias("syms"))
+            cur.select("wf", _bpe_syms().alias("syms"))
             .filter(F.size("syms") >= 2)
             .select(
                 "wf",
@@ -271,9 +267,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wf",
             F.expr(f"replace(s, {pat!r}, {rep!r})").alias("s"),
         ).localCheckpoint()
+    return cur, merges
 
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — {3} greedy merge rounds, each
+    counting corpus-weighted adjacent-symbol pairs on the VOCABULARY
+    (never the token stream), taking the (freq desc, pair asc) argmax
+    as the next rule, and applying it before the next count.
+
+    The merge application is fold-free: symbols live in a
+    double-separated string ("||a||b||"), so one plain REPLACE of
+    "|a||b|" → "|ab|" performs exactly the greedy left-to-right merge
+    pass (each boundary donates one of its two separators to the
+    match, leaving one for the next adjacent match) — identical
+    semantics in Spark and DuckDB, no UDF, no recursion.
+
+    Model topology (kmeans/logreg precedent): each round's argmax is
+    ONE collected row (the merge rule — driver-resident model state);
+    everything else is vocab-sized aggregates.  At 100 TB the single
+    token-count shuffle reduces the corpus to |vocab| rows up front
+    and all {3} rounds are arithmetic on that table; output carries
+    the learned merge table plus the distributed post-merge corpus
+    symbol count (verification value, computed not asserted).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur, merges = _bpe_train(docs)
     stat = cur.select(
-        (F.col("wf") * F.size(syms)).alias("ns")
+        (F.col("wf") * F.size(_bpe_syms())).alias("ns")
     ).agg(F.sum("ns").alias("corpus_symbols"))
     rows = spark.createDataFrame(
         [
@@ -333,53 +355,10 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     many merges were learned.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = tokens_df(docs).groupBy("token").agg(F.count("*").alias("wf"))
-    s0 = F.concat(
-        F.lit(_SEP * 2),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length("token")),
-                lambda i: F.substring("token", i, 1),
-            ),
-            _SEP * 2,
-        ),
-        F.lit(_SEP * 2),
-    )
-    cur = words.select(
-        F.col("token").alias("word"), "wf", s0.alias("s")
-    ).localCheckpoint()
-    syms = F.filter(F.split("s", r"\|\|"), lambda x: x != "")
-    for _ in range(_BPE_ROUNDS):
-        pairs = (
-            cur.select("wf", syms.alias("syms"))
-            .filter(F.size("syms") >= 2)
-            .select(
-                "wf",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("l"),
-                            F.element_at("syms", i + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("wf").alias("freq"))
-        )
-        best = pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()[0]
-        pat = _SEP + best["l"] + _SEP * 2 + best["r"] + _SEP
-        rep = _SEP + best["l"] + best["r"] + _SEP
-        cur = cur.select(
-            "word",
-            "wf",
-            F.expr(f"replace(s, {pat!r}, {rep!r})").alias("s"),
-        ).localCheckpoint()
-
+    cur, _ = _bpe_train(docs)
     word_syms = cur.select(
         "word",
-        F.size(syms).cast("long").alias("n_syms"),
+        F.size(_bpe_syms()).cast("long").alias("n_syms"),
         F.length("word").cast("long").alias("n_chars"),
     )
     corpus = docs.select(

@@ -529,10 +529,8 @@ def ivm_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
         SELECT doc_id,
-               CAST(CASE WHEN substr(md5(token), 1, 1) < '8'
-                         THEN ascii(substr(md5(token), 2, 1))
-                         ELSE ascii(substr(md5(token), 2, 1)) + 128
-                    END % 16 AS INTEGER) AS bucket
+               CAST(strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1
+                    AS INTEGER) AS bucket
         FROM toks
     )
     SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS weight
@@ -546,22 +544,23 @@ def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     to build, broadcast, or version; collisions are the accepted
     trade).
 
-    Bucket = a cross-engine md5-derived value (first hex nibble picks
-    the high bit, second's ASCII code the rest — pure string ops, no
-    hex-to-int cast needed) mod 16.  Map-only explode + one (doc,
-    bucket) count aggregate; output is the sparse (doc_id, bucket,
-    weight) triple form that assembles into vectors downstream.
+    Bucket = the first md5 hex nibble decoded via the simhash idiom
+    ``instr('0123456789abcdef', nibble) - 1`` (cross-engine, pure
+    string ops, no hex-to-int cast) — a uniform 0..15 value, every
+    bucket reachable with equal probability.  Map-only explode + one
+    (doc, bucket) count aggregate; output is the sparse (doc_id,
+    bucket, weight) triple form that assembles into vectors
+    downstream.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
-    h = F.md5("token")
-    code = F.ascii(F.substring(h, 2, 1)) + F.when(
-        F.substring(h, 1, 1) < "8", 0
-    ).otherwise(128)
+    bucket = F.expr(
+        "instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1"
+    )
     return (
-        toks.select("doc_id", (code % 16).cast("int").alias("bucket"))
+        toks.select("doc_id", bucket.cast("int").alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("weight"))
     )

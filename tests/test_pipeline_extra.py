@@ -218,3 +218,15 @@ def test_pq_encode_and_adc_recall(spark):
     got = {(r["q_vec_id"], r["c_vec_id"]) for r in rows}
     # measured 0.90 at sf0.001 / 0.76 at sf0.01 with shortlist 50
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_hashing_trick_reaches_all_16_buckets(spark):
+    """Regression (r5 review): the original bucket formula
+    ascii(hex_char) % 16 could only ever land in {0..9} (with skew),
+    and its +128 high-bit branch was a no-op since 128 % 16 == 0.
+    The md5-nibble decode must make every bucket 0..15 reachable."""
+    from insight_spark.queries.pipeline_extra import hashing_trick_features
+
+    out = hashing_trick_features(spark, SF)
+    buckets = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    assert buckets == set(range(16)), f"unreachable buckets: {set(range(16)) - buckets}"

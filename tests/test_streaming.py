@@ -10,6 +10,7 @@ the watermark must drop its rows (K4).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import pytest
 
@@ -246,6 +247,28 @@ def test_stream_stream_join_matches_batch(spark, stream_env):
     want = _canon(batch)
     assert got == want, f"stream {len(got)} rows vs batch {len(want)}"
 
+@contextmanager
+def rocksdb_state_store(spark):
+    """TWS state lives in named column families — the HDFS-backed store
+    can't host them; RocksDB (bundled with Spark 4) is the production
+    provider for this operator anyway.  Sets the provider for the
+    block and guarantees the shared session's conf is restored."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_tws_user_totals_converges_to_batch(spark, stream_env):
     """K6 (Spark 4 StatefulProcessor): transformWithStateInPandas running
     per-user totals — last emission per user == batch aggregate.
@@ -267,15 +290,7 @@ def test_tws_user_totals_converges_to_batch(spark, stream_env):
 
         pytest.skip("google.protobuf absent: TWS runtime cannot start")
 
-    # TWS state lives in named column families — HDFS-backed store
-    # can't host them; RocksDB (bundled with Spark 4) is the
-    # production provider for this operator anyway.
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         stream = read_events_stream(spark, stream_env["in_dir"])
         result = run_stream_to_memory(
             spark,
@@ -285,13 +300,6 @@ def test_tws_user_totals_converges_to_batch(spark, stream_env):
             output_mode="update",
         )
         _assert_tws_matches_batch(spark, result)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
 
 
 def _assert_tws_matches_batch(spark, result):
@@ -360,12 +368,7 @@ def test_tws_mapstate_type_counts_converges_to_batch(spark, stream_env):
     if not tws_runtime_available():
         pytest.skip("google.protobuf absent: TWS runtime cannot start")
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         stream = read_events_stream(spark, stream_env["in_dir"])
         result = run_stream_to_memory(
             spark,
@@ -398,13 +401,6 @@ def test_tws_mapstate_type_counts_converges_to_batch(spark, stream_env):
             for r in batch.collect()
         }
         assert got == want
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
 
 
 def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
