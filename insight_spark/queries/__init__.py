@@ -78,11 +78,11 @@ _MODULES = (
 #: evidence.  hashing_trick_features, compaction_roundtrip,
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
-#: dynamic_partition_overwrite, symspell_suggest, and
-#: sql_text_interface, and jdbc_roundtrip are the left-over
-#: additions (local oracle evidence only) — ROUND-6 ROTATION: put
-#: those twelve first, then fill with canaries spanning operator
-#: families.
+#: dynamic_partition_overwrite, symspell_suggest,
+#: sql_text_interface, jdbc_roundtrip, ivm_join_delta, and
+#: semantic_decontaminate are the left-over additions (local oracle
+#: evidence only) — ROUND-6 ROTATION: put those fourteen first, then
+#: fill with canaries spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)

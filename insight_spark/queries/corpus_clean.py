@@ -338,6 +338,109 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Semantic-decontamination cosine threshold — below the fixture's
+#: cross-slice max-cosine tail so every SF flags some rows (the
+#: near-random vectors top out around 0.5, cf. _SEMDEDUP_TAU).
+_SEMDECON_TAU = 0.35
+
+
+def _semantic_decon_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, e,
+               greatest(sqrt(CAST(list_sum(list_transform(e, x -> x * x))
+                                  AS DOUBLE)), 1.0) AS nrm
+        FROM q
+    ),
+    sims AS (
+        SELECT c.vec_id,
+               floor(CAST(list_sum(list_transform(range(1, 65),
+                                                  i -> c.e[i] * ev.e[i]))
+                          AS DOUBLE)
+                     / (c.nrm * ev.nrm) * 1000000 + 0.5) / 1000000.0 AS sim
+        FROM (SELECT * FROM n WHERE vec_id % 7 <> 0) c
+        CROSS JOIN (SELECT * FROM n WHERE vec_id % 7 = 0) ev
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN sim >= {_SEMDECON_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval_hits,
+           MAX(sim) AS max_sim_eval,
+           CAST(CASE WHEN MAX(sim) >= {_SEMDECON_TAU} THEN 1 ELSE 0 END
+                AS INTEGER) AS is_contaminated
+    FROM sims GROUP BY vec_id
+    """
+
+
+@query("semantic_decontaminate", oracle=_semantic_decon_oracle())
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the third leg of the
+    decontamination family: ``ngram_decontaminate`` catches verbatim
+    quotes, ``fuzzy_decontaminate`` catches shingle-level paraphrase,
+    and this catches SEMANTIC restatements that share no surface form
+    (translated, heavily reworded, or format-converted benchmark
+    items), by flagging training vectors whose max cosine to any
+    eval-set vector reaches tau.
+
+    Eval set = the deterministic vec_id % 7 == 0 slice (the
+    ``fuzzy_decontaminate`` convention).  Scale shape: the eval matrix
+    is MODEL-sized state (a benchmark suite is ~1e3-1e5 vectors) —
+    collected once like IVF centroids and closed over by a
+    ``mapInPandas`` scan, so the 100 TB corpus is read exactly once,
+    map-only, ZERO shuffles; per-batch cost is one BLAS matmul
+    (corpus_batch x eval).  Exactness: micro-int coordinates make
+    every dot product integer arithmetic below 2^53, so float64 BLAS
+    is bit-equal to the oracle's BIGINT folds (the ``semantic_dedup``
+    kernel argument), and the 6-dp floor-rounding happens on
+    identical doubles on both sides.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("e"))
+    corpus = q.filter(F.col("vec_id") % 7 != 0)
+    # bounded, model-like driver state: |eval| rows (cf. IVF centroids)
+    ev_rows = q.filter(F.col("vec_id") % 7 == 0).collect()
+    EV = np.asarray([r["e"] for r in ev_rows], dtype="float64")
+    ev_nrm = np.maximum(np.sqrt((EV * EV).sum(axis=1)), 1.0)
+    tau = _SEMDECON_TAU
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(pdf["e"].tolist(), dtype="float64")
+            nrm = np.maximum(np.sqrt((E * E).sum(axis=1)), 1.0)
+            cos = (E @ EV.T) / (nrm[:, None] * ev_nrm[None, :])
+            cosr = np.floor(cos * 1000000 + 0.5) / 1000000.0
+            mx = cosr.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "n_eval_hits": (cosr >= tau).sum(axis=1).astype("int64"),
+                    "max_sim_eval": mx,
+                    "is_contaminated": (mx >= tau).astype("int32"),
+                }
+            )
+
+    return corpus.mapInPandas(
+        scan,
+        schema="vec_id long, n_eval_hits long, max_sim_eval double, "
+        "is_contaminated int",
+    )
+
+
 @query(
     "bigram_lm_score",
     oracle=r"""

@@ -519,6 +519,80 @@ def ivm_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta-rule
+    companion of ``ivm_additive_merge``'s pure-aggregate case.  With
+    both join inputs split into base and delta batches (A = A0 ∪ ΔA,
+    B = B0 ∪ ΔB; md5-range ingest boundaries, independent per table),
+    the view decomposes exactly:
+
+        A ⋈ B  =  (A0 ⋈ B0)  ∪  (ΔA ⋈ B)  ∪  (A0 ⋈ ΔB)
+
+    (the ΔA⋈B term absorbs ΔA⋈ΔB, so each new-row pair is produced
+    exactly once).  The aggregate on top is additive, so the three
+    branches union BELOW one hash aggregate: Spark computes map-side
+    partials per branch and merges them in a single shuffle — the
+    merge algebra IS the plan, not driver code.
+
+    The oracle joins and aggregates the whole tables in one pass: the
+    hash check proves delta-decomposed == full recompute.  At 100 TB
+    the base term agg(A0 ⋈ B0) is the materialized view state
+    computed once; each refresh ships only the two delta joins, whose
+    cost scales with the DELTA (broadcast when a day's ingest fits,
+    shuffled-on-key otherwise) — never rejoining base-with-base.
+    Revenue follows the DECIMAL(38,6) money discipline, so partial
+    sums merge exactly in any order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_is_delta = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) >= "d0"
+    )
+    l_is_delta = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        >= "d0"
+    )
+    o0, od = orders.filter(~o_is_delta), orders.filter(o_is_delta)
+    l0, ld = li.filter(~l_is_delta), li.filter(l_is_delta)
+
+    def joined(o: DataFrame, l: DataFrame) -> DataFrame:
+        return o.join(
+            l, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(MONEY)
+            .alias("_rev"),
+        )
+
+    view = joined(o0, l0).unionAll(joined(od, li)).unionAll(joined(o0, ld))
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        money_out(F.sum("_rev")).alias("revenue"),
+    )
+
+
+@query(
     "hashing_trick_features",
     oracle="""
     WITH toks AS (

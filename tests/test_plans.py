@@ -589,3 +589,23 @@ def test_cdc_chunking_digest_only_shuffle(spark):
     plan = _plan(spark, "cdc_chunk_dedup")
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_decontaminate_zero_shuffle_map_only(spark):
+    """The decontamination scan must stay map-only: the eval matrix is
+    broadcast closure state, so the corpus is read once with NO
+    exchange — the property that makes it linear at 100 TB."""
+    plan = _plan(spark, "semantic_decontaminate")
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivm_join_delta_single_aggregate_exchange(spark):
+    """The three delta-decomposition branches must union BELOW one
+    hash aggregate (map-side partials merge in a single shuffle);
+    a per-branch aggregate or a cartesian would break the algebra's
+    plan form."""
+    plan = _plan(spark, "ivm_join_delta")
+    assert "Union" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
