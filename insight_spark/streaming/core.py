@@ -392,3 +392,110 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def inactivity_sessions_tws(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 second"
+) -> DataFrame:
+    """K6 depth — event-time TIMERS: per-user inactivity sessionization
+    via ``transformWithStateInPandas`` with ``timeMode="EventTime"``,
+    the one TWS capability (register/expire callbacks) that neither
+    ValueState nor MapState alone exercises, and that the built-in
+    ``session_window`` cannot generalize (a timer processor can attach
+    arbitrary close-of-session logic: flush a per-key model, emit a
+    summary record, write a tombstone).
+
+    Semantics match the native ``session_window``: a session is a
+    maximal run of a user's events with inter-event gaps <= gap;
+    emitted ``session_end`` is last event + gap (the session_window
+    convention), so the convergence test compares tuples directly.
+    A session closes either when a later event opens the next one
+    (emit immediately, delete the stale timer) or when the event-time
+    watermark passes last+gap (the registered timer fires in a no-data
+    batch and ``handleExpiredTimer`` emits).
+
+    Scale: state is ONE fixed-width struct per open session per user
+    (plus one pending timer), partitioned by key across executors and
+    evicted on expiry — bounded by concurrently-active users, not
+    history.  Append output mode: every emitted row is final.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # (start_ms, last_ms, n_events, timer_ms)
+            self._sess = handle.getValueState(
+                "sess",
+                "start_ms bigint, last_ms bigint, n bigint, timer_ms bigint",
+            )
+
+        def _emit(self, key, start_ms: int, last_ms: int, n: int):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms + gap_ms],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            out = []
+            if self._sess.exists():
+                start, last, n, timer = self._sess.get()
+            else:
+                start = last = timer = -1
+                n = 0
+            for pdf in rows:
+                ms = (
+                    (pdf["ts"].astype("int64") // 1_000_000)
+                    .sort_values()
+                    .tolist()
+                )
+                for t in ms:
+                    if start < 0:
+                        start, last, n = t, t, 1
+                    elif t - last <= gap_ms:
+                        last, n = max(last, t), n + 1
+                    else:
+                        out.append(self._emit(key, start, last, n))
+                        start, last, n = t, t, 1
+            if start >= 0:
+                if timer >= 0 and timer != last + gap_ms:
+                    self._handle.deleteTimer(timer)
+                if timer != last + gap_ms:
+                    self._handle.registerTimer(last + gap_ms)
+                self._sess.update((start, last, n, last + gap_ms))
+            yield from out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, last, n, timer = self._sess.get()
+                # guard a stale timer racing a session the input path
+                # already rolled over (its new timer is still pending)
+                if expiredTimerInfo.getExpiryTimeInMs() == timer:
+                    self._sess.clear()
+                    yield self._emit(key, start, last, n)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Sessions(),
+            outputStructType="user_id bigint, session_start_ms bigint, "
+            "session_end_ms bigint, n_events bigint",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -552,3 +552,62 @@ def test_socket_stream_source_network_ingest(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_tws_timer_sessions_converge_to_batch(spark, stream_env):
+    """K6 timers: inactivity sessionization via event-time timers must
+    reproduce the native session_window sessions exactly.  Every
+    emitted session equals a batch session (tuple-for-tuple); every
+    batch session that provably closed before the final watermark
+    (a successor session exists, or end < max_ts - watermark) must
+    have been emitted (by roll-over or by the fired timer)."""
+    from insight_spark.streaming.core import (
+        inactivity_sessions_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("google.protobuf absent: TWS runtime cannot start")
+
+    with rocksdb_state_store(spark):
+        stream = read_events_stream(spark, stream_env["in_dir"])
+        result = run_stream_to_memory(
+            spark,
+            inactivity_sessions_tws(stream, gap_minutes=30),
+            "tws_timer_sessions",
+            os.path.join(stream_env["base"], "ckpt_tws_timers"),
+            output_mode="append",
+        )
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in result.collect()
+    }
+    assert len(got) == len(result.collect()), "duplicate session emissions"
+
+    ev = load_table(spark, SF_DIR, "events")
+    ms = lambda c: (F.col(c).cast("double") * 1000).cast("long")  # noqa: E731
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            ms("w.start").alias("s"),
+            ms("w.end").alias("e"),
+            "n",
+        )
+    )
+    brows = [(r["user_id"], r["s"], r["e"], r["n"]) for r in batch.collect()]
+    bset = set(brows)
+    assert got <= bset, f"spurious sessions: {sorted(got - bset)[:5]}"
+
+    max_ts_ms = ev.agg(F.max(ms("ts")).alias("m")).collect()[0]["m"]
+    last_per_user = {}
+    for u, s, e, n in brows:
+        last_per_user[u] = max(last_per_user.get(u, 0), e)
+    must = {
+        (u, s, e, n)
+        for (u, s, e, n) in bset
+        if e < last_per_user[u] or e < max_ts_ms - 1_000
+    }
+    missing = must - got
+    assert not missing, f"{len(missing)} closed sessions never emitted: {sorted(missing)[:5]}"
