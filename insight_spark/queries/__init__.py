@@ -79,10 +79,11 @@ _MODULES = (
 #: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
 #: dynamic_partition_overwrite, symspell_suggest,
-#: sql_text_interface, jdbc_roundtrip, ivm_join_delta, and
-#: semantic_decontaminate are the left-over additions (local oracle
-#: evidence only) — ROUND-6 ROTATION: put those fourteen first, then
-#: fill with canaries spanning operator families.
+#: sql_text_interface, jdbc_roundtrip, ivm_join_delta,
+#: semantic_decontaminate, and entity_resolution_golden are the
+#: left-over additions (local oracle evidence only) — ROUND-6
+#: ROTATION: put those fifteen first, then fill with canaries
+#: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)

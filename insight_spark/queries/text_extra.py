@@ -18,6 +18,7 @@ from insight_spark.operators.text import (
     tokenize,
     tokens_df,
 )
+from insight_spark.operators.relational import MONEY, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
@@ -480,6 +481,128 @@ def blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dist <= 1)
         .select("a_id", "b_id", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "entity_resolution_golden",
+    oracle="""
+    WITH RECURSIVE named AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               substr(c_name, length(c_name), 1) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        FROM named a
+        JOIN named b ON a.blk = b.blk
+                    AND a.c_nationkey = b.c_nationkey
+                    AND a.c_mktsegment = b.c_mktsegment
+                    AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS w FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT u AS v, u AS w FROM edges
+        UNION
+        SELECT r.v, e.w FROM reach r JOIN edges e ON e.u = r.w
+    ),
+    canon AS (SELECT v, MIN(w) AS c FROM reach GROUP BY v),
+    ent AS (
+        SELECT cu.*, coalesce(ca.c, cu.c_custkey) AS entity_id
+        FROM customer cu LEFT JOIN canon ca ON ca.v = cu.c_custkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY entity_id
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM ent
+    )
+    SELECT e.entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(r.c_custkey) AS golden_custkey,
+           MAX(r.c_name) AS golden_name,
+           ROUND(CAST(SUM(CAST(e.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS total_acctbal
+    FROM ent e
+    JOIN ranked r ON r.entity_id = e.entity_id AND r.rn = 1
+    GROUP BY e.entity_id
+    """,
+)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the full ER lifecycle that
+    ``blocked_fuzzy_match`` only starts: (1) BLOCK on (name-suffix,
+    nation, segment) and verify candidates at edit distance <= 1
+    (corroborating attributes keep clusters honest — name-only
+    matching transitively chains sequential ids into one blob);
+    (2) CLOSE matches transitively with the iterative
+    ``connected_components`` operator (min-id canonical = entity id);
+    (3) SURVIVORSHIP: per entity, the golden record is the
+    (acctbal DESC, custkey ASC) argmax — expressed as one
+    ``max(struct(...))`` aggregate, not a window — plus member count
+    and exact-decimal balance rollup.
+
+    Scale: blocking bounds candidates to within-block pairs (sum of
+    squared block sizes, never |n|²); closure is the pointer-jumping
+    CC (O(log d) rounds, edge-list checkpointed); survivorship is one
+    hash aggregate on the entity key.  The oracle replays the whole
+    lifecycle: recursive-CTE closure + window-ranked survivor.
+    """
+    from insight_spark.operators.components import canonical_assignment
+
+    cust = load_table(spark, sf_dir, "customer")
+    named = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring(F.col("c_name"), -1, 1).alias("blk"),
+    )
+    a = named.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("_a_name"),
+        "blk",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = named.select(
+        F.col("c_custkey").alias("b_id"),
+        F.col("c_name").alias("_b_name"),
+        "blk",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    pairs = (
+        a.join(b, ["blk", "c_nationkey", "c_mktsegment"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.levenshtein("_a_name", "_b_name") <= 1)
+        .select("a_id", "b_id")
+    )
+    ent = canonical_assignment(
+        pairs, cust.select("c_custkey"), id_col="c_custkey"
+    )
+    members = cust.join(ent, "c_custkey").withColumnRenamed(
+        "canonical_id", "entity_id"
+    )
+    golden = F.max(
+        F.struct(
+            F.col("c_acctbal"),
+            (-F.col("c_custkey")).alias("_neg_key"),
+            F.col("c_custkey").alias("_key"),
+            F.col("c_name").alias("_name"),
+        )
+    )
+    return members.groupBy("entity_id").agg(
+        F.count("*").alias("n_members"),
+        golden.getField("_key").alias("golden_custkey"),
+        golden.getField("_name").alias("golden_name"),
+        money_out(F.sum(F.col("c_acctbal").cast(MONEY))).alias(
+            "total_acctbal"
+        ),
     )
 
 
