@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "data_prep_funnel",
     "bpe_apply_compression",
     "compaction_roundtrip",
+    # round-5 late additions: IVM join, semantic decon, entity resolution
+    "ivm_join_delta",
+    "semantic_decontaminate",
+    "entity_resolution_golden",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -146,6 +150,10 @@ ITERATIVE = {
     # merge-rule collects run during build; compaction writes during build
     "bpe_apply_compression",
     "compaction_roundtrip",
+    # CC convergence loop runs during build
+    "entity_resolution_golden",
+    # eval-matrix collect runs during build
+    "semantic_decontaminate",
 }
 
 
