@@ -394,6 +394,73 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def recent_events_tws(events: DataFrame, n_keep: int = 5) -> DataFrame:
+    """K6 depth — **ListState**: a bounded per-user recent-events
+    buffer (last ``n_keep`` by event time), the rolling-context window
+    a feature store or an online-inference cache keeps per key.
+    Completes the TWS state-handle family: ValueState
+    (:func:`user_totals_tws`), MapState (:func:`user_type_counts_tws`),
+    event-time timers (:func:`inactivity_sessions_tws`), and now the
+    ordered-collection handle.
+
+    Each batch merges arrivals into the buffer, trims to ``n_keep`` by
+    (ts, event_id) descending, and ``put``-overwrites the list state —
+    state per key is a FIXED n_keep-row bound regardless of history,
+    the property that keeps 100 TB of events from accumulating in the
+    store.  Emits the buffer summary per touched key in update mode;
+    the LAST emission per user must equal the batch top-``n_keep``
+    (`test_tws_liststate_buffer_converges_to_batch`).
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "recent", "ts_ms bigint, event_id bigint"
+            )
+            # lifetime counter beside the buffer: two handles compose
+            # per key, and the monotone count orders update-mode
+            # emissions (the buffer columns alone are not monotone)
+            self._seen = handle.getValueState("seen", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = [(int(t), int(e)) for t, e in self._buf.get()]
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+            for pdf in rows:
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                cur.extend(zip(ms.tolist(), pdf["event_id"].tolist()))
+                seen += len(pdf)
+            cur.sort(reverse=True)
+            cur = cur[:n_keep]
+            self._buf.put(cur)
+            self._seen.update((seen,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [seen],
+                    "n_buffered": [len(cur)],
+                    "latest_event_id": [cur[0][1]],
+                    "oldest_ts_ms": [cur[-1][0]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RecentEvents(),
+        outputStructType="user_id bigint, n_seen bigint, n_buffered int, "
+        "latest_event_id bigint, oldest_ts_ms bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def inactivity_sessions_tws(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 second"
 ) -> DataFrame:

@@ -611,3 +611,65 @@ def test_tws_timer_sessions_converge_to_batch(spark, stream_env):
     }
     missing = must - got
     assert not missing, f"{len(missing)} closed sessions never emitted: {sorted(missing)[:5]}"
+
+
+def test_tws_liststate_buffer_converges_to_batch(spark, stream_env):
+    """K6 ListState: the per-user bounded recent-events buffer's LAST
+    emission must equal the batch top-5 by (ts desc, event_id desc)."""
+    from pyspark.sql.window import Window
+
+    from insight_spark.streaming.core import (
+        recent_events_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("google.protobuf absent: TWS runtime cannot start")
+
+    with rocksdb_state_store(spark):
+        stream = read_events_stream(spark, stream_env["in_dir"])
+        result = run_stream_to_memory(
+            spark,
+            recent_events_tws(stream, n_keep=5),
+            "tws_recent_events",
+            os.path.join(stream_env["base"], "ckpt_tws_list"),
+            output_mode="update",
+        )
+    # update-mode memory sink appends every emission; the last per user
+    # is the one with the max monotone lifetime counter
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    final = (
+        result.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+    )
+    got = {
+        r["user_id"]: (
+            r["n_seen"],
+            r["n_buffered"],
+            r["latest_event_id"],
+            r["oldest_ts_ms"],
+        )
+        for r in final.collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    ms = (F.col("ts").cast("double") * 1000).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    kept = (
+        ev.select("user_id", "event_id", ms.alias("ts_ms"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    totals = ev.groupBy("user_id").agg(F.count("*").alias("n_seen"))
+    batch = kept.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.max_by("event_id", F.struct("ts_ms", "event_id")).alias("latest"),
+        F.min("ts_ms").alias("oldest"),
+    ).join(totals, "user_id")
+    want = {
+        r["user_id"]: (r["n_seen"], r["n"], r["latest"], r["oldest"])
+        for r in batch.collect()
+    }
+    assert got == want
