@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "ivm_join_delta",
     "semantic_decontaminate",
     "entity_resolution_golden",
+    "recursive_cte_walk",
+    "variant_extract_agg",
+    "xml_roundtrip",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -154,6 +157,8 @@ ITERATIVE = {
     "entity_resolution_golden",
     # eval-matrix collect runs during build
     "semantic_decontaminate",
+    # xml file write runs during build
+    "xml_roundtrip",
 }
 
 

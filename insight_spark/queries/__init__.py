@@ -80,9 +80,10 @@ _MODULES = (
 #: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
 #: dynamic_partition_overwrite, symspell_suggest,
 #: sql_text_interface, jdbc_roundtrip, ivm_join_delta,
-#: semantic_decontaminate, and entity_resolution_golden are the
-#: left-over additions (local oracle evidence only) — ROUND-6
-#: ROTATION: put those fifteen first, then fill with canaries
+#: semantic_decontaminate, entity_resolution_golden,
+#: recursive_cte_walk, variant_extract_agg, and xml_roundtrip are
+#: the left-over additions (local oracle evidence only) — ROUND-6
+#: ROTATION: put those eighteen first, then fill with canaries
 #: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (

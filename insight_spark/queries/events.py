@@ -97,6 +97,65 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_extract_agg",
+    oracle="""
+    WITH docs AS (
+        SELECT event_type,
+               '{"meta":{"type":"' || event_type || '"},"payload":'
+                   || props || '}' AS doc
+        FROM events
+    )
+    SELECT json_extract_string(doc, '$.meta.type') AS meta_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(doc, '$.payload.k')
+                         AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(doc, '$.payload.k')
+                         AS INTEGER)) AS INTEGER) AS max_k
+    FROM docs
+    GROUP BY 1
+    """,
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the Spark 4 VARIANT type
+    (H13/H14 depth): documents parse ONCE into variant's shredded
+    binary encoding (``parse_json``), then typed paths extract with
+    ``variant_get`` — nested traversal without re-parsing JSON text
+    per path, the engine-native route for schema-on-read event
+    payloads (vs ``json_extract_agg``'s per-path get_json_object).
+
+    The nested doc is built deterministically from the flat fixture
+    columns so the extraction exercises two levels; the oracle replays
+    the same construction with DuckDB's JSON functions — the hash
+    check pins variant path semantics (string vs int coercion
+    included) to the portable JSON-text behavior.  Scale: map-only
+    parse+extract fused into the scan projection, one bounded-key
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('"},"payload":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    k = F.variant_get(v, "$.payload.k", "int")
+    return (
+        ev.select(
+            F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+            k.alias("_k"),
+        )
+        .groupBy("meta_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

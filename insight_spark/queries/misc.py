@@ -716,3 +716,55 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_SQL_SURFACE_TEXT)
+
+
+_RECURSIVE_WALK_TEXT = """
+    WITH RECURSIVE ordered AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(38,6)) AS price,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        FROM orders
+    ),
+    walk AS (
+        SELECT o_custkey, rn, price AS running_total
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.o_custkey, o.rn,
+               CAST(w.running_total + o.price AS DECIMAL(38,6))
+        FROM walk w JOIN ordered o
+          ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1
+    )
+    SELECT o_custkey,
+           CAST(MAX(rn) AS INTEGER) AS n_orders,
+           ROUND(CAST(MAX(running_total) AS DOUBLE), 6) AS lifetime_value
+    FROM walk GROUP BY o_custkey
+"""
+
+
+@query("recursive_cte_walk", oracle=_RECURSIVE_WALK_TEXT)
+def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE executed natively by Catalyst (Spark 4) — the
+    iterative-SQL surface the reference's SQL users reach for on
+    hierarchies and chains, run VERBATIM on both engines (the
+    ``sql_text_interface`` shared-dialect pattern).  The recursion
+    walks each customer's date-ordered order chain accumulating an
+    exact-decimal running total; the anchor is each chain's head and
+    each step joins the successor rank, so the recursion is a DAG walk
+    that terminates by construction (UNION ALL — Spark does not yet
+    support the UNION-distinct fixpoint form, which is why the cyclic
+    closure queries use the iterative CC operator instead).
+
+    Scale: each recursion level is one (custkey, rn) equi-join against
+    the rank-indexed order table — level count = the longest chain
+    (25 on the fixture, bounded by orders-per-customer), level size
+    shrinks as chains end; Spark materializes each level like the
+    hand-rolled iterative operators do, but plans it from SQL text.
+    The hash check proves Spark's recursive execution and DuckDB's
+    agree step-for-step (the running total makes any divergence in
+    walk order or step count visible, not just the final sum).
+    """
+    from insight_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_WALK_TEXT)

@@ -81,6 +81,30 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, path, schema=_SUBSET_SCHEMA)
 
 
+@query("xml_roundtrip", oracle=_SUBSET_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+scan round-trip (A4b) — the spark-xml connector merged
+    into Spark 4 core, exercised both directions with an explicit
+    rowTag and a read schema (element text → typed columns).  The
+    remaining text-format interchange surface after CSV/JSON: feed
+    systems and enterprise exports still speak XML."""
+    path = _rt_path(sf_dir, "xml")
+    (
+        _subset(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(_SUBSET_SCHEMA)
+        .load(path)
+    )
+
+
 @query(
     "orc_roundtrip",
     oracle="""
