@@ -673,3 +673,57 @@ def test_tws_liststate_buffer_converges_to_batch(spark, stream_env):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_statestore_reader_complements_emitted(spark, stream_env, tmp_path):
+    """State-store READER (ops surface): `spark.read.format("statestore")`
+    over a checkpoint exposes the open per-window aggregation state.
+    Invariant: append-mode emissions (watermark-closed windows) plus
+    the in-flight state rows must reconstruct the batch aggregate
+    EXACTLY, with no overlap — emitted + pending == truth."""
+    ck = str(tmp_path / "ck_ss")
+    stream = read_events_stream(spark, stream_env["in_dir"])
+    result = run_stream_to_memory(
+        spark,
+        hourly_counts_stream(stream),
+        "ss_hourly_stream",
+        ck,
+        output_mode="append",
+    )
+    emitted = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in result.collect()
+    }
+    pending = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("sum_value"),
+        )
+        .collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in (
+            load_table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert emitted and pending, (len(emitted), len(pending))
+    assert not emitted & pending, "a window is both emitted and in-flight"
+    assert emitted | pending == batch, "emitted + state != batch truth"
