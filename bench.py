@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "recursive_cte_walk",
     "variant_extract_agg",
     "xml_roundtrip",
+    "lateral_topn_per_key",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -81,10 +81,10 @@ _MODULES = (
 #: dynamic_partition_overwrite, symspell_suggest,
 #: sql_text_interface, jdbc_roundtrip, ivm_join_delta,
 #: semantic_decontaminate, entity_resolution_golden,
-#: recursive_cte_walk, variant_extract_agg, and xml_roundtrip are
-#: the left-over additions (local oracle evidence only) — ROUND-6
-#: ROTATION: put those eighteen first, then fill with canaries
-#: spanning operator families.
+#: recursive_cte_walk, variant_extract_agg, xml_roundtrip, and
+#: lateral_topn_per_key are the left-over additions (local oracle
+#: evidence only) — ROUND-6 ROTATION: put those nineteen first, then
+#: fill with canaries spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)

@@ -69,3 +69,29 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN (subquery) → left semi join against the (broadcast) dim."""
     return _run_sql(spark, sf_dir, _IN_SQL, ["supplier", "nation"])
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("lateral_topn_per_key", oracle=_LATERAL_SQL)
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the SQL-standard per-row derived
+    table): each customer's top-2 orders by price, the statement run
+    VERBATIM on both engines.  The canonical "top-N per key expressed
+    relationally" form — Catalyst decorrelates the correlated LIMIT
+    into a partitioned rank (the same physical shape as the E10
+    WindowGroupLimit path), so the lateral sugar costs one key-shuffle,
+    never a per-row subquery execution.  Unique tie-break
+    (o_totalprice DESC, o_orderkey) per SURVEY §7.4.3."""
+    return _run_sql(spark, sf_dir, _LATERAL_SQL, ["customer", "orders"])
