@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "variant_extract_agg",
     "xml_roundtrip",
     "lateral_topn_per_key",
+    "session_window_dynamic_gap",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -368,6 +368,80 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t,
+               CASE event_type WHEN 'click' THEN 600000
+                               WHEN 'view' THEN 1200000
+                               ELSE 1800000 END AS gap_ms
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, t, t + gap_ms AS e_end,
+               MAX(t + gap_ms) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM e
+    ),
+    f AS (
+        SELECT user_id, t, e_end,
+               CASE WHEN prev_max IS NULL OR t >= prev_max
+                    THEN 1 ELSE 0 END AS brk
+        FROM m
+    ),
+    s AS (
+        SELECT user_id, t, e_end,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY t, e_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           MIN(t) AS session_start_ms,
+           MAX(e_end) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (K3 depth): the inactivity gap is a
+    per-EVENT expression — clicks tolerate 10 idle minutes, views 20,
+    purchases/signups 30 — so engaged-intent events hold a session
+    open longer.  Each event contributes the interval [ts, ts+gap) and
+    Spark merges overlapping intervals per key; this is genuine
+    interval-union semantics (an event can bridge two otherwise-apart
+    neighbors), NOT the fixed-gap lag test, which is why the oracle
+    replays it with the running-max-of-interval-end island algorithm
+    rather than lag().
+
+    Boundary pinned by the oracle's ``t >= prev_max`` break: Spark
+    windows are end-EXCLUSIVE, so an event landing exactly on the
+    running end starts a new session.  Epoch-ms outputs keep the hash
+    free of timestamp rendering.  Scale: one user-key shuffle, same
+    state shape as the fixed-gap form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .when(F.col("event_type") == "view", F.lit("20 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "nulls_ordering",
     oracle="""
     SELECT event_id, nullif(event_type, 'click') AS et
