@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "xml_roundtrip",
     "lateral_topn_per_key",
     "session_window_dynamic_gap",
+    "multimodal_prep_funnel",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -161,6 +162,8 @@ ITERATIVE = {
     "semantic_decontaminate",
     # xml file write runs during build
     "xml_roundtrip",
+    # decode localCheckpoint runs during build
+    "multimodal_prep_funnel",
 }
 
 

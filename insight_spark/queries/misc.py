@@ -681,6 +681,126 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_prep_funnel",
+    oracle="""
+    WITH imgs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+    feats AS (
+        SELECT d,
+               list_transform(range(0, 4),
+                   b -> CAST(((d * 37 + (2 * b) * 5) % 256
+                              + (d * 37 + (2 * b + 1) * 5) % 256)
+                        AS DOUBLE) / 2) AS bm
+        FROM imgs
+    ),
+    exact AS (
+        SELECT d % 256 AS ck, MIN(d) AS keep FROM imgs GROUP BY d % 256
+    ),
+    surv AS (SELECT f.* FROM feats f JOIN exact e ON f.d = e.keep),
+    perc AS (
+        SELECT list_transform(bm, x -> CAST(floor(x / 32) AS INTEGER))
+                   AS pk,
+               MIN(d) AS keep
+        FROM surv GROUP BY 1
+    ),
+    pass AS (
+        SELECT s.d FROM surv s JOIN perc p ON s.d = p.keep
+        WHERE (bm[1] + bm[2] + bm[3] + bm[4]) / 4 >= 48
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM imgs) AS n_images,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_unique,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM perc)
+               AS n_perceptual_unique,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_quality_pass
+    """,
+)
+def multimodal_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #3 — the vision-side training-data lifecycle in one
+    value-checked row, the multimodal twin of ``data_prep_funnel``:
+
+    1. INGEST: the image modality (every 3rd doc, real row-gradient
+       BMPs synthesized from doc_id — the ``multimodal_image_features``
+       fixture);
+    2. DECODE + FEATURE: parse actual BMP bytes (bottom-up row
+       un-reversal and all) into a 4-band mean-luma vector, and
+       sha-256 the payload — ONE Arrow-batched pass produces both;
+    3. EXACT DEDUP: keep-min per content digest (the synthesis
+       arithmetic makes doc_id ≡ doc_id' (mod 256) byte-identical, so
+       the oracle can state the expected survivor set exactly);
+    4. PERCEPTUAL NEAR-DUP: quantize each band to 1/32 buckets — a
+       pHash-style coarse fingerprint — and keep-min per bucket
+       (catches brightness-profile twins whose bytes differ);
+    5. QUALITY GATE: drop too-dark survivors (mean band luma < 48).
+
+    Every stage count rides the same decode output, so a codec bug, a
+    digest bug, a quantization drift, or a keep-rule change each break
+    the hash.  The decode output is localCheckpoint-ed ONCE and all
+    four stage counts read it — re-decoding media per stage is the
+    canonical multimodal-pipeline anti-pattern (decode dominates cost
+    at 100 TB; persist features, never re-read payloads).  Counts
+    assemble via 1-row broadcast crossJoins (no global shuffle).
+    """
+    import hashlib
+
+    from insight_spark.operators.codecs import (
+        bmp_row_band_means,
+        encode_bmp_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + d % 8
+                lumas = [(d * 37 + r * 5) % 256 for r in range(8)]
+                blob = encode_bmp_rows(w, 8, lumas)
+                bm = bmp_row_band_means(blob, 4)
+                rows.append(
+                    (d, hashlib.sha256(blob).hexdigest(), *bm)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "digest", "b0", "b1", "b2", "b3"]
+            )
+
+    feats = docs.select("doc_id").mapInPandas(
+        decode,
+        "doc_id long, digest string, b0 double, b1 double, "
+        "b2 double, b3 double",
+    ).localCheckpoint()  # decode once; four stage counts read it
+
+    n_images = feats.groupBy().agg(F.count("*").alias("n_images"))
+    exact = feats.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    n_exact = exact.groupBy().agg(F.count("*").alias("n_exact_unique"))
+    surv = feats.join(exact.select("doc_id"), "doc_id")
+    q = [F.floor(F.col(b) / 32).cast("int").alias("q" + b[1]) for b in
+         ("b0", "b1", "b2", "b3")]
+    perc = (
+        surv.select("doc_id", "b0", "b1", "b2", "b3", *q)
+        .groupBy("q0", "q1", "q2", "q3")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    n_perc = perc.groupBy().agg(F.count("*").alias("n_perceptual_unique"))
+    brightness = (
+        F.col("b0") + F.col("b1") + F.col("b2") + F.col("b3")
+    ) / 4
+    n_pass = (
+        surv.join(perc.select("doc_id"), "doc_id")
+        .filter(brightness >= 48)
+        .groupBy()
+        .agg(F.count("*").alias("n_quality_pass"))
+    )
+    return (
+        n_images.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_perc))
+        .crossJoin(F.broadcast(n_pass))
+    )
+
+
 _SQL_SURFACE_TEXT = """
     WITH revenue AS (
         SELECT o_custkey,
