@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "lateral_topn_per_key",
     "session_window_dynamic_gap",
     "multimodal_prep_funnel",
+    "udtf_polymorphic_ngrams",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

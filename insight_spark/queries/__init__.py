@@ -82,10 +82,11 @@ _MODULES = (
 #: sql_text_interface, jdbc_roundtrip, ivm_join_delta,
 #: semantic_decontaminate, entity_resolution_golden,
 #: recursive_cte_walk, variant_extract_agg, xml_roundtrip, and
-#: lateral_topn_per_key, session_window_dynamic_gap, and
-#: multimodal_prep_funnel are the left-over additions (local oracle
-#: evidence only) — ROUND-6 ROTATION: put those twenty-one first,
-#: then fill with canaries spanning operator families.
+#: lateral_topn_per_key, session_window_dynamic_gap,
+#: multimodal_prep_funnel, and udtf_polymorphic_ngrams are the
+#: left-over additions (local oracle evidence only) — ROUND-6
+#: ROTATION: put those twenty-two first, then fill with canaries
+#: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never checked: dedup funnel + corpus hygiene (round-4 additions)

@@ -300,6 +300,71 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_polymorphic_ngrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS ts
+        FROM documents WHERE doc_id < 50
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                   i -> {'pos': i - 1, 'g1': ts[i], 'g2': ts[i + 1],
+                         'g3': ts[i + 2]})) AS s
+        FROM toks WHERE len(ts) >= 3
+    )
+    SELECT doc_id, CAST(s.pos AS INTEGER) AS pos,
+           s.g1 AS g1, s.g2 AS g2, s.g3 AS g3
+    FROM g
+    """,
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (L5 depth): the output schema is
+    computed at PLAN time by ``analyze()`` from a constant argument —
+    ``ngram_poly(text, 3)`` emits (pos, g1, g2, g3), ``(text, 2)``
+    would emit (pos, g1, g2) — the Spark 4 table-function contract for
+    schema-on-argument operators (dynamic pivots, configurable
+    expanders) that a fixed ``returnType`` UDTF cannot express.
+    Checked against a pure-SQL trigram unnest."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramUDTF:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not (
+                n.isConstantExpression
+                and isinstance(n.value, int)
+                and n.value >= 1
+            ):
+                raise ValueError("ngram_poly: n must be a constant int >= 1")
+            st = StructType().add("pos", IntegerType())
+            for i in range(n.value):
+                st = st.add(f"g{i + 1}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text, n):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("ngram_poly", udtf(NgramUDTF))
+    return spark.sql(
+        """
+        SELECT doc_id, g.pos, g.g1, g.g2, g.g3
+        FROM documents, LATERAL ngram_poly(text, 3) g
+        WHERE doc_id < 50
+        """
+    )
+
+
+@query(
     "interval_join_global",
     oracle="""
     SELECT p.event_id AS purchase_id,
