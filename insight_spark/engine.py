@@ -34,6 +34,10 @@ SEMANTIC_CONF = {
     # are illegal).  Exact under the pinned UTC session timezone.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs must plan ArrowEvalPythonUDTF, not the rowwise
+    # BatchEvalPythonUDTF — the engine-wide plan guard
+    # (tests/test_plans.py) treats rowwise Python as fatal at scale.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 #: Performance configs for the local test harness.

@@ -88,67 +88,64 @@ _MODULES = (
 #: ROTATION: put those twenty-two first, then fill with canaries
 #: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
+#: ROUND-6 rotation: (a) the 22 round-5 additions that have never had a
+#: driver row (judge-verified at sf0.01 only — VERDICT r5 item 3);
+#: (b) queries whose plan/oracle CHANGED this round and must re-prove
+#: green; (c) canaries spanning operator families fill to 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never checked: dedup funnel + corpus hygiene (round-4 additions)
-    "minhash_recall_gate",
-    "incremental_dedup_summary",
-    "dedup_pipeline_summary",
-    "leakage_safe_split",
-    "fuzzy_decontaminate",
-    "line_dedup_stats",
-    "dsir_importance",
-    "semantic_dedup",
-    "bigram_lm_score",
-    "shard_export_counts",
-    # never checked: ANN / sparse / hybrid search tail
-    "inverted_index_build",
-    "sparse_cosine_topk",
-    "ann_pq_recall_gate",
-    "random_projection_jl",
-    "logreg_gd_train",
-    "hybrid_search_rrf",
-    # never checked: multimodal decode path
-    "multimodal_resize_real",
-    "multimodal_audio_frames",
-    # never checked: streaming contract tail (K4/K6/K8, stream-stream)
-    "stream_late_drop",
-    "stream_stream_join_pairs",
-    "stream_stateful_user_totals",
+    # (a) never driver-checked — round-5 additions
+    "entity_resolution_golden",
+    "multimodal_prep_funnel",
+    "semantic_decontaminate",
+    "recursive_cte_walk",
+    "variant_extract_agg",
+    "lateral_topn_per_key",
+    "session_window_dynamic_gap",
+    "sql_text_interface",
+    "symspell_suggest",
+    "jdbc_roundtrip",
+    "xml_roundtrip",
+    "avro_roundtrip",
+    "compaction_roundtrip",
+    "dynamic_partition_overwrite",
+    "data_prep_funnel",
+    "k_anonymity_suppress",
+    "multimodal_image_features",
+    "hashing_trick_features",
+    "ivm_join_delta",
+    "bpe_apply_compression",
+    "cdc_chunk_dedup",
+    "udtf_polymorphic_ngrams",   # + plan changed: ArrowEvalPythonUDTF
+    # (b) changed this round — re-prove green
+    "dedup_pipeline_summary",    # embedded LSH stage -> bucket-array path
+    # (c) canaries spanning families (all green r5 or earlier)
+    "flagship_top_customers",
+    "scan_filter_agg",
+    "groupby_agg",
+    "join_star",
+    "join_fact_agg",
+    "window_rank",
+    "topk",
+    "distinct_exact_approx",
+    "sessionize",
+    "json_extract_agg",
+    "tokenize_wordcount",
+    "dedup_hash",
+    "knn_cosine_topk",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "stream_hourly_counts",
     "stream_upsert_user_latest",
-    "stream_stream_left_join",
-    # never checked: analytics / joins tail
-    "salted_join_priority_revenue",
-    "interp_fill_hourly",
-    "seasonal_naive_error",
-    "assoc_rules",
-    "point_in_time_join",
-    "attribution_linear_touch",
-    "psi_drift",
-    "cdc_apply_log",
-    "twap_user_value",
-    # never checked: graph tail
-    "k_core_peel",
-    "label_propagation",
-    # round-5 CHANGED queries — semantics/plan/oracle touched this
-    # round, so their green status needs re-proving (this outranks
-    # pure canaries, the round-4 lesson):
-    "ks_distribution_shift",     # two-phase distributed CDF rewrite
-    "tpch_q15_top_supplier",     # global window -> 1-row broadcast max
-    "source_token_budget",       # global window -> 1-row broadcast total
-    "pack_token_budget",         # md5 shard salt + first value oracle
-    "binary_stats",              # video leg became real Y4M
-    "multimodal_decode_real",    # y4m decode branch added
-    "ann_ivf_topk",              # first value oracle (was rows-only)
-    # round-5 NEW queries — first-time driver evidence
-    "source_mixture_temperature",
-    "token_budget_sampler",
-    "ccnet_perplexity_buckets",
-    "winnowing_fingerprints",
-    "langid_trigram_predict",
-    "bpe_train_merges",
-    "bucketed_join_roundtrip",
-    "multimodal_video_frames",
-    "ivm_additive_merge",
+    "tpch_q1_pricing_summary",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "semantic_dedup",
+    "fuzzy_decontaminate",
+    "ngram_decontaminate",
+    "bm25_search",
+    "ann_ivf_topk",
+    "kmeans_lloyd",
+    "binary_stats",
 )
 
 _loaded = False
