@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     "session_window_dynamic_gap",
     "multimodal_prep_funnel",
     "udtf_polymorphic_ngrams",
+    # round-6 additions: A7 serving probe, A9 Python DataSource,
+    # value-oracled LSH ANN
+    "search_index_probe",
+    "pyds_topic_counts",
+    "ann_lsh_topk",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -165,6 +170,8 @@ ITERATIVE = {
     "xml_roundtrip",
     # decode localCheckpoint runs during build
     "multimodal_prep_funnel",
+    # index sink writes (saveAsTable) run during build
+    "search_index_probe",
 }
 
 

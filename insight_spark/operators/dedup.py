@@ -234,9 +234,24 @@ def near_dedup_minhash(
     shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("_id"), shingles.alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed))
+    )
+    # Signature via explode + map-side-combined min aggregate (r6, same
+    # rationale as _md5_bands_from_sh): a transform-per-seed over a
+    # projected shingle column gets the shingle expression INLINED by
+    # CollapseProject and re-evaluated n_hashes times per row (HOF
+    # lambdas see no subexpression elimination); row-wise xxhash64
+    # post-explode is whole-stage-codegen'd and the groupBy shuffles
+    # only n_hashes longs per doc.  Same signature values:
+    # min over the same hash family, per test_properties pins.
+    grams = toks.select("_id", F.explode("_sh").alias("_g"))
+    sig = grams.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_g"), F.lit(seed + i))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
-    bands = toks.select(
+    bands = sig.select(
         "_id",
         F.posexplode(
             F.array(
@@ -244,7 +259,7 @@ def near_dedup_minhash(
                     F.xxhash64(
                         F.lit(b),
                         *[
-                            F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                            F.col(f"_h{b * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -392,32 +407,58 @@ def _md5_shingle_bands(
     within-corpus pair join and the cross-corpus (decontamination)
     variant — signatures are per-document, so banding each corpus
     separately is bit-identical to banding their union."""
-    rows_per_band = n_hashes // n_bands
-    assert rows_per_band * n_bands == n_hashes
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n)).alias(
             "_sh"
         ),
     ).filter(F.size("_sh") > 0)
-    def _seed_min(i: int):
-        # NOTE: must be a ONE-argument callable.  A two-parameter lambda
-        # (even with a defaulted second arg, `lambda g, i=i: ...`) is
-        # treated by F.transform as the (element, index) form — the
-        # array INDEX silently replaces the seed, collapsing all
-        # n_hashes signature elements into one garbage-seeded hash.
-        prefix = f"{i}#"
-        return lambda g: F.md5(F.concat(F.lit(prefix), g))
+    return sh, _md5_bands_from_sh(sh, n_hashes, n_bands)
 
-    sig = sh.select(
-        "_id",
-        "_sh",
+
+def _md5_bands_from_sh(
+    sh: DataFrame, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """Band buckets ``(_id, _band, _bkey)`` from a shingle-set table
+    ``(_id, _sh)`` — split out so callers can materialize ``sh`` once
+    and feed the SAME barrier to banding and verification."""
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    # Hash family (r6 rewrite): n_hashes values are 8-hex-char (32-bit)
+    # CHUNKS of ceil(n/4) md5 digests per gram — md5(g), md5('#'+g), …
+    # — instead of n_hashes independent md5('i#'+g) calls.  The
+    # signature stage was the funnel's dominant cost (measured 5.0 s of
+    # dedup_pipeline_summary's 5.5 s at sf0.1); chunking cuts the md5
+    # count per gram from 8 to 2 for identical LSH semantics (md5 bits
+    # are uniform, chunks behave as independent 32-bit hash functions;
+    # min over fixed-width lowercase-hex strings = numeric min in both
+    # engines).  Tie risk per doc is ~|sh|²/2³³ — negligible, and any
+    # tie is replayed bit-identically by the DuckDB oracle.
+    assert n_hashes % 4 == 0, "chunked family packs 4 chunks per digest"
+    n_digests = n_hashes // 4
+
+    # Signature via EXPLODE + row-wise digest + map-side-combined min
+    # aggregate, NOT array higher-order functions: HOF lambdas are
+    # interpreted per-element with no common-subexpression caching, and
+    # CollapseProject inlines a projected digest array into every
+    # consumer — both roads re-run the md5s n_hashes times.  Row-wise
+    # expressions get whole-stage codegen + subexpression elimination,
+    # so the digest concat runs ONCE per gram and the 8 substrings are
+    # chunk reads.  The groupBy(_id) shuffle moves only 8×8 hex chars
+    # per doc after partial aggregation.
+    grams = sh.select("_id", F.explode("_sh").alias("_g"))
+    g = F.col("_g")
+    dig = F.concat(
         *[
-            F.array_min(F.transform(F.col("_sh"), _seed_min(i))).alias(
-                f"_h{i}"
-            )
+            F.md5(g) if d == 0 else F.md5(F.concat(F.lit("#" * d), g))
+            for d in range(n_digests)
+        ]
+    )
+    sig = grams.groupBy("_id").agg(
+        *[
+            F.min(F.substring(dig, 1 + 8 * i, 8)).alias(f"_h{i}")
             for i in range(n_hashes)
-        ],
+        ]
     )
     bands = sig.select(
         "_id",
@@ -436,7 +477,7 @@ def _md5_shingle_bands(
             )
         ).alias("_band", "_bkey"),
     )
-    return sh, bands
+    return bands
 
 
 def minhash_lsh_pairs_md5(
@@ -477,6 +518,11 @@ def minhash_lsh_pairs_md5(
     case (a mega-bucket of identical docs) is exactly what running
     exact dedup FIRST removes (the funnel's composition order).
     """
+    # NOTE (r6, measured): the shingle subplan feeds three consumers
+    # (band build + both verify sides) but deliberately stays LAZY — a
+    # localCheckpoint barrier on ``sh`` was tried and made the sf0.1
+    # funnel 0.8 s SLOWER: writing the materialized gram arrays costs
+    # more than recomputing the zip_with shingling per consumer.
     sh, bands = _md5_shingle_bands(
         docs, text_col, id_col, n_hashes, n_bands, shingle_n
     )
@@ -505,7 +551,8 @@ def minhash_lsh_pairs_md5_oracle_sql(
     """DuckDB SQL producing identical pairs (same md5 hash family)."""
     rows_per_band = n_hashes // n_bands
     sigs = ",\n               ".join(
-        f"list_min(list_transform(s, g -> md5('{i}#' || g))) AS h{i}"
+        f"list_min(list_transform(ds, d -> substr(d, {1 + 8 * i}, 8)))"
+        f" AS h{i}"
         for i in range(n_hashes)
     )
     band_rows = "\n        UNION ALL ".join(
@@ -530,10 +577,15 @@ def minhash_lsh_pairs_md5_oracle_sql(
         FROM toks
     ),
     sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    shd AS (
+        SELECT doc_id, s,
+               list_transform(s, g -> md5(g) || md5('#' || g)) AS ds
+        FROM sh2
+    ),
     sig AS (
         SELECT doc_id, s,
                {sigs}
-        FROM sh2
+        FROM shd
     ),
     bands AS (
         {band_rows}

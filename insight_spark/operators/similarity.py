@@ -205,6 +205,30 @@ def seeded_centroids(corpus: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
+def lsh_plane_signs(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane components from md5 (driver-side,
+    O(tables·planes·dim) — bounded model state, never per-row).  Because
+    the matrix is a plain numeric literal, any engine can replay the
+    bucketing exactly: the DuckDB oracle embeds these same numbers, so
+    the LSH variant built on them is value-hash-checkable end to end."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if hashlib.md5(f"{seed}|{t}|{p}|{i}".encode()).digest()[0] < 128
+                else -1
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
 def lsh_bucket_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -212,6 +236,7 @@ def lsh_bucket_join(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 1,
+    plane_signs: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """J3/J4 scale path: random-hyperplane LSH bucketed knn (approximate).
 
@@ -254,6 +279,30 @@ def lsh_bucket_join(
             out = out + b
         return out
 
+    def bucket_exact(vec: Column, t_idx: int) -> Column:
+        # literal-sign-matrix form (oracle-checkable): projection is an
+        # exact BIGINT sum of floor(x·1e6)·s_i — integer addition is
+        # associative, so any engine replaying the same literals gets
+        # the same bucket bit-for-bit (no float-sum-order hazard).
+        bits = []
+        for p in range(n_planes):
+            sarr = F.array(*[F.lit(s) for s in plane_signs[t_idx][p]])
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    sarr,
+                    lambda x, s: F.floor(_d(x) * F.lit(1000000.0)).cast("long")
+                    * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
     from pyspark.sql import Window
 
     def table_buckets(df: DataFrame, col: str) -> DataFrame:
@@ -262,7 +311,14 @@ def lsh_bucket_join(
             "*",
             F.posexplode(
                 F.array(
-                    *[bucket(F.col(col), seed + t) for t in range(n_tables)]
+                    *[
+                        (
+                            bucket_exact(F.col(col), t)
+                            if plane_signs is not None
+                            else bucket(F.col(col), seed + t)
+                        )
+                        for t in range(n_tables)
+                    ]
                 )
             ).alias("_table", "_bucket"),
         )

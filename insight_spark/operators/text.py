@@ -88,14 +88,24 @@ def tf_idf(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def ngrams(tokens: Column, n: int) -> Column:
     """I4: n-gram shingles of a token array (space-joined strings).
 
-    Guarded for short arrays: Spark ``sequence(1, 0)`` counts *down*
-    ([1, 0]), so fewer than n tokens must short-circuit to [].
+    Shifted ``zip_with`` construction, NOT transform-over-indices
+    (r6): a lambda body referencing the ``tokens`` expression re-runs
+    it per ELEMENT (HOFs are interpreted, no subexpression caching) —
+    with ``tokens`` = a regex tokenize, the old index form cost
+    O(|tokens|) tokenize evaluations per row and was the single
+    hottest expression in the dedup funnel (measured ~3 s of the 4.6 s
+    LSH stage at sf0.1).  ``zip_with`` evaluates each input array once,
+    so ``tokens`` is evaluated n times per row total.  Trailing
+    positions (< n tokens left) null-propagate through ``concat`` and
+    are filtered, which also short-circuits arrays shorter than n.
     """
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = tokens
+    for k in range(1, n):
+        shifted = F.slice(tokens, k + 1, F.greatest(F.size(tokens) - k, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.filter(grams, lambda g: g.isNotNull())
 
 
 def bm25_scores(

@@ -116,8 +116,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_apply_compression",
     "cdc_chunk_dedup",
     "udtf_polymorphic_ngrams",   # + plan changed: ArrowEvalPythonUDTF
-    # (b) changed this round — re-prove green
-    "dedup_pipeline_summary",    # embedded LSH stage -> bucket-array path
+    # (b) changed/new this round — re-prove green
+    "dedup_pipeline_summary",    # chunked md5 family + zip_with ngrams
+    "leakage_safe_split",        # shares _md5_cluster_ctes (family change)
+    "search_index_probe",        # NEW: A7 bucket-pruned serving probe
+    "pyds_topic_counts",         # NEW: A9 Python DataSource driver row
     # (c) canaries spanning families (all green r5 or earlier)
     "flagship_top_customers",
     "scan_filter_agg",
@@ -126,7 +129,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_fact_agg",
     "window_rank",
     "topk",
-    "distinct_exact_approx",
     "sessionize",
     "json_extract_agg",
     "tokenize_wordcount",
@@ -141,11 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "semantic_dedup",
     "fuzzy_decontaminate",
-    "ngram_decontaminate",
     "bm25_search",
     "ann_ivf_topk",
-    "kmeans_lloyd",
-    "binary_stats",
+    "ann_lsh_topk",
 )
 
 _loaded = False

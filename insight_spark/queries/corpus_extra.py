@@ -664,8 +664,10 @@ def _fuzzy_decon_oracle(n_hashes: int = 8, n_bands: int = 4) -> str:
     AFTER signing — per-document math, so splitting before or after
     banding is identical."""
     rpb = n_hashes // n_bands
+    # chunked md5 family (r6, mirrors operators/dedup._md5_shingle_bands)
     sigs = ",\n               ".join(
-        f"list_min(list_transform(s, g -> md5('{i}#' || g))) AS h{i}"
+        f"list_min(list_transform(ds, d -> substr(d, {1 + 8 * i}, 8)))"
+        f" AS h{i}"
         for i in range(n_hashes)
     )
     band_rows = "\n        UNION ALL ".join(
@@ -688,10 +690,15 @@ def _fuzzy_decon_oracle(n_hashes: int = 8, n_bands: int = 4) -> str:
         FROM toks
     ),
     sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    shd AS (
+        SELECT doc_id, s,
+               list_transform(s, g -> md5(g) || md5('#' || g)) AS ds
+        FROM sh2
+    ),
     sig AS (
         SELECT doc_id, s,
                {sigs}
-        FROM sh2
+        FROM shd
     ),
     bands AS (
         {band_rows}

@@ -117,14 +117,84 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: xxhash64 bucketing not DuckDB-expressible
+def _ann_lsh_oracle(
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB replay of the literal-sign-matrix LSH: the same ±1 plane
+    components (operators/similarity.lsh_plane_signs) embedded as a
+    VALUES table, projections as exact BIGINT sums of floor(x·1e6)·s —
+    associative integer math, so bucket ids match Spark bit-for-bit."""
+    from insight_spark.operators.similarity import lsh_plane_signs
+
+    signs = lsh_plane_signs(n_tables, n_planes, dim)
+    rows = ",\n            ".join(
+        f"({t}, {p}, [{', '.join(str(s) for s in signs[t][p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES
+            {rows}
+        ) AS t(tbl, p, s)
+    ),
+    vecs AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS iv,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, tbl, p,
+               list_sum(list_transform(range(1, {dim + 1}),
+                   i -> iv[i] * s[i])) AS pr
+        FROM vecs CROSS JOIN planes
+    ),
+    bkt AS (
+        SELECT vec_id, tbl,
+               SUM(CASE WHEN pr >= 0
+                   THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id
+        FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 10
+    ),
+    pairs AS (
+        SELECT q_vec_id, c_vec_id,
+               ROUND(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = q_vec_id
+        JOIN vecs cv ON cv.vec_id = c_vec_id
+    )
+    SELECT q_vec_id, c_vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec_id ORDER BY cos_sim DESC, c_vec_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn via random-hyperplane LSH buckets (J3 scale path).
 
-    Deterministic (seeded hyperplanes), but the bucket hash is
-    xxhash64-based → rows-only driver check; recall vs the exact
-    knn_cosine_topk is asserted in tests/test_pipeline_extra.py.
+    r6: upgraded from rows-only to full value parity — the hyperplanes
+    are a literal ±1 sign matrix (md5-derived driver-side, O(T·P·D)
+    model state) and the projection is an exact BIGINT sum, so the
+    DuckDB oracle replays bucketing, candidate generation, scoring,
+    and ranking bit-identically.  Recall vs the exact knn_cosine_topk
+    is additionally gated in ann_lsh_recall_gate /
+    tests/test_pipeline_extra.py.
     """
+    from insight_spark.operators.similarity import lsh_plane_signs
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
@@ -132,7 +202,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
     )
-    return lsh_bucket_join(queries, corpus, k=5, n_planes=4, n_tables=8)
+    return lsh_bucket_join(
+        queries,
+        corpus,
+        k=5,
+        n_planes=4,
+        n_tables=8,
+        plane_signs=lsh_plane_signs(8, 4, 64),
+    )
 
 
 @query(

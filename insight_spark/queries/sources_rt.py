@@ -624,3 +624,101 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"orders_subset_{tag}"
     write_jdbc(_subset(spark, sf_dir), url, table)
     return read_jdbc(spark, url, table)
+
+
+@query(
+    "search_index_probe",
+    oracle=r"""
+    SELECT 'the' AS term, doc_id
+    FROM (SELECT DISTINCT doc_id
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents)
+          WHERE term = 'the')
+    ORDER BY doc_id
+    """,
+)
+def search_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 serving path, driver-checked end to end: build the search
+    index sink (bucketed doc store + bucketed/sorted inverted-index
+    posting table — the ES segment + term-dictionary layout), then
+    serve a single-term lookup from it and return the exploded
+    posting list.  The value hash proves the sink's explode→groupBy
+    posting build and the read-back both preserve exact doc
+    membership.
+
+    The probe filter hits the posting table's bucket column, so the
+    scan is bucket-pruned to 1 of n_buckets files
+    (SelectedBucketsCount plan-asserted in tests/test_plans.py) — a
+    point lookup stays O(index/n_buckets) IO no matter how large the
+    term dictionary grows, which is the property the real ES
+    connector provides and the 100 TB posture needs from a serving
+    stand-in.
+    """
+    import re as _re
+
+    from insight_spark.sources.sinks import search_term_lookup, write_search_index
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # Auto-bucketed-scan drops bucket layout when no join/agg needs the
+    # distribution — but a point lookup needs it for bucket PRUNING
+    # (1-of-n file scan), so pin bucketed scans on.  Session-scoped and
+    # deliberately left set: every bucketed table this engine writes is
+    # a serving-side index where pruning is the point.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    tables = write_search_index(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        _rt_path(sf_dir, "search_idx"),
+        n_buckets=8,
+        table_prefix=f"search_idx_{tag}",
+    )
+    probe = search_term_lookup(spark, tables["postings"], "the")
+    return probe.select("term", F.explode("posting").alias("doc_id"))
+
+
+@query(
+    "pyds_topic_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(epoch_ms(ts)) AS BIGINT) AS min_ts_ms,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS max_ts_ms,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pyds_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 custom Python DataSource under the driver contract: batch-read
+    the ``event_topic`` connector (sources/pyds.py — the Spark-4
+    DataSource API connector whose stream side does real offset
+    commit + exactly-once restart) and aggregate per event type.  The
+    value hash proves the connector's partition planning (N row-range
+    InputPartitions read independently on executors) delivers every
+    event exactly once with wire-faithful types (epoch-millis BIGINT
+    timestamps, the form a real topic delivers).
+    """
+    from insight_spark.sources.pyds import EventTopicDataSource
+
+    if not getattr(spark, "_event_topic_registered", False):
+        spark.dataSource.register(EventTopicDataSource)
+        spark._event_topic_registered = True
+    topic = (
+        spark.read.format("event_topic")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("numPartitions", 8)
+        .load()
+    )
+    return topic.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        # exact decimal aggregation, double presentation (the engine's
+        # no-decimal-output schema discipline)
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )

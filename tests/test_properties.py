@@ -323,13 +323,14 @@ def test_near_dedup_keep_all_verdicts(spark, sf_dir):
 
 
 def test_md5_family_signature_matches_hashlib(spark):
-    """Each of the 8 md5-family signature elements must equal the true
-    seeded minimum min_g(md5("i#" + g)) — computed independently with
-    hashlib.  Regression pin for the F.transform arity trap: a
-    two-parameter lambda (``lambda g, i=i``) is silently called as the
-    (element, index) form, replacing every seed with the array index
-    and collapsing the hash family to one garbage-seeded function
-    (lineage-dependent signatures, broken LSH recall)."""
+    """Each of the 8 chunked-md5-family signature elements must equal
+    the true minimum min_g(chunk_i(md5(g) || md5('#' + g))) — computed
+    independently with hashlib (chunk_i = 8 hex chars at offset 8*i).
+    Regression pin for the F.transform arity trap: a two-parameter
+    lambda (``lambda g, i=i``) is silently called as the
+    (element, index) form, replacing the closure arg with the array
+    index and collapsing the hash family (lineage-dependent
+    signatures, broken LSH recall)."""
     import hashlib
 
     from insight_spark.operators.dedup import _md5_shingle_bands
@@ -341,9 +342,16 @@ def test_md5_family_signature_matches_hashlib(spark):
     for r in bands.collect():
         got_bands.setdefault(r["_id"], {})[r["_band"]] = r["_bkey"]
     assert shingles, "fixture slice must be non-empty"
+
+    def digest(g: str) -> str:
+        return (
+            hashlib.md5(g.encode()).hexdigest()
+            + hashlib.md5(f"#{g}".encode()).hexdigest()
+        )
+
     for _id, grams in shingles.items():
         h = [
-            min(hashlib.md5(f"{i}#{g}".encode()).hexdigest() for g in grams)
+            min(digest(g)[8 * i : 8 * i + 8] for g in grams)
             for i in range(8)
         ]
         want = {b: f"{h[2 * b]}|{h[2 * b + 1]}" for b in range(4)}
