@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "search_index_probe",
     "pyds_topic_counts",
     "ann_lsh_topk",
+    "rag_chunk_windows",
+    "span_merge_intervals",
+    "mixture_fractional_upsample",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

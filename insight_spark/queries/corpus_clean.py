@@ -612,3 +612,161 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("twap"),
     )
+
+
+@query(
+    "rag_chunk_windows",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
+        FROM toks
+    ),
+    asn AS (
+        SELECT doc_id, p, tok,
+               unnest(range(CASE WHEN p < 32 THEN 0
+                                 ELSE (p - 32) // 16 + 1 END,
+                            p // 16 + 1)) AS chunk_id
+        FROM pos
+    )
+    SELECT doc_id, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY p) AS chunk_text
+    FROM asn
+    GROUP BY doc_id, chunk_id
+    """,
+)
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-packing prep):
+    width-32 token chunks at stride 16, so consecutive chunks overlap
+    by half — the standard retrieval-chunking layout.
+
+    Relational construction for scale: explode tokens with position,
+    map each token to the BOUNDED set of chunk ids covering it
+    (``ceil(W/S)`` = 2 ids/token — a constant duplication factor, not
+    a per-chunk re-tokenize), and reassemble per (doc, chunk) with an
+    order-pinned aggregate (array_sort on the (pos, tok) struct — the
+    plain collect_list order is nondeterministic).  Every stage is an
+    explode + hash-aggregate on (doc_id, chunk_id) keys; no window, no
+    Python, no per-chunk slicing of a re-evaluated token array (the
+    ngrams r6 lesson applied at design time).
+    """
+    W, S = 32, 16
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "tok")
+    )
+    c_hi = F.floor(F.col("p") / S).cast("long")
+    c_lo = (
+        F.when(F.col("p") < W, F.lit(0))
+        .otherwise(F.floor((F.col("p") - W) / S) + 1)
+        .cast("long")
+    )
+    asn = pos.select(
+        "doc_id",
+        "p",
+        "tok",
+        F.explode(F.sequence(c_lo, c_hi)).alias("chunk_id"),
+    )
+    return asn.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "span_merge_intervals",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, greatest(p - 1, 0) AS s, p + 1 AS e
+        FROM pos WHERE regexp_matches(tok, '[0-9]')
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM spans
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY doc_id, island
+    ),
+    raw AS (SELECT doc_id, COUNT(*) AS n_raw FROM spans GROUP BY doc_id)
+    SELECT m.doc_id,
+           CAST(r.n_raw AS BIGINT) AS n_raw_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_spans,
+           CAST(SUM(me - ms + 1) AS BIGINT) AS covered_tokens
+    FROM merged m JOIN raw r USING (doc_id)
+    GROUP BY m.doc_id, r.n_raw
+    """,
+)
+def span_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (PII-masking span merge): pad every
+    digit-bearing token to a ±1-token span, merge overlapping spans
+    per document (gaps-and-islands: running-max window + break-count
+    island ids), report raw vs merged span counts and total covered
+    tokens — the bookkeeping a redaction pass emits before masking.
+
+    The merge is the classic interval-union shape every span-level
+    cleaner needs (PII windows, dup spans, quote regions).  Windows
+    are partitioned by doc_id — per-doc span counts are bounded, so
+    no task ever holds more than one document's spans.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "tok")
+    )
+    spans = pos.filter(F.col("tok").rlike("[0-9]")).select(
+        "doc_id",
+        F.greatest(F.col("p") - 1, F.lit(0)).alias("s"),
+        (F.col("p") + 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = spans.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    raw = spans.groupBy("doc_id").agg(F.count("*").alias("n_raw_spans"))
+    out = merged.groupBy("doc_id").agg(
+        F.count("*").alias("n_merged_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("covered_tokens"),
+    )
+    return raw.join(out, "doc_id").select(
+        "doc_id", "n_raw_spans", "n_merged_spans", "covered_tokens"
+    )

@@ -582,3 +582,106 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "source", "n_docs", "n_cells", "released")
     )
+
+
+#: Fixed target mixture weights per language (copies per document,
+#: possibly fractional) and the md5-hex acceptance threshold for the
+#: fractional part: accept the extra copy iff the first 8 hex chars of
+#: md5('up#' || doc_id) sort below format(int(frac(w) * 2^32), '08x').
+#: Both engines compare fixed-width lowercase hex bytewise, so the
+#: Bernoulli draw is deterministic and exactly replayable.
+_UPSAMPLE_W: dict[str, tuple[int, str]] = {
+    "en": (1, "99999999"),  # w = 1.6
+    "zh": (0, "e6666666"),  # w = 0.9
+    "es": (0, "b3333333"),  # w = 0.7
+    "de": (1, "33333333"),  # w = 1.2
+    "fr": (0, "66666666"),  # w = 0.4
+}
+
+
+def _upsample_case(col: str, idx: int) -> str:
+    return (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {repr(v[idx])}"
+            for lang, v in _UPSAMPLE_W.items()
+        )
+        + f" ELSE {repr((1, '00000000')[idx])} END AS {col}"
+    )
+
+
+@query(
+    "mixture_fractional_upsample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               {_upsample_case("base", 0)},
+               {_upsample_case("thr", 1)}
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang,
+               base + CASE WHEN substr(md5('up#' || CAST(doc_id AS VARCHAR)),
+                                        1, 8) < thr
+                           THEN 1 ELSE 0 END AS n_copies
+        FROM w
+    ),
+    e AS (
+        SELECT lang, doc_id, unnest(range(1, n_copies + 1)) AS copy_idx
+        FROM c WHERE n_copies > 0
+    ),
+    oc AS (SELECT lang, COUNT(*) AS n FROM e GROUP BY lang),
+    dc AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT dc.lang,
+           CAST(dc.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(oc.n, 0) AS BIGINT) AS n_rows_out,
+           ROUND(CAST(coalesce(oc.n, 0) AS DOUBLE) / dc.n_docs, 6)
+               AS upsample_ratio
+    FROM dc LEFT JOIN oc USING (lang)
+    """,
+)
+def mixture_fractional_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling to target mixture weights —
+    the materialization step after a mixture is chosen (cf.
+    source_mixture_temperature, which chooses the weights): each
+    document is replicated floor(w) times plus one more with
+    probability frac(w), drawn from a hash of the doc id, so the
+    realized corpus hits the target weight in expectation with
+    per-document determinism (re-runs produce the identical corpus —
+    the property RNG-based samplers lack, and what makes the op
+    driver-hash-checkable).
+
+    Scale shape: one projection computes n_copies (no shuffle), the
+    replication is a bounded explode (ceil(max w) rows per doc), and
+    the report is a pair of lang-keyed map-side-combined counts.  The
+    hash draw never looks at other rows — embarrassingly parallel at
+    any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.lit(1)
+    thr = F.lit("00000000")
+    for lang, (b, t) in _UPSAMPLE_W.items():
+        base = F.when(F.col("lang") == lang, F.lit(b)).otherwise(base)
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    u = F.substring(F.md5(F.concat(F.lit("up#"), F.col("doc_id").cast("string"))), 1, 8)
+    c = docs.select(
+        "doc_id",
+        "lang",
+        (base + F.when(u < thr, 1).otherwise(0)).alias("n_copies"),
+    )
+    reps = c.filter(F.col("n_copies") > 0).select(
+        "lang",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )
+    oc = reps.groupBy("lang").agg(F.count("*").alias("n_rows_out"))
+    dc = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return dc.join(oc, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+        F.round(
+            F.coalesce("n_rows_out", F.lit(0)).cast("double") / F.col("n_docs"),
+            6,
+        ).alias("upsample_ratio"),
+    )
