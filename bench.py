@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "rag_chunk_windows",
     "span_merge_intervals",
     "mixture_fractional_upsample",
+    "funnel_conversion_steps",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -183,3 +183,94 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_out("_sum_value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+               AS n_users,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+               AS n_view_click_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS click_rate,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS purchase_rate
+    """,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (the sequential-pattern analytics shape
+    SQL MATCH_RECOGNIZE covers in other engines): a user converts at
+    stage k only via events in ORDER — first view, then the first
+    click strictly after it, then the first purchase strictly after
+    that click.  One row: stage survivor counts + step conversion
+    rates.
+
+    Spark shape: three per-user min-aggregates chained by equi-joins
+    on user_id — each stage shuffles only (user_id, one timestamp),
+    partial-aggregated map-side; no self-cross-join, no window over
+    unbounded event lists, no per-user event array materialization.
+    The stage chain is the standard scalable funnel plan at any
+    event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_view_click"))
+    np_ = p.agg(F.count("*").alias("n_view_click_purchase"))
+    return (
+        n_users.crossJoin(nv)
+        .crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_users",
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click").cast("double") / F.col("n_view"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_view_click_purchase").cast("double")
+                / F.nullif(F.col("n_view_click"), F.lit(0)),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
