@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "span_merge_intervals",
     "mixture_fractional_upsample",
     "funnel_conversion_steps",
+    "vector_index_probe",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -176,6 +177,8 @@ ITERATIVE = {
     "multimodal_prep_funnel",
     # index sink writes (saveAsTable) run during build
     "search_index_probe",
+    # cell-partitioned index write + centroid collect run during build
+    "vector_index_probe",
 }
 
 

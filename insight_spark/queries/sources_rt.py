@@ -722,3 +722,122 @@ def pyds_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+@query(
+    "vector_index_probe",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS c_vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_vec_id) - 1 AS INTEGER)
+                   AS cell_id,
+               e AS centroid
+        FROM (SELECT * FROM c ORDER BY c_vec_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT c_vec_id, e, cell_id FROM (
+            SELECT c.c_vec_id, c.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_vec_id
+                       ORDER BY list_distance(c.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT cell_id FROM (
+            SELECT cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_distance(
+                           (SELECT e FROM c WHERE c_vec_id = 0),
+                           cents.centroid),
+                       cents.cell_id) AS rn
+            FROM cents
+        ) WHERE rn <= 2
+    ),
+    pairs AS (
+        SELECT CAST(0 AS BIGINT) AS q_vec_id, a.c_vec_id,
+               ROUND(list_cosine_similarity(
+                   (SELECT e FROM c WHERE c_vec_id = 0), a.e), 6) AS cos_sim
+        FROM assigned a JOIN probes USING (cell_id)
+    )
+    SELECT q_vec_id, c_vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec_id ORDER BY cos_sim DESC, c_vec_id
+        ) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index SERVING path (the A7-probe pattern for embeddings):
+    write the IVF-assigned corpus as a cell-partitioned parquet index
+    (`partitionBy("cell_id")` — FAISS's inverted lists as hive
+    partitions), then serve one query by reading back ONLY its 2
+    nearest probe cells — partition pruning keeps the scan at
+    O(corpus · n_probe / n_cells) IO, plan-asserted in
+    tests/test_plans.py.
+
+    Probe-cell selection runs driver-side over the 8 collected
+    centroids (bounded model state, O(K·d) — the quantizer is the only
+    thing a vector-serving tier keeps in memory); everything corpus-
+    sized stays in the pruned scan.  Same deterministic quantizer and
+    tie-breaks as ann_ivf_topk, so DuckDB replays seeding, assignment,
+    probe choice, and ranking exactly.
+    """
+    from insight_spark.operators.similarity import ivf_assign, seeded_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    cents = seeded_centroids(emb, 8)
+    path = _rt_path(sf_dir, "vector_index")
+    (
+        ivf_assign(emb, cents)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+    # bounded model state: 8 centroids + the probe vector (K·d floats)
+    cent_rows = {r["cell_id"]: list(r["centroid"]) for r in cents.collect()}
+    q_vec = list(
+        emb.filter(F.col("c_vec_id") == 0).collect()[0]["c_embedding"]
+    )
+
+    def d2(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (float(x) - float(y)) ** 2
+        return s
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, d2(q_vec, c)) for cid, c in cent_rows.items()),
+            key=lambda t: (t[1], t[0]),
+        )[:2]
+    ]
+
+    index = spark.read.parquet(path)
+    from insight_spark.operators.similarity import cosine
+
+    qcol = F.array(*[F.lit(float(x)) for x in q_vec])
+    hits = index.filter(F.col("cell_id").isin(probe_cells)).select(
+        F.lit(0).cast("long").alias("q_vec_id"),
+        "c_vec_id",
+        F.round(cosine(qcol, F.col("c_embedding")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_vec_id")
+    )
+    return hits.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )

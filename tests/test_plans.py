@@ -641,3 +641,17 @@ def test_pyds_topic_counts_partitioned_and_combined(spark):
     assert df.rdd.getNumPartitions() >= 1
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_vector_index_probe_partition_pruned(spark):
+    """The vector-index serving probe must scan only its probe cells:
+    the cell-partitioned index read shows a cell_id IN (...)
+    PartitionFilter (2 of 8 inverted lists), never a full-index scan."""
+    import re
+
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["vector_index_probe"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(\d+,\d+\)\]", plan)
+    assert m, plan
