@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "mixture_fractional_upsample",
     "funnel_conversion_steps",
     "vector_index_probe",
+    "stream_funnel_stages",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -179,6 +180,8 @@ ITERATIVE = {
     "search_index_probe",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
+    # micro-batch drain runs during build
+    "stream_funnel_stages",
 }
 
 

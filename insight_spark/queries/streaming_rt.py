@@ -616,3 +616,60 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
     out = run_stream_to_memory(spark, joined, name, ckpt, output_mode="append")
     return out.filter(F.col("p_user") != _SENTINEL_USER)
+
+
+@query(
+    "stream_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 sequential-pattern state machine through the streaming
+    engine: the per-user ordered funnel advanced incrementally across
+    micro-batches (streaming/core.funnel_stage_stateful), update-mode
+    drain, last (= max, stage is monotone) emission per user.  The
+    driver hash proves the cross-batch state machine lands on exactly
+    the batch chained-MIN funnel for every user — ordering, strict
+    after-ness, and state round-trips all checked, the
+    MATCH_RECOGNIZE-class surface built-in windowed aggs can't
+    express.
+    """
+    from insight_spark.streaming.core import (
+        funnel_stage_stateful,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    stages = funnel_stage_stateful(events)
+    name = "mem_funnel_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    out = run_stream_to_memory(spark, stages, name, ckpt, output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("funnel_stage").alias("funnel_stage")
+    )

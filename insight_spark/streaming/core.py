@@ -566,3 +566,51 @@ def inactivity_sessions_tws(
             timeMode="EventTime",
         )
     )
+
+
+FUNNEL_SCHEMA = "user_id bigint, funnel_stage int"
+_FUNNEL_STATE_SCHEMA = "stage int, t_ns bigint"
+
+
+def funnel_stage_stateful(events: DataFrame) -> DataFrame:
+    """K6 sequential-pattern state machine: per-user ordered funnel
+    (view → click strictly after → purchase strictly after) advanced
+    incrementally across micro-batches — the streaming twin of the
+    batch ``funnel_conversion_steps`` chained-min plan.
+
+    State is (stage, transition-ts) — two numbers per user.  Events
+    are applied in (ts, event_id) order: within a batch by an explicit
+    sort, across batches by the topic's event-time-ordered arrival
+    (prepare_stream_input chunks are ts-ordered, the contract a
+    partitioned log gives per key).  Processing in global ts order
+    makes the sequential machine equivalent to the batch chained
+    MIN-aggregates: the first qualifying event seen IS the minimum.
+    Stage is monotone per key, so the LAST emission per user is the
+    final stage.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        stage, t_ns = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            for t, etype in zip(ts_ns, pdf["event_type"]):
+                if stage == 0 and etype == "view":
+                    stage, t_ns = 1, int(t)
+                elif stage == 1 and etype == "click" and int(t) > t_ns:
+                    stage, t_ns = 2, int(t)
+                elif stage == 2 and etype == "purchase" and int(t) > t_ns:
+                    stage, t_ns = 3, int(t)
+        state.update((stage, t_ns))
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
