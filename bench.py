@@ -126,7 +126,6 @@ BENCH_QUERIES = [
     "search_index_probe",
     "pyds_topic_counts",
     "ann_lsh_topk",
-    "rag_chunk_windows",
     "span_merge_intervals",
     "mixture_fractional_upsample",
     "funnel_conversion_steps",

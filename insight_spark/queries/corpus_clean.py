@@ -615,76 +615,6 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rag_chunk_windows",
-    oracle=r"""
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
-        FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
-        FROM toks
-    ),
-    asn AS (
-        SELECT doc_id, p, tok,
-               unnest(range(CASE WHEN p < 32 THEN 0
-                                 ELSE (p - 32) // 16 + 1 END,
-                            p // 16 + 1)) AS chunk_id
-        FROM pos
-    )
-    SELECT doc_id, chunk_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           string_agg(tok, ' ' ORDER BY p) AS chunk_text
-    FROM asn
-    GROUP BY doc_id, chunk_id
-    """,
-)
-def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking (RAG / context-packing prep):
-    width-32 token chunks at stride 16, so consecutive chunks overlap
-    by half — the standard retrieval-chunking layout.
-
-    Relational construction for scale: explode tokens with position,
-    map each token to the BOUNDED set of chunk ids covering it
-    (``ceil(W/S)`` = 2 ids/token — a constant duplication factor, not
-    a per-chunk re-tokenize), and reassemble per (doc, chunk) with an
-    order-pinned aggregate (array_sort on the (pos, tok) struct — the
-    plain collect_list order is nondeterministic).  Every stage is an
-    explode + hash-aggregate on (doc_id, chunk_id) keys; no window, no
-    Python, no per-chunk slicing of a re-evaluated token array (the
-    ngrams r6 lesson applied at design time).
-    """
-    W, S = 32, 16
-    docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "tok")
-    )
-    c_hi = F.floor(F.col("p") / S).cast("long")
-    c_lo = (
-        F.when(F.col("p") < W, F.lit(0))
-        .otherwise(F.floor((F.col("p") - W) / S) + 1)
-        .cast("long")
-    )
-    asn = pos.select(
-        "doc_id",
-        "p",
-        "tok",
-        F.explode(F.sequence(c_lo, c_hi)).alias("chunk_id"),
-    )
-    return asn.groupBy("doc_id", "chunk_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk_text"),
-    )
-
-
-@query(
     "span_merge_intervals",
     oracle=r"""
     WITH toks AS (
