@@ -229,11 +229,21 @@ def near_dedup_minhash(
     the pair-dedup shuffle moves 16-byte id pairs — the (possibly
     large) shingle arrays are shuffled once per side by the
     verification joins, never through the band stage.
+
+    Docs with an EMPTY shingle set (< ``shingle_n`` tokens) never band
+    and so never pair — by design: an empty set has Jaccard 0 (or 0/0)
+    against everything, so no such pair can verify at ``threshold`` >
+    0, and a shared null-signature bucket would only manufacture
+    candidate volume (visible under ``keep_all``, but as guaranteed
+    false positives).  The filter below makes the drop explicit,
+    matching ``_md5_shingle_bands``' size guard.
     """
     rows_per_band = n_hashes // n_bands
     shingles = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("_id"), shingles.alias("_sh")
+    toks = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("_id"), shingles.alias("_sh"))
+        .filter(F.size("_sh") > 0)
     )
     # Signature via explode + map-side-combined min aggregate (r6, same
     # rationale as _md5_bands_from_sh): a transform-per-seed over a
@@ -416,6 +426,20 @@ def _md5_shingle_bands(
     return sh, _md5_bands_from_sh(sh, n_hashes, n_bands)
 
 
+def md5_digest_concat_sql(n_hashes: int, var: str = "g") -> str:
+    """DuckDB lambda body for the per-gram chunked digest — generated
+    from the SAME ``n_digests = n_hashes // 4`` formula as
+    ``_md5_bands_from_sh`` so a non-default ``n_hashes`` (e.g. 16)
+    can never silently desync Spark (which computes extra digests)
+    from an oracle hardcoding two (whose substr past char 64 would
+    yield empty chunks)."""
+    assert n_hashes % 4 == 0, "chunked family packs 4 chunks per digest"
+    return " || ".join(
+        f"md5({var})" if d == 0 else f"md5('{'#' * d}' || {var})"
+        for d in range(n_hashes // 4)
+    )
+
+
 def _md5_bands_from_sh(
     sh: DataFrame, n_hashes: int, n_bands: int
 ) -> DataFrame:
@@ -579,7 +603,7 @@ def minhash_lsh_pairs_md5_oracle_sql(
     sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
     shd AS (
         SELECT doc_id, s,
-               list_transform(s, g -> md5(g) || md5('#' || g)) AS ds
+               list_transform(s, g -> {md5_digest_concat_sql(n_hashes)}) AS ds
         FROM sh2
     ),
     sig AS (

@@ -663,6 +663,10 @@ def _fuzzy_decon_oracle(n_hashes: int = 8, n_bands: int = 4) -> str:
     the corpus split into train (doc_id % 7 != 0) and eval (% 7 == 0)
     AFTER signing — per-document math, so splitting before or after
     banding is identical."""
+    from insight_spark.operators.dedup import (
+        md5_digest_concat_sql as _digest_sql,
+    )
+
     rpb = n_hashes // n_bands
     # chunked md5 family (r6, mirrors operators/dedup._md5_shingle_bands)
     sigs = ",\n               ".join(
@@ -692,7 +696,7 @@ def _fuzzy_decon_oracle(n_hashes: int = 8, n_bands: int = 4) -> str:
     sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
     shd AS (
         SELECT doc_id, s,
-               list_transform(s, g -> md5(g) || md5('#' || g)) AS ds
+               list_transform(s, g -> {_digest_sql(n_hashes)}) AS ds
         FROM sh2
     ),
     sig AS (

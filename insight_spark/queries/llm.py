@@ -368,6 +368,10 @@ def _md5_cluster_ctes() -> str:
     ``minhash_lsh_pairs_md5`` (8 hashes / 4 bands / 3-shingles,
     integer-form verify at t=1/2) restricted to exact survivors.
     Consumers append their own final SELECT (and any extra CTEs)."""
+    from insight_spark.operators.dedup import (
+        md5_digest_concat_sql as _digest_sql,
+    )
+
     n_hashes, n_bands = 8, 4
     rpb = n_hashes // n_bands
     # chunked md5 family (r6, mirrors operators/dedup._md5_shingle_bands):
@@ -407,7 +411,7 @@ def _md5_cluster_ctes() -> str:
     sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
     shd AS (
         SELECT doc_id, s,
-               list_transform(s, g -> md5(g) || md5('#' || g)) AS ds
+               list_transform(s, g -> {_digest_sql(n_hashes)}) AS ds
         FROM sh2
     ),
     sig AS (

@@ -663,9 +663,11 @@ def search_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     # Auto-bucketed-scan drops bucket layout when no join/agg needs the
     # distribution — but a point lookup needs it for bucket PRUNING
-    # (1-of-n file scan), so pin bucketed scans on.  Session-scoped and
-    # deliberately left set: every bucketed table this engine writes is
-    # a serving-side index where pruning is the point.
+    # (1-of-n file scan), so pin bucketed scans on.  Engine-built
+    # sessions already pin this (engine.LOCAL_PERF_CONF, so plan shape
+    # is order-independent in tests/bench); this set covers the
+    # driver's vanilla session, where it must stay set until the
+    # returned lazy probe is executed.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     tables = write_search_index(
         spark,
@@ -835,9 +837,13 @@ def vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("q_vec_id").orderBy(
-        F.desc("cos_sim"), F.asc("c_vec_id")
-    )
-    return hits.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 5
-    )
+    # Top-5 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + driver merge), NOT a row_number window over the probed
+    # cells — q_vec_id is the literal 0, so Catalyst constant-folds the
+    # partition key and the window would serialize the whole candidate
+    # set (O(corpus * n_probe / n_cells) rows) onto one task.  rank is
+    # attached by a window over the already-bounded 5-row head (the
+    # hybrid_search_rrf pattern; allowlisted in tests/test_plans.py).
+    top5 = hits.orderBy(F.desc("cos_sim"), F.asc("c_vec_id")).limit(5)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("c_vec_id"))
+    return top5.withColumn("rank", F.row_number().over(w))

@@ -591,19 +591,30 @@ def funnel_stage_stateful(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         stage, t_ns = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
-            for t, etype in zip(ts_ns, pdf["event_type"]):
-                if stage == 0 and etype == "view":
-                    stage, t_ns = 1, int(t)
-                elif stage == 1 and etype == "click" and int(t) > t_ns:
-                    stage, t_ns = 2, int(t)
-                elif stage == 2 and etype == "purchase" and int(t) > t_ns:
-                    stage, t_ns = 3, int(t)
+        # Concatenate ALL Arrow chunks before sorting: one key's batch
+        # spans multiple record batches once it exceeds
+        # arrow.maxRecordsPerBatch rows, and the monotone machine needs
+        # global (ts, event_id) order — sorting chunks independently
+        # would replay events out of order across chunk boundaries.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) and stage < 3:
+            pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            et = pdf["event_type"].to_numpy()
+            # Vectorized in-batch replay: under sorted order the
+            # per-event sequential machine is equivalent to at most 3
+            # chained first-match-after-t_ns searches (ties at ts ==
+            # t_ns excluded by the strict >, same as the event loop).
+            for want in ("view", "click", "purchase")[stage:]:
+                mask = (et == want) & (ts_ns > t_ns) if stage else (et == want)
+                hit = np.flatnonzero(mask)
+                if hit.size == 0:
+                    break
+                stage, t_ns = stage + 1, int(ts_ns[hit[0]])
         state.update((stage, t_ns))
         yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
 

@@ -474,11 +474,15 @@ from insight_spark.plans.audit import (  # noqa: E402
 #:   (|buckets| rows post-aggregate).
 #: - wow_revenue_delta: lag over week_start after a per-week aggregate
 #:   (|weeks| rows).
+#: - vector_index_probe: rank window runs on the TakeOrdered(5) head
+#:   (<= 5 rows) — the corpus-scale candidate set is reduced by
+#:   orderBy+limit BEFORE any window (see queries/sources_rt.py).
 _BOUNDED_GLOBAL_WINDOW_OK = {
     "ks_distribution_shift",
     "hybrid_search_rrf",
     "histogram_quantile",
     "wow_revenue_delta",
+    "vector_index_probe",
 }
 
 
@@ -637,8 +641,20 @@ def test_pyds_topic_counts_partitioned_and_combined(spark):
 
     df = all_queries()["pyds_topic_counts"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in plan or "partial" in plan.lower(), plan
-    assert df.rdd.getNumPartitions() >= 1
+    assert "partial_count" in plan, plan
+    # The PRE-aggregation scan must honor the connector's partition
+    # planning: the query reads with numPartitions=8, so the bare scan
+    # RDD must have exactly 8 partitions (post-shuffle counts would
+    # mask a connector regression to 1).
+    import os
+
+    scan = (
+        spark.read.format("event_topic")
+        .option("path", os.path.join(SF, "events.parquet"))
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert scan.rdd.getNumPartitions() == 8
     rows = df.collect()
     assert len(rows) > 0
 
@@ -655,3 +671,6 @@ def test_vector_index_probe_partition_pruned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(\d+,\d+\)\]", plan)
     assert m, plan
+    # The top-5 head must be a distributed TakeOrdered (per-partition
+    # heaps), never a global row_number window over the probed cells.
+    assert "TakeOrderedAndProject" in plan, plan
