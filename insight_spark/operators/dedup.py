@@ -511,6 +511,7 @@ def minhash_lsh_pairs_md5(
     n_hashes: int = 8,
     n_bands: int = 4,
     shingle_n: int = 3,
+    keep_all: bool = False,
 ) -> DataFrame:
     """J6 value-oracled variant: MinHash+LSH near-dup pairs with an
     md5 hash family, fully reproducible in DuckDB SQL.
@@ -557,22 +558,26 @@ def minhash_lsh_pairs_md5(
     ).join(sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_b")), "b_id")
     inter = F.size(F.array_intersect("_a", "_b"))
     union = F.size("_a") + F.size("_b") - inter
-    return (
-        cand.filter(F.lit(2) * inter >= union)
-        .select(
-            "a_id",
-            "b_id",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias(
-                "jaccard_sim"
-            ),
-        )
+    sim = F.round(inter.cast("double") / union.cast("double"), 6).alias(
+        "jaccard_sim"
     )
+    if keep_all:
+        # auditable form (near_dedup_minhash's keep_all): every LSH
+        # candidate survives with its exact Jaccard and an integer-form
+        # verdict — verification evidence in the output, false-positive
+        # rate observable downstream.
+        return cand.select(
+            "a_id", "b_id", sim, (F.lit(2) * inter >= union).alias("is_dup")
+        )
+    return cand.filter(F.lit(2) * inter >= union).select("a_id", "b_id", sim)
 
 
 def minhash_lsh_pairs_md5_oracle_sql(
-    n_hashes: int = 8, n_bands: int = 4
+    n_hashes: int = 8, n_bands: int = 4, keep_all: bool = False
 ) -> str:
-    """DuckDB SQL producing identical pairs (same md5 hash family)."""
+    """DuckDB SQL producing identical pairs (same md5 hash family).
+    With ``keep_all``, replays the auditable form: every candidate with
+    an ``is_dup`` verdict instead of the verification WHERE."""
     rows_per_band = n_hashes // n_bands
     sigs = ",\n               ".join(
         f"list_min(list_transform(ds, d -> substr(d, {1 + 8 * i}, 8)))"
@@ -588,6 +593,12 @@ def minhash_lsh_pairs_md5_oracle_sql(
         )
         for b in range(n_bands)
     )
+    _verify = (
+        "2 * len(list_intersect(sa.s, sb.s))"
+        " >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))"
+    )
+    _verdict_sql = f",\n           {_verify} AS is_dup" if keep_all else ""
+    _where_sql = "" if keep_all else f"WHERE {_verify}"
     return rf"""
     WITH toks AS (
         SELECT doc_id,
@@ -623,12 +634,11 @@ def minhash_lsh_pairs_md5_oracle_sql(
     SELECT a_id, b_id,
            ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
-                 6) AS jaccard_sim
+                 6) AS jaccard_sim{_verdict_sql}
     FROM cand
     JOIN sh2 sa ON sa.doc_id = a_id
     JOIN sh2 sb ON sb.doc_id = b_id
-    WHERE 2 * len(list_intersect(sa.s, sb.s))
-          >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+    {_where_sql}
     """
 
 

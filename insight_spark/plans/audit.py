@@ -45,12 +45,75 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "BOUNDED_GLOBAL_WINDOW_OK",
     "Finding",
+    "PlanScaleError",
     "is_unpartitioned",
+    "lint_query_plan",
     "physical_plan",
     "scale_audit",
     "window_specs",
 ]
+
+#: Declared queries allowed to plan an unpartitioned Window — each
+#: input is bounded BY CONSTRUCTION before the window, so the single
+#: task holds metadata-scale rows, not data.  ONE list, shared by the
+#: engine-wide test guard (tests/test_plans.py) and the
+#: registration-time lint below — a new query earns an entry only with
+#: a documented bound:
+#: - ks_distribution_shift: prefix-offset rollup over the 32 explicit
+#:   range partitions (<= 32 rows; data-scale CDF windows are
+#:   partitioned by pid).
+#: - hybrid_search_rrf: rank windows run on the two TakeOrdered(k)
+#:   legs (<= k rows each) before the k x k RRF fusion.
+#: - histogram_quantile: cumulative counts over the fixed bucket grid
+#:   (|buckets| rows post-aggregate).
+#: - wow_revenue_delta: lag over week_start after a per-week aggregate
+#:   (|weeks| rows).
+#: - vector_index_probe: rank window runs on the TakeOrdered(5) head
+#:   (<= 5 rows) — the corpus-scale candidate set is reduced by
+#:   orderBy+limit BEFORE any window.
+BOUNDED_GLOBAL_WINDOW_OK = frozenset(
+    {
+        "ks_distribution_shift",
+        "hybrid_search_rrf",
+        "histogram_quantile",
+        "wow_revenue_delta",
+        "vector_index_probe",
+    }
+)
+
+
+class PlanScaleError(AssertionError):
+    """A declared query planned a fatal scale-killer shape.
+
+    Raised at query-build time when ``SPARK_GRAFT_LINT_PLANS`` is set
+    (the registration-time lint the round-5/round-6 regressions showed
+    was needed: both rounds shipped a query that failed the repo's own
+    engine-wide plan guard because nothing ran the guard at build
+    time)."""
+
+
+def lint_query_plan(name: str, df: DataFrame) -> None:
+    """Raise ``PlanScaleError`` if ``df``'s physical plan contains a
+    fatal finding not covered by the query's documented exemption.
+
+    Wired into the ``@query`` decorator behind the
+    ``SPARK_GRAFT_LINT_PLANS`` env flag, so
+    ``SPARK_GRAFT_LINT_PLANS=1 python scripts/lint_plans.py`` fails a
+    guard-breaking query the day it is written instead of at the next
+    engine-wide test sweep."""
+    allow = (
+        {"unpartitioned-window"} if name in BOUNDED_GLOBAL_WINDOW_OK else set()
+    )
+    fatal = [
+        f
+        for f in scale_audit(df)
+        if f.severity == "fatal" and f.rule not in allow
+    ]
+    if fatal:
+        detail = "; ".join(f"{f.rule}: {f.detail}" for f in fatal)
+        raise PlanScaleError(f"query '{name}' plans a scale-killer — {detail}")
 
 
 @dataclass(frozen=True)

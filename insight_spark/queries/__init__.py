@@ -19,7 +19,9 @@ Alignment discipline (SURVEY.md §7.4), applied inside every pair:
 
 from __future__ import annotations
 
+import functools
 import importlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,40 +90,31 @@ _MODULES = (
 #: ROTATION: put those twenty-two first, then fill with canaries
 #: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
-#: ROUND-6 rotation: (a) the 22 round-5 additions that have never had a
-#: driver row (judge-verified at sf0.01 only — VERDICT r5 item 3);
-#: (b) queries whose plan/oracle CHANGED this round and must re-prove
-#: green; (c) canaries spanning operator families fill to 50.
+#: ROUND-7 rotation: (a) the 5 round-6 late adds that have never had a
+#: driver row (VERDICT r6 task 2); (b) queries whose plan/oracle
+#: CHANGED this round and must re-prove green — the vector-probe
+#: TakeOrdered re-plan, the funnel state-machine vectorization, the
+#: md5-family queries behind the shared digest-SQL helper, and
+#: minhash_near_dup_pairs' new value oracle (previously the registry's
+#: one rows-only-by-design entry, VERDICT r6 task 9); (c) canaries
+#: spanning operator families fill to 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — round-5 additions
-    "entity_resolution_golden",
-    "multimodal_prep_funnel",
-    "semantic_decontaminate",
-    "recursive_cte_walk",
-    "variant_extract_agg",
-    "lateral_topn_per_key",
-    "session_window_dynamic_gap",
-    "sql_text_interface",
-    "symspell_suggest",
-    "jdbc_roundtrip",
-    "xml_roundtrip",
-    "avro_roundtrip",
-    "compaction_roundtrip",
-    "dynamic_partition_overwrite",
-    "data_prep_funnel",
-    "k_anonymity_suppress",
-    "multimodal_image_features",
-    "hashing_trick_features",
-    "ivm_join_delta",
-    "bpe_apply_compression",
-    "cdc_chunk_dedup",
-    "udtf_polymorphic_ngrams",   # + plan changed: ArrowEvalPythonUDTF
-    # (b) changed/new this round — re-prove green
-    "dedup_pipeline_summary",    # chunked md5 family + zip_with ngrams
-    "leakage_safe_split",        # shares _md5_cluster_ctes (family change)
-    "search_index_probe",        # NEW: A7 bucket-pruned serving probe
-    "pyds_topic_counts",         # NEW: A9 Python DataSource driver row
-    # (c) canaries spanning families (all green r5 or earlier)
+    # (a) never driver-checked — round-6 late adds
+    "span_merge_intervals",
+    "mixture_fractional_upsample",
+    "funnel_conversion_steps",
+    "vector_index_probe",        # + plan changed: TakeOrdered top-5
+    "stream_funnel_stages",      # + in-batch replay vectorized
+    # (b) changed this round — re-prove green
+    "minhash_near_dup_pairs",    # NEW value oracle (md5 keep_all form)
+    "minhash_lsh_pairs",         # shared digest-SQL helper
+    "dedup_pipeline_summary",    # shared digest-SQL helper
+    "leakage_safe_split",        # _md5_cluster_ctes digest helper
+    "near_dup_clusters",         # _md5_cluster_ctes digest helper
+    "fuzzy_decontaminate",       # _fuzzy_decon_oracle digest helper
+    "search_index_probe",        # engine-pinned autoBucketedScan conf
+    "minhash_recall_gate",       # empty-shingle filter in xxhash64 path
+    # (c) canaries spanning families (all green r6 or earlier)
     "flagship_top_customers",
     "scan_filter_agg",
     "groupby_agg",
@@ -134,18 +127,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenize_wordcount",
     "dedup_hash",
     "knn_cosine_topk",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "semantic_dedup",
-    "fuzzy_decontaminate",
+    "semantic_decontaminate",
     "bm25_search",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    "symspell_suggest",
+    "entity_resolution_golden",
+    "multimodal_prep_funnel",
+    "recursive_cte_walk",
+    "variant_extract_agg",
+    "lateral_topn_per_key",
+    "session_window_dynamic_gap",
+    "sql_text_interface",
+    "data_prep_funnel",
+    "k_anonymity_suppress",
+    "bpe_apply_compression",
+    "cdc_chunk_dedup",
+    "udtf_polymorphic_ngrams",
+    "pyds_topic_counts",
+    "ivm_join_delta",
 )
 
 _loaded = False
@@ -160,12 +166,31 @@ def _load() -> None:
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a declared query (and its DuckDB oracle, if hashable)."""
+    """Register a declared query (and its DuckDB oracle, if hashable).
+
+    With ``SPARK_GRAFT_LINT_PLANS`` set in the environment, every
+    registered query lints its own physical plan at build time
+    (plans/audit.lint_query_plan) and raises ``PlanScaleError`` on a
+    fatal scale-killer shape — the registration-time gate the
+    round-5/round-6 regressions called for (both rounds shipped a
+    query that failed the engine-wide test guard because nothing ran
+    the guard when the query was written).  Off by default: the
+    external driver and bench pay zero planning overhead."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        _QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def linted(spark: SparkSession, sf_dir: str) -> DataFrame:
+            df = fn(spark, sf_dir)
+            if os.environ.get("SPARK_GRAFT_LINT_PLANS"):
+                from insight_spark.plans.audit import lint_query_plan
+
+                lint_query_plan(name, df)
+            return df
+
+        _QUERIES[name] = linted
         if oracle is not None:
             _ORACLE[name] = oracle
         return fn

@@ -32,20 +32,27 @@ def dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, content_col="text", id_col="doc_id")
 
 
-@query("minhash_near_dup_pairs")  # rows-only: sketch-dependent candidates
+@query(
+    "minhash_near_dup_pairs",
+    oracle=minhash_lsh_pairs_md5_oracle_sql(keep_all=True),
+)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, exact-verified (J6).
+    """MinHash+LSH near-duplicate candidate AUDIT (J6, keep_all form):
+    every LSH candidate pair with its exact ``jaccard_sim`` and an
+    integer-form ``is_dup`` verdict — the verification evidence is in
+    the output, not just the survivors, so the false-positive rate is
+    observable downstream.
 
-    Candidate generation is sketch-dependent (xxhash64, not
-    SQL-oracle-hashable), so this stays rows-only — but every LSH
-    candidate is returned with its exact ``jaccard_sim`` and an
-    ``is_dup`` verdict column (keep_all), so the verification evidence
-    is in the output, not just the survivors.  ``minhash_lsh_pairs``
-    is the value-oracled md5-family twin; ``minhash_recall_gate``
-    bounds this pipeline's recall against brute-force ground truth.
+    Value-oracled since r7: the md5 chunked hash family makes the
+    candidate set itself DuckDB-replayable (previously rows-only under
+    the xxhash64 family).  The xxhash64 production family
+    (``near_dedup_minhash``) remains exercised by
+    ``minhash_recall_gate`` (recall bound vs brute-force ground
+    truth) and the unit suite; ``minhash_lsh_pairs`` is the
+    survivors-only twin.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return near_dedup_minhash(docs, threshold=0.5, keep_all=True)
+    return minhash_lsh_pairs_md5(docs, keep_all=True)
 
 
 @query(

@@ -22,6 +22,13 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
+    # Stress tier (sf0.1): cap the O(n²) brute-force oracles to their
+    # deterministic md5-range subset BEFORE the registry imports (the
+    # oracle SQL is rendered at import time).  The driver tier
+    # (sf0.01/sf0.001) keeps exact full-corpus oracles.
+    if os.path.normpath(sf_dir).endswith("sf0.1"):
+        os.environ.setdefault("SPARK_GRAFT_STRESS_SUBSET", "1")
+
     from pyspark.sql import SparkSession
 
     spark = (

@@ -1,0 +1,111 @@
+"""Registration-time plan lint (plans/audit.lint_query_plan wired into
+the @query decorator behind SPARK_GRAFT_LINT_PLANS).
+
+The round-5 (rowwise UDTF plan) and round-6 (constant-folded window
+partition key) regressions both shipped guard-breaking queries because
+the engine-wide guards only ran in the full test sweep.  These tests
+pin the build-time gate: a query whose plan contains a fatal
+scale-killer raises PlanScaleError the first time it is BUILT with the
+flag set, and documented bounded-window exemptions still pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_spark.plans.audit import (
+    BOUNDED_GLOBAL_WINDOW_OK,
+    PlanScaleError,
+    lint_query_plan,
+)
+
+
+def _docs(spark):
+    return spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("k")
+    )
+
+
+def test_unpartitioned_window_is_fatal(spark):
+    df = _docs(spark).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    with pytest.raises(PlanScaleError, match="unpartitioned-window"):
+        lint_query_plan("bad_window_query", df)
+
+
+def test_constant_folded_partition_key_is_fatal(spark):
+    # The exact round-6 regression shape: partitionBy on a literal is
+    # constant-folded away and the window goes global.
+    df = _docs(spark).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("doc_id")
+        ),
+    )
+    with pytest.raises(PlanScaleError, match="unpartitioned-window"):
+        lint_query_plan("bad_const_key_query", df)
+
+
+def test_cartesian_product_is_fatal(spark):
+    a, b = _docs(spark), _docs(spark).select(F.col("doc_id").alias("b_id"))
+    # hint forces CartesianProductExec (tiny sides otherwise broadcast)
+    df = a.hint("shuffle_replicate_nl").crossJoin(b)
+    with pytest.raises(PlanScaleError, match="cartesian-product"):
+        lint_query_plan("bad_cross_query", df)
+
+
+def test_rowwise_python_is_fatal(spark):
+    from pyspark.sql.types import LongType
+
+    plain_udf = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    df = _docs(spark).select(plain_udf("doc_id").alias("y"))
+    with pytest.raises(PlanScaleError, match="rowwise-python"):
+        lint_query_plan("bad_udf_query", df)
+
+
+def test_bounded_window_exemption_passes(spark):
+    # An allowlisted name may plan a global window (bounded input by
+    # construction); the same plan under any other name must fail.
+    assert "hybrid_search_rrf" in BOUNDED_GLOBAL_WINDOW_OK
+    df = (
+        _docs(spark)
+        .orderBy("doc_id")
+        .limit(5)
+        .withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    )
+    lint_query_plan("hybrid_search_rrf", df)  # no raise
+    with pytest.raises(PlanScaleError):
+        lint_query_plan("not_exempt", df)
+
+
+def test_clean_plan_passes(spark):
+    df = _docs(spark).groupBy("k").agg(F.count("*").alias("n"))
+    lint_query_plan("good_query", df)  # no raise
+
+
+def test_decorator_lints_when_flag_set(spark, monkeypatch):
+    """End-to-end: a guard-breaking query registered via @query fails
+    at BUILD time when SPARK_GRAFT_LINT_PLANS is set, and builds
+    normally when it is not."""
+    import insight_spark.queries as reg
+
+    name = "_lint_demo_bad_query"
+    try:
+
+        @reg.query(name)
+        def _bad(sp, sf_dir):
+            return _docs(sp).withColumn(
+                "rn", F.row_number().over(Window.orderBy("doc_id"))
+            )
+
+        fn = reg._QUERIES[name]
+        monkeypatch.delenv("SPARK_GRAFT_LINT_PLANS", raising=False)
+        fn(spark, "unused")  # flag off: builds fine (driver path)
+        monkeypatch.setenv("SPARK_GRAFT_LINT_PLANS", "1")
+        with pytest.raises(PlanScaleError, match=name):
+            fn(spark, "unused")
+    finally:
+        reg._QUERIES.pop(name, None)

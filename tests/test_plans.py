@@ -453,37 +453,21 @@ def test_no_rowwise_python_anywhere_in_bench_surface(spark):
         assert "BatchEvalPython" not in plan, f"{name} plans rowwise Python"
 
 
-# The window-spec parser is the PRODUCT's plan lint
-# (insight_spark/plans/audit.py) — the tests enforce the same rules
-# users run via scale_audit(df), from the same code.
+# The window-spec parser AND the bounded-window allowlist are the
+# PRODUCT's plan lint (insight_spark/plans/audit.py) — the tests
+# enforce the same rules users run via scale_audit(df) and the
+# registration-time lint runs via SPARK_GRAFT_LINT_PLANS, from the
+# same code and the same exemption list.
 from insight_spark.plans.audit import (  # noqa: E402
+    BOUNDED_GLOBAL_WINDOW_OK as _SHARED_WINDOW_OK,
     is_unpartitioned as _is_unpartitioned,
     window_specs as _window_specs,
 )
 
 
-#: Queries allowed to plan an unpartitioned Window — each input is
-#: bounded BY CONSTRUCTION before the window, so the single task holds
-#: metadata-scale rows, not data:
-#: - ks_distribution_shift: prefix-offset rollup over the 32 explicit
-#:   range partitions (<= 32 rows; the data-scale CDF windows are
-#:   partitioned by pid).
-#: - hybrid_search_rrf: rank windows run on the two TakeOrdered(k)
-#:   legs (<= k rows each) before the k x k RRF fusion.
-#: - histogram_quantile: cumulative counts over the fixed bucket grid
-#:   (|buckets| rows post-aggregate).
-#: - wow_revenue_delta: lag over week_start after a per-week aggregate
-#:   (|weeks| rows).
-#: - vector_index_probe: rank window runs on the TakeOrdered(5) head
-#:   (<= 5 rows) — the corpus-scale candidate set is reduced by
-#:   orderBy+limit BEFORE any window (see queries/sources_rt.py).
-_BOUNDED_GLOBAL_WINDOW_OK = {
-    "ks_distribution_shift",
-    "hybrid_search_rrf",
-    "histogram_quantile",
-    "wow_revenue_delta",
-    "vector_index_probe",
-}
+#: Single source of truth for the per-query bounded-window exemptions
+#: (with per-entry rationale) lives in insight_spark/plans/audit.py.
+_BOUNDED_GLOBAL_WINDOW_OK = _SHARED_WINDOW_OK
 
 
 def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
