@@ -290,11 +290,15 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest — Python str.split() ≡ regex \\s+ split with empties dropped."""
     register_views(spark, sf_dir, ("documents",))
     spark.udtf.register("tokenize_udtf", _tokenize_udtf())
+    # Predicate INSIDE the subquery: Catalyst does not push a
+    # post-lateral WHERE below an (Arrow)EvalPythonUDTF node, so the
+    # outer-filter form ran the UDTF over the whole corpus (r7 finding
+    # on the ngram twin — 2.6× regression at sf0.1).
     return spark.sql(
         """
         SELECT doc_id, t.idx, t.token
-        FROM documents, LATERAL tokenize_udtf(text) t
-        WHERE doc_id < 50
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL tokenize_udtf(text) t
         """
     )
 
@@ -355,11 +359,16 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     spark.udtf.register("ngram_poly", udtf(NgramUDTF))
+    # Filter in the subquery, not after the lateral: Catalyst does not
+    # push predicates below an ArrowEvalPythonUDTF, so the outer-WHERE
+    # form fed the WHOLE corpus through the Python UDTF and filtered
+    # doc_id < 50 afterwards (the r6→r7 2.6× bench regression; plan
+    # pinned in tests/test_plans.py).
     return spark.sql(
         """
         SELECT doc_id, g.pos, g.g1, g.g2, g.g3
-        FROM documents, LATERAL ngram_poly(text, 3) g
-        WHERE doc_id < 50
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL ngram_poly(text, 3) g
         """
     )
 

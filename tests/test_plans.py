@@ -658,3 +658,26 @@ def test_vector_index_probe_partition_pruned(spark):
     # The top-5 head must be a distributed TakeOrdered (per-partition
     # heaps), never a global row_number window over the probed cells.
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_udtf_filter_pushed_below_python_eval(spark):
+    """Both UDTF queries must plan Arrow-batched Python with the
+    doc_id predicate pushed into the SCAN below the UDTF — Catalyst
+    does not move a post-lateral WHERE through an EvalPythonUDTF node,
+    so the outer-filter form runs the Python table function over the
+    WHOLE corpus and filters afterwards (the r6→r7 udtf bench
+    regression)."""
+    from insight_spark.queries import all_queries
+
+    for name in ("udtf_polymorphic_ngrams", "udtf_tokens"):
+        df = all_queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPythonUDTF" not in plan, (name, plan)
+        assert "EvalPythonUDTF" in plan, (name, plan)
+        assert "LessThan(doc_id,50)" in plan, (name, plan)
+        # the pushed scan filter must sit BELOW the UDTF node, and no
+        # doc_id Filter may remain above it
+        udtf_at = plan.index("EvalPythonUDTF")
+        assert "LessThan(doc_id,50)" in plan[udtf_at:], (name, plan)
+        above = plan[:udtf_at]
+        assert "Filter" not in above or "doc_id" not in above, (name, plan)

@@ -727,3 +727,55 @@ def test_statestore_reader_complements_emitted(spark, stream_env, tmp_path):
     assert emitted and pending, (len(emitted), len(pending))
     assert not emitted & pending, "a window is both emitted and in-flight"
     assert emitted | pending == batch, "emitted + state != batch truth"
+
+
+def test_funnel_stateful_multichunk_key_ordering(spark, tmp_path):
+    """K6 funnel: one key's micro-batch must replay in GLOBAL
+    (ts, event_id) order even when its rows span multiple Arrow record
+    batches (> arrow.maxRecordsPerBatch rows — the 100 TB shape).
+    Chunk-local sorting would process [click@t2, purchase@t5] before
+    [view@t1, click@t3] and stop at stage 2; the correct machine
+    reaches stage 3 (r6 advice finding)."""
+    import datetime as dt
+
+    from insight_spark.streaming.core import (
+        EVENTS_SCHEMA,
+        funnel_stage_stateful,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # physical row order chosen so a 2-row Arrow chunking splits the
+    # view away from the earlier-ts click/purchase rows
+    rows = [
+        (2, t(2), 1, "click", 1.0, "{}"),
+        (5, t(5), 1, "purchase", 1.0, "{}"),
+        (1, t(1), 1, "view", 1.0, "{}"),
+        (3, t(3), 1, "click", 1.0, "{}"),
+    ]
+    in_dir = os.path.join(str(tmp_path), "funnel_chunks")
+    write_single_parquet(
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1),
+        os.path.join(in_dir, "chunk_1.parquet"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = run_stream_to_memory(
+            spark,
+            funnel_stage_stateful(read_events_stream(spark, in_dir)),
+            "funnel_multichunk",
+            os.path.join(str(tmp_path), "ckpt_funnel_mc"),
+            output_mode="update",
+        )
+        final = out.groupBy("user_id").agg(
+            F.max("funnel_stage").alias("funnel_stage")
+        )
+        assert {(r["user_id"], r["funnel_stage"]) for r in final.collect()} == {
+            (1, 3)
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
