@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "funnel_conversion_steps",
     "vector_index_probe",
     "stream_funnel_stages",
+    # round-7 additions: DP release, MMR re-rank
+    "dp_noisy_release",
+    "mmr_diverse_rerank",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -181,6 +184,8 @@ ITERATIVE = {
     "vector_index_probe",
     # micro-batch drain runs during build
     "stream_funnel_stages",
+    # pool + pairwise-sim collects (bounded model state) run during build
+    "mmr_diverse_rerank",
 }
 
 

@@ -96,8 +96,10 @@ _MODULES = (
 #: TakeOrdered re-plan, the funnel state-machine vectorization, the
 #: md5-family queries behind the shared digest-SQL helper, and
 #: minhash_near_dup_pairs' new value oracle (previously the registry's
-#: one rows-only-by-design entry, VERDICT r6 task 9); (c) canaries
-#: spanning operator families fill to 50.
+#: one rows-only-by-design entry, VERDICT r6 task 9); (c) the two
+#: round-7 additions (dp_noisy_release M127, mmr_diverse_rerank M128)
+#: — first-time evidence; (d) canaries spanning operator families fill
+#: to 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — round-6 late adds
     "span_merge_intervals",
@@ -127,8 +129,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenize_wordcount",
     "dedup_hash",
     "knn_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    "dp_noisy_release",      # NEW r7 (M127)
+    "mmr_diverse_rerank",    # NEW r7 (M128)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",

@@ -685,3 +685,93 @@ def mixture_fractional_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("upsample_ratio"),
     )
+
+
+#: Differentially-private release parameters (M127): counting queries
+#: have sensitivity 1, so Laplace scale b = 1/epsilon.
+_DP_EPSILON = 0.5
+_DP_SCALE = 1.0 / _DP_EPSILON
+#: 256-quantile inverse-CDF table of integer Laplace(b) noise, indexed
+#: by the first byte of the release cell's md5 — computed ONCE here in
+#: Python (pure math, no RNG) and embedded as a literal on BOTH engine
+#: sides, so the release is deterministic, reproducible, and
+#: hash-checkable while still drawing from the right distribution at
+#: 1/256 resolution.  Keying noise on the CELL IDENTITY (not the data)
+#: is the standard reproducible-release construction: re-running the
+#: pipeline cannot be used to average the noise away.
+_DP_NOISE: list[int] = []
+for _k in range(256):
+    _u = (_k + 0.5) / 256.0
+    import math as _math
+
+    _x = (
+        _DP_SCALE * _math.log(2.0 * _u)
+        if _u < 0.5
+        else -_DP_SCALE * _math.log(2.0 * (1.0 - _u))
+    )
+    _DP_NOISE.append(int(round(_x)))
+
+#: Minimum noisy count to release (small-cell suppression, the
+#: standard companion to DP release).
+_DP_RELEASE_MIN = 5
+
+_DP_NOISE_SQL = "[" + ", ".join(str(v) for v in _DP_NOISE) + "]"
+
+
+@query(
+    "dp_noisy_release",
+    oracle=rf"""
+    WITH counts AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT *, md5(event_type || '|' || day) AS h FROM counts
+    ),
+    bucketed AS (
+        SELECT event_type, day, n,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                   AS bucket
+        FROM keyed
+    ),
+    noisy AS (
+        SELECT event_type, day,
+               greatest(n + ({_DP_NOISE_SQL})[bucket + 1], 0) AS noisy_n
+        FROM bucketed
+    )
+    SELECT event_type, day, CAST(noisy_n AS BIGINT) AS noisy_n
+    FROM noisy WHERE noisy_n >= {_DP_RELEASE_MIN}
+    """,
+)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (M127): per
+    (event_type, day) event counts + integer Laplace(1/eps) noise,
+    with small-cell suppression — the privacy-preserving aggregate
+    release a data platform puts in front of raw usage tables.
+
+    The noise is drawn by inverse CDF from a 256-quantile table
+    indexed by the first byte of md5(cell key): deterministic,
+    engine-independent, and keyed on cell identity so re-runs release
+    the SAME value (re-execution cannot average the noise away).  The
+    true count never reaches the output; cells whose noisy count
+    falls below the release floor (5) are suppressed entirely.
+
+    Scale: map-side-combined count over the release grid, then a pure
+    projection (md5 + table lookup) — no extra shuffle beyond the one
+    aggregation; the noise table is a 256-int literal in the plan,
+    not a join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    h = F.md5(F.concat_ws("|", "event_type", "day"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    noise = F.element_at(F.array(*[F.lit(v) for v in _DP_NOISE]), bucket + 1)
+    noisy = F.greatest(F.col("n") + noise, F.lit(0)).alias("noisy_n")
+    return (
+        counts.select("event_type", "day", noisy)
+        .filter(F.col("noisy_n") >= _DP_RELEASE_MIN)
+    )

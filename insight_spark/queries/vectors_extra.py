@@ -898,3 +898,154 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+#: MMR re-rank parameters (M128): candidate pool size (first-stage
+#: retrieval depth), selected k, and the relevance/diversity trade-off.
+_MMR_POOL = 20
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql(pool: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    """DuckDB replay of the greedy MMR selection, UNROLLED: step i
+    picks argmax(lambda*rel - (1-lambda)*max sim to selected) over the
+    remaining pool with a vec_id tie-break — the same chained-CTE
+    greedy-walk idiom as pack_token_budget's recursive oracle, but
+    with a data-dependent argmax per step, which unrolling expresses
+    and recursion cannot (no aggregates over the recursive table)."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    steps = [
+        f"""
+    s1 AS (
+        SELECT vec_id, rel, {lam} * rel AS score FROM pool
+        ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT CAST(1 AS INTEGER) AS rank, vec_id, rel, score FROM s1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""
+    s{i} AS (
+        SELECT p.vec_id, p.rel,
+               {lam} * p.rel - {mu} * (
+                   SELECT MAX(s.sim) FROM sims s
+                   WHERE s.a_id = p.vec_id
+                     AND s.b_id IN (SELECT vec_id FROM sel{i - 1})
+               ) AS score
+        FROM pool p
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+        SELECT * FROM sel{i - 1} UNION ALL
+        SELECT CAST({i} AS INTEGER), vec_id, rel, score FROM s{i}
+    )"""
+        )
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0
+    ),
+    c AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+        SELECT c.vec_id, c.e,
+               ROUND(list_cosine_similarity(c.e, q.e), 6) AS rel
+        FROM c, q
+    ),
+    pool AS MATERIALIZED (
+        SELECT vec_id, e, rel FROM scored ORDER BY rel DESC, vec_id
+        LIMIT {pool}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),{",".join(steps)}
+    SELECT rank, vec_id, rel, ROUND(score, 6) AS mmr_score FROM sel{k}
+    """
+
+
+@query("mmr_diverse_rerank", oracle=_mmr_oracle_sql())
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse re-rank (M128): the
+    redundancy-aware second stage of a retrieval pipeline — from the
+    cosine top-{pool} pool for one query vector, greedily select k
+    results maximizing lambda*relevance - (1-lambda)*max-similarity-
+    to-already-selected, so near-duplicate hits don't crowd the page.
+
+    Scale shape (the serving contract): relevance scoring is a
+    map-only scan with the query vector broadcast as a literal; the
+    pool is a TakeOrdered({pool}) head; pairwise pool similarities are
+    an in-plan {pool}x{pool} bounded self-join (JVM cosine, the same
+    expression the driver hash already pins against DuckDB's
+    list_cosine_similarity); and the greedy walk runs driver-side
+    over O(pool^2) floats — bounded model state, like the IVF
+    centroid probe.  Nothing corpus-sized leaves the executors.
+
+    All selection decisions compare doubles derived from
+    6-dp-rounded rel/sim via the identical formula on both engines,
+    with a vec_id tie-break — so the greedy argmax sequence is
+    bit-reproducible and the oracle replays it exactly (unrolled
+    chained-CTE greedy walk).
+    """
+    from insight_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bounded driver-side model state: the one query vector
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    qcol = F.array(*[F.lit(x) for x in q_vec])
+    pool_df = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(qcol, F.col("embedding")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    a = pool_df.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = pool_df.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    sims_df = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+    )
+    # bounded collects: pool rows + pool^2 sims (serving model state)
+    pool = sorted(
+        (int(r["vec_id"]), float(r["rel"]))
+        for r in pool_df.select("vec_id", "rel").collect()
+    )
+    sim = {
+        (int(r["a_id"]), int(r["b_id"])): float(r["sim"])
+        for r in sims_df.collect()
+    }
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
+    chosen: set[int] = set()
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, rel in pool:
+            if vid in chosen:
+                continue
+            penal = max((sim[(vid, s)] for s in chosen), default=None)
+            score = lam * rel if penal is None else lam * rel - mu * penal
+            if best is None or score > best[3]:
+                best = (rank, vid, rel, score)
+        selected.append(best)
+        chosen.add(best[1])
+    out = spark.createDataFrame(
+        selected, "rank int, vec_id long, rel double, mmr_score double"
+    )
+    return out.select(
+        "rank", "vec_id", "rel", F.round("mmr_score", 6).alias("mmr_score")
+    )
