@@ -131,9 +131,10 @@ BENCH_QUERIES = [
     "funnel_conversion_steps",
     "vector_index_probe",
     "stream_funnel_stages",
-    # round-7 additions: DP release, MMR re-rank
+    # round-7 additions: DP release, MMR re-rank, observe() gate
     "dp_noisy_release",
     "mmr_diverse_rerank",
+    "observed_quality_gate",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -96,9 +96,9 @@ _MODULES = (
 #: TakeOrdered re-plan, the funnel state-machine vectorization, the
 #: md5-family queries behind the shared digest-SQL helper, and
 #: minhash_near_dup_pairs' new value oracle (previously the registry's
-#: one rows-only-by-design entry, VERDICT r6 task 9); (c) the two
-#: round-7 additions (dp_noisy_release M127, mmr_diverse_rerank M128)
-#: — first-time evidence; (d) canaries spanning operator families fill
+#: one rows-only-by-design entry, VERDICT r6 task 9); (c) the
+#: round-7 additions (dp_noisy_release M127, mmr_diverse_rerank M128,
+#: observed_quality_gate M129) — first-time evidence; (d) canaries spanning operator families fill
 #: to 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — round-6 late adds
@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_cosine_topk",
     "dp_noisy_release",      # NEW r7 (M127)
     "mmr_diverse_rerank",    # NEW r7 (M128)
+    "observed_quality_gate", # NEW r7 (M129)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -153,7 +154,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_chunk_dedup",
     "udtf_polymorphic_ngrams",
     "pyds_topic_counts",
-    "ivm_join_delta",
 )
 
 _loaded = False

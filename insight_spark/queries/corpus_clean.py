@@ -700,3 +700,94 @@ def span_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.join(out, "doc_id").select(
         "doc_id", "n_raw_spans", "n_merged_spans", "covered_tokens"
     )
+
+
+#: Distinct-token-ratio floor for the observed quality gate (M129).
+_OBS_GATE_MIN_RATIO = 0.5
+
+
+def quality_gate_observed(docs: DataFrame):
+    """Quality gate with IN-FLIGHT audit metrics via ``observe()``
+    (M129): filter docs whose distinct-token ratio falls below
+    the 0.5 floor, and record (rows seen, rows dropped, mean
+    ratio) as named observation metrics collected DURING the same job.
+
+    Returns ``(gated_df, observation)``.  At 100 TB the observe()
+    metrics are the difference between "the gate dropped 3.1% today"
+    showing up in monitoring for free and paying a SECOND full-corpus
+    aggregation to learn it: Spark accumulates the metric expressions
+    on the same pass that executes the filter, with no extra shuffle
+    or scan (the observe node is a CollectMetrics wrapper in the same
+    stage).  Gate semantics are value-oracled via the companion query;
+    the metric values are pinned against an independent recount in
+    tests/test_observe_metrics.py.
+    """
+    from pyspark.sql import Observation
+
+    toks = tokenize(F.col("text"))
+    ratio = F.round(
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = docs.withColumn("distinct_ratio", ratio)
+    obs = Observation("quality_gate")
+    observed = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.when(F.col("distinct_ratio") < _OBS_GATE_MIN_RATIO, 1).otherwise(0)
+        ).alias("n_dropped"),
+        F.round(F.avg("distinct_ratio"), 6).alias("mean_ratio"),
+    )
+    gated = observed.filter(F.col("distinct_ratio") >= _OBS_GATE_MIN_RATIO)
+    return gated, obs
+
+
+@query(
+    "observed_quality_gate",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT source,
+               ROUND(CASE WHEN len(list_filter(
+                               string_split_regex(text, '\s+'), t -> t <> ''))
+                               > 0
+                          THEN CAST(len(list_distinct(list_filter(
+                                   string_split_regex(text, '\s+'),
+                                   t -> t <> ''))) AS DOUBLE)
+                               / len(list_filter(
+                                   string_split_regex(text, '\s+'),
+                                   t -> t <> ''))
+                          ELSE 0.0 END, 6) AS distinct_ratio
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(SUM(CAST(ROUND(distinct_ratio * 1000000)
+                          AS BIGINT)) / 1000000.0 / COUNT(*), 6)
+               AS mean_kept_ratio
+    FROM scored WHERE distinct_ratio >= {_OBS_GATE_MIN_RATIO}
+    GROUP BY source
+    """,
+)
+def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M129 driver surface for ``quality_gate_observed``: per-source
+    survivor counts + mean kept ratio (micro-int mean for exact
+    cross-engine doubles).  The observe() metrics themselves are
+    runtime state on the Observation handle — asserted against an
+    independent recount in tests/test_observe_metrics.py, the same
+    evidence split as the streaming state ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated, _obs = quality_gate_observed(docs)
+    micro = F.round(F.col("distinct_ratio") * 1000000).cast("long")
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum(micro) / F.lit(1000000.0) / F.count("*"), 6
+            ).alias("mean_kept_ratio"),
+        )
+    )
