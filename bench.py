@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "dp_noisy_release",
     "mmr_diverse_rerank",
     "observed_quality_gate",
+    "int8_quantize_embeddings",
+    "kv_prefix_sharing",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

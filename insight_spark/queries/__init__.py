@@ -125,13 +125,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank",
     "topk",
     "sessionize",
-    "json_extract_agg",
     "tokenize_wordcount",
     "dedup_hash",
     "knn_cosine_topk",
     "dp_noisy_release",      # NEW r7 (M127)
     "mmr_diverse_rerank",    # NEW r7 (M128)
     "observed_quality_gate", # NEW r7 (M129)
+    "int8_quantize_embeddings",  # NEW r7 (M130)
+    "kv_prefix_sharing",     # NEW r7 (M131)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -151,8 +152,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "data_prep_funnel",
     "k_anonymity_suppress",
     "bpe_apply_compression",
-    "cdc_chunk_dedup",
-    "udtf_polymorphic_ngrams",
+    "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF
     "pyds_topic_counts",
 )
 

@@ -642,3 +642,75 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "train_docs",
         "test_docs",
     )
+
+
+#: Prefix length (tokens) for the KV-cache sharing estimator (M131).
+_KV_PREFIX_TOKENS = 8
+_KV_TOP = 10
+
+
+@query(
+    "kv_prefix_sharing",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pref AS (
+        SELECT doc_id,
+               array_to_string(l[1:{_KV_PREFIX_TOKENS}], ' ') AS prefix,
+               least(len(l), {_KV_PREFIX_TOKENS}) AS prefix_tokens
+        FROM toks WHERE len(l) > 0
+    ),
+    grouped AS (
+        SELECT prefix,
+               CAST(MAX(prefix_tokens) AS INTEGER) AS prefix_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((COUNT(*) - 1) * MAX(prefix_tokens) AS BIGINT)
+                   AS saved_tokens
+        FROM pref GROUP BY prefix
+    )
+    SELECT prefix, prefix_tokens, n_docs, saved_tokens
+    FROM grouped
+    ORDER BY saved_tokens DESC, n_docs DESC, prefix
+    LIMIT {_KV_TOP}
+    """,
+)
+def kv_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-sharing estimator (M131): the inference-serving
+    audit that tells you how much prefill compute/cache a shared-prefix
+    router would save — group prompts by their first
+    8 tokens; every doc after the first in a group re-uses the
+    cached prefix, saving (n_docs - 1) * prefix_tokens of prefill per
+    group.  Returns the top shared prefixes by saved tokens.
+
+    Scale shape: slice + concat projection (JVM), one
+    map-side-combined groupBy on the prefix string (digest-sized keys
+    if prefixes are long — swap the group key for md5(prefix) at
+    production token lengths), TakeOrdered head.  The same shape as
+    word-count; nothing quadratic, nothing driver-side.
+    """
+    toks = tokenize(F.col("text"))
+    pref = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.array_join(F.slice(toks, 1, _KV_PREFIX_TOKENS), " ").alias(
+                "prefix"
+            ),
+            F.least(F.size(toks), F.lit(_KV_PREFIX_TOKENS)).alias(
+                "prefix_tokens"
+            ),
+        )
+        .filter(F.col("prefix_tokens") > 0)
+    )
+    grouped = pref.groupBy("prefix").agg(
+        F.max("prefix_tokens").cast("int").alias("prefix_tokens"),
+        F.count("*").alias("n_docs"),
+        ((F.count("*") - 1) * F.max("prefix_tokens"))
+        .cast("long")
+        .alias("saved_tokens"),
+    )
+    return grouped.orderBy(
+        F.desc("saved_tokens"), F.desc("n_docs"), F.asc("prefix")
+    ).limit(_KV_TOP)

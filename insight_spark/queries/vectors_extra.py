@@ -1049,3 +1049,91 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "vec_id", "rel", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+@query(
+    "int8_quantize_embeddings",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ),
+    coded AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> round(x / scale)) END AS code
+        FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_max(list_transform(code, c -> abs(c))) AS INTEGER)
+               AS max_abs_code,
+           CAST(list_sum(list_transform(range(1, len(v) + 1),
+                i -> CAST(round((v[i] - code[i] * scale) * 1000000)
+                          AS BIGINT)
+                     * CAST(round((v[i] - code[i] * scale) * 1000000)
+                           AS BIGINT))) AS BIGINT) AS sq_err_micro
+    FROM coded
+    """,
+)
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization (M130): per-vector
+    symmetric max-abs scale (``max|x| / 127``), codes
+    ``round(x / scale)`` in [-127, 127] — the standard 4x storage
+    compression a 100 TB vector store applies before anything touches
+    disk, reported here with its exact reconstruction error.
+
+    Everything is a map-only projection of JVM higher-order functions
+    (transform / aggregate) — no shuffle, no Python: quantization
+    happens at write bandwidth.  The error metric is the house
+    micro-int discipline: per-element reconstruction residuals are
+    quantized to 1e-6 units FIRST and the sum of squares runs in
+    exact BIGINT arithmetic, so the driver hash pins the whole
+    quantize→reconstruct round trip bit-for-bit (PQ's k-means
+    codebooks can only be recall-gated; scalar quantization is fully
+    value-oracled).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scale = (
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    scaled = e.select("vec_id", "v", scale)
+    code = F.when(
+        F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
+    ).otherwise(F.transform("v", lambda x: F.round(x / F.col("scale"), 0)))
+    coded = scaled.withColumn("code", code)
+    resid_micro = F.zip_with(
+        "v",
+        "code",
+        lambda x, c: F.round((x - c * F.col("scale")) * 1000000, 0).cast(
+            "long"
+        ),
+    )
+    # NB: the error columns are computed BEFORE the projection that
+    # re-aliases ``scale`` to its rounded display value — inside one
+    # select list, Spark's lateral-column-alias resolution would bind
+    # the aggregate's `scale` reference to the 6-dp alias, silently
+    # quantizing with the rounded scale (caught by the oracle hash).
+    final = coded.withColumn(
+        "max_abs_code",
+        F.array_max(F.transform("code", lambda c: F.abs(c))).cast("int"),
+    ).withColumn(
+        "sq_err_micro",
+        F.aggregate(
+            resid_micro, F.lit(0).cast("long"), lambda acc, m: acc + m * m
+        ),
+    )
+    return final.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "max_abs_code",
+        "sq_err_micro",
+    )
