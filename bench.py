@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "observed_quality_gate",
     "int8_quantize_embeddings",
     "kv_prefix_sharing",
+    "mv_rollup_rewrite",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -189,6 +190,8 @@ ITERATIVE = {
     "stream_funnel_stages",
     # pool + pairwise-sim collects (bounded model state) run during build
     "mmr_diverse_rerank",
+    # the daily-partials MV parquet is written during build
+    "mv_rollup_rewrite",
 }
 
 

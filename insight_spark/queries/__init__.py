@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "observed_quality_gate", # NEW r7 (M129)
     "int8_quantize_embeddings",  # NEW r7 (M130)
     "kv_prefix_sharing",     # NEW r7 (M131)
+    "mv_rollup_rewrite",     # NEW r7 (M132)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -148,7 +149,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "variant_extract_agg",
     "lateral_topn_per_key",
     "session_window_dynamic_gap",
-    "sql_text_interface",
     "data_prep_funnel",
     "k_anonymity_suppress",
     "bpe_apply_compression",

@@ -847,3 +847,71 @@ def vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     top5 = hits.orderBy(F.desc("cos_sim"), F.asc("c_vec_id")).limit(5)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("c_vec_id"))
     return top5.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "mv_rollup_rewrite",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_order_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rollup serving (M132): maintain a DAILY
+    pre-aggregate MV of orders — (order date, priority) → additive
+    partials (count, DECIMAL revenue sum) — and answer a MONTHLY
+    rollup FROM THE MV, never touching the base table.
+
+    The algebraic-aggregate decomposition every OLAP serving tier
+    relies on: COUNT and exact-decimal SUM re-aggregate losslessly
+    from partials, and AVG derives from them at the end — so the
+    monthly answer from the |days × priorities|-row MV is
+    bit-identical to recomputing over the base (which is exactly what
+    the DuckDB oracle does: it aggregates the BASE table, proving the
+    rewrite lossless).  At 100 TB the MV is the difference between
+    scanning a few thousand partial rows and scanning the fact table;
+    tests/test_plans.py asserts the serving plan reads ONLY the MV
+    parquet.
+
+    Partials use DECIMAL(38,6) (order-independent exact sums — the
+    house money discipline), so partial-of-partial introduces no
+    float drift at any re-aggregation depth.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mv_path = _rt_path(sf_dir, "mv_daily_rev")
+    (
+        orders.groupBy(
+            F.col("o_orderdate").alias("day"), "o_orderpriority"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "rev_partial"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(mv_path)
+    )
+    mv = spark.read.parquet(mv_path)
+    monthly = mv.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month"), "o_orderpriority"
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("rev_partial").alias("_rev"),
+    )
+    return monthly.select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.col("n_orders"), 6
+        ).alias("avg_order_value"),
+    )

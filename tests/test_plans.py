@@ -681,3 +681,16 @@ def test_udtf_filter_pushed_below_python_eval(spark):
         assert "LessThan(doc_id,50)" in plan[udtf_at:], (name, plan)
         above = plan[:udtf_at]
         assert "Filter" not in above or "doc_id" not in above, (name, plan)
+
+
+def test_mv_rewrite_serves_from_mv_only(spark):
+    """The monthly rollup must be answered FROM the daily MV parquet —
+    the serving plan scans mv_daily_rev and never the base orders
+    table (that IO asymmetry is the whole point of the MV)."""
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["mv_rollup_rewrite"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "mv_daily_rev" in plan, plan
+    assert "orders.parquet" not in plan, plan
+    assert "partial_sum" in plan  # re-aggregation map-side combines
