@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "int8_quantize_embeddings",
     "kv_prefix_sharing",
     "mv_rollup_rewrite",
+    "bitext_margin_mining",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

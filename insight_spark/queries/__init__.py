@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "int8_quantize_embeddings",  # NEW r7 (M130)
     "kv_prefix_sharing",     # NEW r7 (M131)
     "mv_rollup_rewrite",     # NEW r7 (M132)
+    "bitext_margin_mining",  # NEW r7 (M133)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -150,7 +151,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lateral_topn_per_key",
     "session_window_dynamic_gap",
     "data_prep_funnel",
-    "k_anonymity_suppress",
     "bpe_apply_compression",
     "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF
     "pyds_topic_counts",

@@ -1137,3 +1137,127 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_code",
         "sq_err_micro",
     )
+
+
+#: Margin-mining parameters (M133): neighborhood size for the margin
+#: denominator and the CCMatrix-style acceptance threshold.
+_MARGIN_K = 4
+_MARGIN_THRESHOLD = 1.05
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=rf"""
+    WITH src AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE label = 0
+    ),
+    tgt AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE label = 1
+    ),
+    pairs AS MATERIALIZED (
+        SELECT s.vec_id AS s_id, t.vec_id AS t_id,
+               ROUND(list_cosine_similarity(s.e, t.e), 6) AS cos_sim
+        FROM src s CROSS JOIN tgt t
+    ),
+    ranked AS MATERIALIZED (
+        SELECT *,
+               CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS cos_u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_id ORDER BY cos_sim DESC, t_id) AS rs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t_id ORDER BY cos_sim DESC, s_id) AS rt
+        FROM pairs
+    ),
+    ms AS (
+        SELECT s_id, SUM(cos_u) AS su, COUNT(*) AS cs
+        FROM ranked WHERE rs <= {_MARGIN_K} GROUP BY s_id
+    ),
+    mt AS (
+        SELECT t_id, SUM(cos_u) AS tu, COUNT(*) AS ct
+        FROM ranked WHERE rt <= {_MARGIN_K} GROUP BY t_id
+    ),
+    best AS (SELECT s_id, t_id, cos_sim FROM ranked WHERE rs = 1)
+    SELECT b.s_id, b.t_id, b.cos_sim,
+           ROUND(2.0 * b.cos_sim
+                 / (ms.su / (ms.cs * 1000000.0)
+                    + mt.tu / (mt.ct * 1000000.0)), 6) AS margin,
+           ROUND(2.0 * b.cos_sim
+                 / (ms.su / (ms.cs * 1000000.0)
+                    + mt.tu / (mt.ct * 1000000.0)), 6)
+               >= {_MARGIN_THRESHOLD} AS is_aligned
+    FROM best b
+    JOIN ms ON ms.s_id = b.s_id
+    JOIN mt ON mt.t_id = b.t_id
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (M133, the CCMatrix / LASER
+    construction): align a source-language corpus (label 0) to a
+    target-language corpus (label 1) by COSINE MARGIN — each source's
+    best target scored against the mean similarity of both sides'
+    k-nearest neighborhoods, so globally "hubby" vectors don't win
+    every alignment the way raw cosine lets them.
+
+    margin(x, y) = 2·cos(x,y) / (mean_k cos(x,·) + mean_k cos(·,y));
+    pairs with margin >= {_MARGIN_THRESHOLD} carry an ``is_aligned``
+    verdict (kept for audit either way, the keep_all discipline).
+
+    Scale shape: the all-pairs stage here is a broadcast nested loop
+    over the two LABEL-FILTERED sides — at production scale the
+    candidate set comes from the ANN stack (IVF cells / LSH buckets,
+    exactly `ann_ivf_topk`'s layout) and the margin math is unchanged;
+    neighborhood means ride the SAME pair table via two windows
+    partitioned on data keys (s_id / t_id), and similarity micro-ints
+    make every mean exact (longs, not float accumulation order).
+    """
+    from insight_spark.operators.similarity import cosine
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_e")
+    )
+    tgt = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_e")
+    )
+    pairs = src.crossJoin(F.broadcast(tgt)).select(
+        "s_id",
+        "t_id",
+        F.round(cosine(F.col("s_e"), F.col("t_e")), 6).alias("cos_sim"),
+    )
+    cos_u = F.round(F.col("cos_sim") * 1000000).cast("long")
+    w_s = Window.partitionBy("s_id").orderBy(F.desc("cos_sim"), F.asc("t_id"))
+    w_t = Window.partitionBy("t_id").orderBy(F.desc("cos_sim"), F.asc("s_id"))
+    ranked = pairs.select(
+        "s_id",
+        "t_id",
+        "cos_sim",
+        cos_u.alias("cos_u"),
+        F.row_number().over(w_s).alias("rs"),
+        F.row_number().over(w_t).alias("rt"),
+    )
+    ms = (
+        ranked.filter(F.col("rs") <= _MARGIN_K)
+        .groupBy("s_id")
+        .agg(F.sum("cos_u").alias("su"), F.count("*").alias("cs"))
+    )
+    mt = (
+        ranked.filter(F.col("rt") <= _MARGIN_K)
+        .groupBy("t_id")
+        .agg(F.sum("cos_u").alias("tu"), F.count("*").alias("ct"))
+    )
+    best = ranked.filter(F.col("rs") == 1).select("s_id", "t_id", "cos_sim")
+    denom = F.col("su") / (F.col("cs") * F.lit(1000000.0)) + F.col("tu") / (
+        F.col("ct") * F.lit(1000000.0)
+    )
+    margin = F.round(F.lit(2.0) * F.col("cos_sim") / denom, 6)
+    joined = best.join(ms, "s_id").join(mt, "t_id")
+    return joined.select(
+        "s_id",
+        "t_id",
+        "cos_sim",
+        margin.alias("margin"),
+        (margin >= _MARGIN_THRESHOLD).alias("is_aligned"),
+    )
