@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "kv_prefix_sharing",
     "mv_rollup_rewrite",
     "bitext_margin_mining",
+    "exact_substring_dedup",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

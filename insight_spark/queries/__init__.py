@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "kv_prefix_sharing",     # NEW r7 (M131)
     "mv_rollup_rewrite",     # NEW r7 (M132)
     "bitext_margin_mining",  # NEW r7 (M133)
+    "exact_substring_dedup", # NEW r7 (M134)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -147,7 +148,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "entity_resolution_golden",
     "multimodal_prep_funnel",
     "recursive_cte_walk",
-    "variant_extract_agg",
     "lateral_topn_per_key",
     "session_window_dynamic_gap",
     "data_prep_funnel",

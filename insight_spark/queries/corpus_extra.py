@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_spark.operators.dedup import prefix_filtered_jaccard_join
 from insight_spark.operators.text import ngrams, tokenize, tokens_df
@@ -792,4 +793,137 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard_sim").alias("max_jaccard"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "exact_substring_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    gi AS (
+        SELECT doc_id, l,
+               unnest(range(1, greatest(len(l) - {_DECON_N - 1}, 0) + 1)) AS i
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(l[i:i + {_DECON_N - 1}], ' ') AS gram
+        FROM gi
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dupg USING (gram)),
+    w AS (
+        SELECT doc_id, pos,
+               MAX(pos + {_DECON_N - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM w
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_DECON_N - 1} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    tj AS (
+        SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM toks
+    ),
+    ti AS (SELECT doc_id, j - 1 AS idx, l[j] AS tok FROM tj),
+    kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM ti t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id AND t.idx BETWEEN s.s AND s.e
+        )
+    )
+    SELECT d.doc_id,
+           CAST(len(d.l) AS INTEGER) AS n_tokens,
+           CAST(len(d.l) - COUNT(k.idx) AS INTEGER) AS removed_tokens,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.idx), '')
+               AS cleaned_text
+    FROM toks d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, len(d.l)
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (M134, the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operation, token-gram form): any {n}-token span occurring >= 2
+    times ACROSS THE CORPUS (within-doc repeats included) is cut from
+    every document; overlapping duplicated spans coalesce
+    (gaps-and-islands) before removal, and the cleaned text is
+    returned with removal accounting — the surgical complement to
+    whole-doc dedup, which can't touch boilerplate embedded in
+    otherwise-unique docs.
+
+    Scale shape, stage by stage: gram occurrence counting is the
+    word-count shuffle (map-side combined; at 100 TB swap the gram
+    string key for its xxhash64, same as `dedup_hash` shuffles
+    digests); the hit join is gram-keyed; span coalescing and token
+    filtering are windows/joins PARTITIONED per doc (bounded by doc
+    length); the cleaned-text rebuild shuffles (doc_id, idx, token)
+    rows once — no stage is corpus-quadratic, no suffix array needed
+    for the fixed-n-gram form.
+    """
+    n = _DECON_N
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("l")
+    )
+    g = base.select(
+        "doc_id", F.posexplode(ngrams(F.col("l"), n)).alias("pos", "gram")
+    )
+    dupg = g.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+    hits = g.join(dupg, "gram").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pme = (
+        F.max(F.col("pos") + (n - 1))
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    isl = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(pme.isNull() | (F.col("pos") > pme), 1).otherwise(0)
+        ).over(w_doc),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e")
+    )
+    ti = base.select("doc_id", F.posexplode("l").alias("idx", "tok"))
+    kept = ti.join(
+        spans,
+        (ti["doc_id"] == spans["doc_id"])
+        & (F.col("idx") >= F.col("s"))
+        & (F.col("idx") <= F.col("e")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", F.size("l").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("removed_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )
