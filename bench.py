@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "mv_rollup_rewrite",
     "bitext_margin_mining",
     "exact_substring_dedup",
+    "stream_mv_additive_merge",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -194,6 +195,8 @@ ITERATIVE = {
     "mmr_diverse_rerank",
     # the daily-partials MV parquet is written during build
     "mv_rollup_rewrite",
+    # stream drain + sink merges run during build
+    "stream_mv_additive_merge",
 }
 
 

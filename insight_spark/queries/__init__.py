@@ -136,6 +136,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mv_rollup_rewrite",     # NEW r7 (M132)
     "bitext_margin_mining",  # NEW r7 (M133)
     "exact_substring_dedup", # NEW r7 (M134)
+    "stream_mv_additive_merge",  # NEW r7 (M135)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -149,7 +150,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_prep_funnel",
     "recursive_cte_walk",
     "lateral_topn_per_key",
-    "session_window_dynamic_gap",
     "data_prep_funnel",
     "bpe_apply_compression",
     "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF

@@ -680,3 +680,68 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("funnel_stage").alias("funnel_stage")
     )
+
+
+@query(
+    "stream_mv_additive_merge",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           event_type,
+           CAST(SUM(1) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_mv_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance through the stream (M135): each
+    micro-batch is aggregated to (hour, type) PARTIALS inside
+    ``foreachBatch`` and merged ADDITIVELY into a parquet MV — the
+    engine holds zero aggregation state (no watermark, no state
+    store); the rollup lives entirely in the sink, fenced per batch
+    id for exactly-once under redelivery.
+
+    This is the streaming twin of `mv_rollup_rewrite`'s serving MV
+    and the sink-side complement of `stream_upsert_user_latest`
+    (which overwrites latest values; an additive merge is the
+    NON-idempotent case that actually needs batch fencing).  After
+    the drain, the MV must equal the batch aggregate over all events
+    — DECIMAL partials make the equality exact regardless of how many
+    batches the stream was sliced into.
+    """
+    from insight_spark.sources.sinks import foreach_batch_additive_merge
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="mvmerge_", dir=_RT_BASE)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+
+    def partials_then_merge(batch_df, batch_id):
+        p = batch_df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_sv"),
+        )
+        foreach_batch_additive_merge(
+            out_dir, ["hour", "event_type"], ["n_events", "_sv"]
+        )(p, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(partials_then_merge)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    mv = spark.read.parquet(os.path.join(out_dir, "serving"))
+    return mv.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round(F.col("_sv").cast("double"), 6).alias("sum_value"),
+    )

@@ -177,6 +177,47 @@ def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
     return upsert
 
 
+def foreach_batch_additive_merge(
+    out_dir: str, key_cols: list[str], add_cols: list[str]
+):
+    """A10/K8 depth: ADDITIVE micro-batch merge into a parquet MV —
+    incremental materialized-view maintenance with the state in the
+    SINK, not the streaming engine.
+
+    Returns a ``foreachBatch`` function: each micro-batch arrives as
+    RAW pre-aggregated partials (count / DECIMAL sums per key) and is
+    merged by ADDING onto the serving copy (read-modify-write), so
+    the engine keeps no aggregation state at all — the pattern that
+    scales a 100 TB rollup without a 100 TB state store.  Unlike the
+    overwrite upsert, an additive merge is NOT naturally idempotent,
+    so exactly-once needs explicit batch-id fencing: applied batch
+    ids are recorded in the serving dir and redelivered batches
+    (failure/retry replays) are skipped.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        path = os.path.join(out_dir, "serving")
+        fence = os.path.join(out_dir, f"_applied_{batch_id}")
+        if os.path.exists(fence):  # redelivery: already folded in
+            return
+        try:
+            current = spark.read.parquet(path)
+            merged = (
+                current.unionByName(batch_df)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in add_cols])
+            )
+        except Exception:
+            merged = batch_df
+        tmp = os.path.join(out_dir, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        os.makedirs(fence, exist_ok=True)
+
+    return merge
+
+
 def write_orc(
     df: DataFrame, path: str, partition_cols: list[str] | None = None,
     mode: str = "overwrite",

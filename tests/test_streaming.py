@@ -779,3 +779,24 @@ def test_funnel_stateful_multichunk_key_ordering(spark, tmp_path):
         }
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_additive_merge_batch_fencing(spark, tmp_path):
+    """The additive MV merge is NOT naturally idempotent — replaying a
+    batch id (at-least-once redelivery) must be a no-op, and a new
+    batch id must fold in additively."""
+    from pyspark.sql import functions as F
+
+    from insight_spark.sources.sinks import foreach_batch_additive_merge
+
+    out = str(tmp_path / "mv")
+    merge = foreach_batch_additive_merge(out, ["k"], ["n"])
+    b0 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, n long")
+    merge(b0, 0)
+    merge(b0, 0)  # redelivery of batch 0: must be fenced out
+    merge(spark.createDataFrame([("a", 5)], "k string, n long"), 1)
+    got = {
+        r["k"]: r["n"]
+        for r in spark.read.parquet(os.path.join(out, "serving")).collect()
+    }
+    assert got == {"a": 7, "b": 3}, got
