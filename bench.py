@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "bitext_margin_mining",
     "exact_substring_dedup",
     "stream_mv_additive_merge",
+    "table_diff_reconcile",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

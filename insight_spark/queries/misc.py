@@ -962,3 +962,102 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_WALK_TEXT)
+
+
+@query(
+    "table_diff_reconcile",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(38,6)) AS price
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(38,6))
+                         + CAST(1.5 AS DECIMAL(38,6))
+                    ELSE CAST(o_totalprice AS DECIMAL(38,6)) END AS price
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(38,6))
+        FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 101 = 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           ROUND(CAST(v1.price AS DOUBLE), 6) AS old_price,
+           ROUND(CAST(v2.price AS DOUBLE), 6) AS new_price
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.price <> v2.price OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / data reconciliation (M136): given two versions
+    of a table, emit the change log — added / removed / changed keys
+    with before/after values — the migration-audit inverse of
+    ``cdc_apply_log`` (which APPLIES such a log).  v2 is derived from
+    v1 by deterministic perturbations (drops at %97, price changes at
+    %89, inserts at %101) so both engines reconcile the identical
+    pair.
+
+    Scale shape: ONE full outer join on the key (both sides shuffle
+    once on o_orderkey; AQE handles skew), null-safe column compares
+    decide 'changed' — no row-hash string materialization, no second
+    pass.  At 100 TB this is the reconciliation run after a backfill
+    or engine migration: output size is the drift, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("price"),
+    )
+    v2_kept = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 89 == 0,
+            F.col("price") + F.lit(1.5).cast("decimal(38,6)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    v2_added = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "price",
+    )
+    v2 = v2_kept.unionByName(v2_added)
+    v1 = base.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("price").alias("p1"),
+    )
+    v2r = v2.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("s2"),
+        F.col("price").alias("p2"),
+    )
+    diff = v1.join(v2r, F.col("k1") == F.col("k2"), "full_outer")
+    status = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return diff.filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("p1") != F.col("p2"))
+        | (F.col("s1") != F.col("s2"))
+    ).select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        status.alias("status"),
+        F.round(F.col("p1").cast("double"), 6).alias("old_price"),
+        F.round(F.col("p2").cast("double"), 6).alias("new_price"),
+    )
