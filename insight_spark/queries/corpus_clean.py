@@ -702,15 +702,15 @@ def span_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Distinct-token-ratio floor for the observed quality gate (M129).
-_OBS_GATE_MIN_RATIO = 0.5
+#: Observed quality gate (M129) floor: distinct-token ratio >= 1/2,
+#: enforced as the exact rational predicate 2*distinct >= total.
 
 
 def quality_gate_observed(docs: DataFrame):
     """Quality gate with IN-FLIGHT audit metrics via ``observe()``
-    (M129): filter docs whose distinct-token ratio falls below
-    the 0.5 floor, and record (rows seen, rows dropped, mean
-    ratio) as named observation metrics collected DURING the same job.
+    (M129): filter docs whose distinct-token ratio falls below the
+    0.5 floor, and record (rows seen, rows dropped, mean ratio) as
+    named observation metrics collected DURING the same job.
 
     Returns ``(gated_df, observation)``.  At 100 TB the observe()
     metrics are the difference between "the gate dropped 3.1% today"
@@ -721,73 +721,88 @@ def quality_gate_observed(docs: DataFrame):
     stage).  Gate semantics are value-oracled via the companion query;
     the metric values are pinned against an independent recount in
     tests/test_observe_metrics.py.
+
+    Float discipline (r7 hardening, found by the sf0.001 parity gate):
+    every HASHED quantity is exact integer arithmetic — the gate
+    predicate is the rational form ``2*distinct >= total`` and the
+    per-doc ratio is half-up-rounded to 1e-6 units via integer
+    division ``(2e6*d + s) div (2*s)``, because engine ROUND(double)
+    implementations legitimately disagree by 1 ulp at shortest-repr
+    boundaries (Spark rounds the DECIMAL shortest repr, DuckDB rounds
+    in double space).  The observation's display mean keeps a rounded
+    double (single-engine, test-pinned only).
     """
     from pyspark.sql import Observation
 
     toks = tokenize(F.col("text"))
-    ratio = F.round(
-        F.when(
-            F.size(toks) > 0,
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-        ).otherwise(F.lit(0.0)),
-        6,
+    scored = docs.withColumn("_d", F.size(F.array_distinct(toks))).withColumn(
+        "_s", F.size(toks)
     )
-    scored = docs.withColumn("distinct_ratio", ratio)
+    keep = (F.col("_s") > 0) & (2 * F.col("_d") >= F.col("_s"))
+    # exact half-up micro-units: (2e6*d + s) div (2*s), integer ops only
+    micro = F.expr(
+        "(2000000 * _d + _s) div (2 * _s)"
+    ).alias("ratio_micro")
     obs = Observation("quality_gate")
     observed = scored.observe(
         obs,
         F.count(F.lit(1)).alias("n_seen"),
-        F.sum(
-            F.when(F.col("distinct_ratio") < _OBS_GATE_MIN_RATIO, 1).otherwise(0)
-        ).alias("n_dropped"),
-        F.round(F.avg("distinct_ratio"), 6).alias("mean_ratio"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_s") > 0,
+                    F.col("_d").cast("double") / F.col("_s"),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("mean_ratio"),
     )
-    gated = observed.filter(F.col("distinct_ratio") >= _OBS_GATE_MIN_RATIO)
+    gated = observed.filter(keep).withColumn("ratio_micro", micro)
     return gated, obs
 
 
 @query(
     "observed_quality_gate",
-    oracle=rf"""
+    oracle=r"""
     WITH scored AS (
         SELECT source,
-               ROUND(CASE WHEN len(list_filter(
-                               string_split_regex(text, '\s+'), t -> t <> ''))
-                               > 0
-                          THEN CAST(len(list_distinct(list_filter(
-                                   string_split_regex(text, '\s+'),
-                                   t -> t <> ''))) AS DOUBLE)
-                               / len(list_filter(
-                                   string_split_regex(text, '\s+'),
-                                   t -> t <> ''))
-                          ELSE 0.0 END, 6) AS distinct_ratio
+               len(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), t -> t <> ''))) AS d,
+               len(list_filter(
+                   string_split_regex(text, '\s+'), t -> t <> '')) AS s
         FROM documents
+    ),
+    kept AS (
+        SELECT source, (2000000 * d + s) // (2 * s) AS ratio_micro
+        FROM scored WHERE s > 0 AND 2 * d >= s
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           ROUND(SUM(CAST(ROUND(distinct_ratio * 1000000)
-                          AS BIGINT)) / 1000000.0 / COUNT(*), 6)
+           CAST(SUM(ratio_micro) AS DOUBLE) / 1000000.0 / COUNT(*)
                AS mean_kept_ratio
-    FROM scored WHERE distinct_ratio >= {_OBS_GATE_MIN_RATIO}
-    GROUP BY source
+    FROM kept GROUP BY source
     """,
 )
 def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M129 driver surface for ``quality_gate_observed``: per-source
-    survivor counts + mean kept ratio (micro-int mean for exact
-    cross-engine doubles).  The observe() metrics themselves are
-    runtime state on the Observation handle — asserted against an
-    independent recount in tests/test_observe_metrics.py, the same
-    evidence split as the streaming state ops."""
+    survivor counts + mean kept ratio.  All hashed values are exact:
+    counts, integer micro-unit ratios, and a final double derived
+    from them by the identical (sum/1e6)/n expression on both
+    engines — bit-equal under IEEE division, so no terminal ROUND is
+    needed (terminal ROUND(double) is exactly where engines diverge
+    by 1 ulp; see quality_gate_observed docstring).  The observe()
+    metrics themselves are runtime state on the Observation handle —
+    asserted against an independent recount in
+    tests/test_observe_metrics.py, the same evidence split as the
+    streaming state ops."""
     docs = load_table(spark, sf_dir, "documents")
     gated, _obs = quality_gate_observed(docs)
-    micro = F.round(F.col("distinct_ratio") * 1000000).cast("long")
-    return (
-        gated.groupBy("source")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.round(
-                F.sum(micro) / F.lit(1000000.0) / F.count("*"), 6
-            ).alias("mean_kept_ratio"),
-        )
+    return gated.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        (
+            F.sum("ratio_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.count("*")
+        ).alias("mean_kept_ratio"),
     )

@@ -8,10 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from insight_spark.operators.text import tokenize
-from insight_spark.queries.corpus_clean import (
-    _OBS_GATE_MIN_RATIO,
-    quality_gate_observed,
-)
+from insight_spark.queries.corpus_clean import quality_gate_observed
 from insight_spark.sources import load_table
 from tests.conftest import SF_DIR
 
@@ -23,17 +20,24 @@ def test_observe_metrics_match_recount(spark):
 
     got = obs.get
     toks = tokenize(F.col("text"))
-    ratio = F.round(
-        F.when(
-            F.size(toks) > 0,
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    scored = docs.withColumn("r", ratio)
+    scored = docs.withColumn(
+        "_d", F.size(F.array_distinct(toks))
+    ).withColumn("_s", F.size(toks))
     n_seen = scored.count()
-    n_dropped = scored.filter(F.col("r") < _OBS_GATE_MIN_RATIO).count()
-    mean_ratio = scored.agg(F.round(F.avg("r"), 6)).collect()[0][0]
+    n_dropped = scored.filter(
+        ~((F.col("_s") > 0) & (2 * F.col("_d") >= F.col("_s")))
+    ).count()
+    mean_ratio = scored.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_s") > 0,
+                    F.col("_d").cast("double") / F.col("_s"),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        )
+    ).collect()[0][0]
 
     assert got["n_seen"] == n_seen
     assert got["n_dropped"] == n_dropped
