@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "stream_mv_additive_merge",
     "table_diff_reconcile",
+    "retrieval_eval_metrics",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "exact_substring_dedup", # NEW r7 (M134)
     "stream_mv_additive_merge",  # NEW r7 (M135)
     "table_diff_reconcile",  # NEW r7 (M136)
+    "retrieval_eval_metrics",  # NEW r7 (M137)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -148,7 +149,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "symspell_suggest",
     "entity_resolution_golden",
-    "multimodal_prep_funnel",
     "lateral_topn_per_key",
     "data_prep_funnel",
     "bpe_apply_compression",

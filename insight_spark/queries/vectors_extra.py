@@ -1261,3 +1261,149 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin >= _MARGIN_THRESHOLD).alias("is_aligned"),
     )
+
+
+#: Integer micro-unit DCG weights for ranks 1..10 (M137): round half-up
+#: of 1e6 / log2(rank + 1), computed ONCE in Python and embedded as
+#: literals on BOTH engine sides — log2 never runs inside either
+#: engine, so there is no libm 1-ulp divergence in the hashed path.
+import math as _math
+
+_NDCG_K = 10
+_DCG_W_MICRO = [
+    int(_math.floor(1000000.0 / _math.log2(r + 1) + 0.5))
+    for r in range(1, _NDCG_K + 1)
+]
+_IDCG_PREFIX = [0]
+for _w in _DCG_W_MICRO:
+    _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _w)
+
+
+@query(
+    "retrieval_eval_metrics",
+    oracle=rf"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS c_id, label AS c_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_id, c_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY ROUND(list_cosine_similarity(c.e, q.e), 6) DESC,
+                            c_id) AS rank
+        FROM c JOIN q ON c_id <> q_id
+    ),
+    hits AS (
+        SELECT q_id,
+               rank,
+               CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+        FROM ranked WHERE rank <= {_NDCG_K}
+    ),
+    per_q AS (
+        SELECT q_id,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+               CAST(SUM(rel) AS BIGINT) AS n_rel,
+               CAST(SUM(rel * ([{", ".join(str(w) for w in _DCG_W_MICRO)}])[rank])
+                    AS BIGINT) AS dcg_micro
+        FROM hits GROUP BY q_id
+    )
+    SELECT q_id,
+           CAST(COALESCE(first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+           CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                     ELSE (2000000 + first_rel_rank) // (2 * first_rel_rank)
+                END AS BIGINT) AS mrr_micro,
+           n_rel,
+           dcg_micro,
+           CAST(([{", ".join(str(p) for p in _IDCG_PREFIX)}])[n_rel + 1]
+                AS BIGINT) AS idcg_micro,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE CAST(dcg_micro AS DOUBLE)
+                     / ([{", ".join(str(p) for p in _IDCG_PREFIX)}])[n_rel + 1]
+           END AS ndcg
+    FROM per_q
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IR evaluation (M137): MRR and nDCG@10 for the exact
+    cosine top-10 of each of 10 query vectors, with binary relevance =
+    same cluster label — the eval harness every retrieval stack runs
+    after each index build, expressed so the whole metric pipeline is
+    hash-checkable.
+
+    Float discipline (the interesting part): DCG's 1/log2(rank+1)
+    weights are INTEGER micro-units precomputed in Python and embedded
+    as literals on both engine sides — no engine ever evaluates log2,
+    so there is no libm divergence; per-query DCG/IDCG are exact
+    BIGINT sums of those weights, MRR is the exact rational
+    (2e6 + r) div (2r), and the only double in the output (ndcg) is
+    ONE bit-equal division of two integers.  Scale shape: scoring is
+    the knn broadcast pattern (10 query vectors against the corpus,
+    map-side), ranking windows partition per query, everything after
+    is |queries|-sized.
+    """
+    from insight_spark.operators.similarity import cosine
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_e"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_e"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    ranked = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            F.round(cosine(F.col("c_e"), F.col("q_e")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+    )
+    rel = (F.col("c_label") == F.col("q_label")).cast("int")
+    w_arr = F.array(*[F.lit(v) for v in _DCG_W_MICRO])
+    idcg_arr = F.array(*[F.lit(v) for v in _IDCG_PREFIX])
+    hits = ranked.select(
+        "q_id",
+        "rank",
+        rel.alias("rel"),
+        (rel * F.element_at(w_arr, F.col("rank"))).alias("_w"),
+    )
+    per_q = hits.groupBy("q_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_frr"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum("_w").cast("long").alias("dcg_micro"),
+    )
+    idcg = F.element_at(idcg_arr, (F.col("n_rel") + 1).cast("int")).cast(
+        "long"
+    )
+    return per_q.select(
+        "q_id",
+        F.coalesce("_frr", F.lit(0)).cast("int").alias("first_rel_rank"),
+        F.when(F.col("_frr").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(2000000 + _frr) div (2 * _frr)").cast("long")
+        )
+        .alias("mrr_micro"),
+        "n_rel",
+        "dcg_micro",
+        idcg.alias("idcg_micro"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg_micro").cast("double") / idcg)
+        .alias("ndcg"),
+    )
