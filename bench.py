@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "stream_mv_additive_merge",
     "table_diff_reconcile",
     "retrieval_eval_metrics",
+    "join_size_estimate",
+    "vocab_coverage_curve",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

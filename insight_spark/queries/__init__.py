@@ -139,17 +139,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_mv_additive_merge",  # NEW r7 (M135)
     "table_diff_reconcile",  # NEW r7 (M136)
     "retrieval_eval_metrics",  # NEW r7 (M137)
+    "join_size_estimate",    # NEW r7 (M138)
+    "vocab_coverage_curve",  # NEW r7 (M139)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
     "semantic_dedup",
-    "semantic_decontaminate",
     "bm25_search",
     "symspell_suggest",
     "entity_resolution_golden",
-    "lateral_topn_per_key",
     "data_prep_funnel",
     "bpe_apply_compression",
     "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF

@@ -378,3 +378,110 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=r"""
+    WITH counts AS (
+        SELECT t AS token, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS t
+              FROM documents)
+        GROUP BY t
+    ),
+    ordered AS (
+        SELECT freq,
+               SUM(freq) OVER (ORDER BY freq DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+        FROM counts
+    ),
+    tot AS (SELECT SUM(freq) AS total, COUNT(*) AS vocab FROM counts)
+    SELECT CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST(tot.vocab AS BIGINT) AS vocab_size,
+           CAST(MIN(CASE WHEN 100 * cum >= 50 * tot.total THEN rk END)
+                AS BIGINT) AS n_tokens_50,
+           CAST(MIN(CASE WHEN 100 * cum >= 90 * tot.total THEN rk END)
+                AS BIGINT) AS n_tokens_90,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * tot.total THEN rk END)
+                AS BIGINT) AS n_tokens_99
+    FROM ordered, tot
+    GROUP BY tot.total, tot.vocab
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (M139): how many distinct tokens —
+    taken most-frequent-first — cover 50 / 90 / 99 % of all token
+    occurrences.  The tokenizer-budget / OOV-planning number every
+    vocab decision starts from.
+
+    The interesting part is HOW the global cumulative is computed
+    without the global-window scale-killer (the repo's plan lint
+    forbids it): the two-level prefix-offset pattern
+    (ks_distribution_shift's idiom).  Tokens band by a monotone
+    coarsening of frequency — decimal digit count, so band order IS
+    frequency order — cumulative sums and ranks run in windows
+    PARTITIONED per band, and each band adds the |bands|²-bounded
+    prefix offset of all higher bands (a tiny self-join, no window).
+    Global cum/rank = band offset + within-band value, exactly.  The
+    long-tail band (freq 1) is the largest single window, but it is
+    VOCAB-sized, not corpus-sized — and thresholds <= 99 % rarely
+    reach past the head bands.  All comparisons are exact integer
+    arithmetic (100·cum >= t·total).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    digits = F.length(F.col("freq").cast("string"))
+    banded = counts.withColumn("band", digits)
+    w_band = Window.partitionBy("band").orderBy(
+        F.desc("freq"), F.asc("token")
+    )
+    within = banded.select(
+        "band",
+        "freq",
+        F.sum("freq")
+        .over(w_band.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_in_band"),
+        F.row_number().over(w_band).alias("rk_in_band"),
+    )
+    rollup = banded.groupBy("band").agg(
+        F.sum("freq").alias("tf"), F.count("*").alias("tn")
+    )
+    a = rollup.select(
+        F.col("band").alias("b"), F.col("tf").alias("atf"), F.col("tn")
+    )
+    b = rollup.select(F.col("band").alias("hb"), "tf", F.col("tn").alias("htn"))
+    offsets = (
+        a.join(b, F.col("hb") > F.col("b"), "left")
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("off_f"),
+            F.coalesce(F.sum("htn"), F.lit(0)).alias("off_n"),
+        )
+    )
+    tot = rollup.agg(
+        F.sum("tf").alias("total"), F.sum("tn").alias("vocab")
+    )
+    g = within.join(offsets, within["band"] == offsets["b"]).select(
+        (F.col("off_f") + F.col("cum_in_band")).alias("cum"),
+        (F.col("off_n") + F.col("rk_in_band")).alias("rk"),
+    )
+    need = lambda t: F.min(
+        F.when(100 * F.col("cum") >= t * F.col("total"), F.col("rk"))
+    ).cast("long")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.first("total").cast("long").alias("total_tokens"),
+            F.first("vocab").cast("long").alias("vocab_size"),
+            need(50).alias("n_tokens_50"),
+            need(90).alias("n_tokens_90"),
+            need(99).alias("n_tokens_99"),
+        )
+    )

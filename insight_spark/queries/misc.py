@@ -1061,3 +1061,66 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p1").cast("double"), 6).alias("old_price"),
         F.round(F.col("p2").cast("double"), 6).alias("new_price"),
     )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH ka AS (
+        SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY o_custkey
+    ),
+    kb AS (
+        SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY c_custkey
+    ),
+    est AS (
+        SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_common_keys
+        FROM ka JOIN kb USING (k)
+    ),
+    act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est.est_rows, est.n_common_keys, act.actual_rows,
+           est.est_rows = act.actual_rows AS exact_match
+    FROM est, act
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from per-key statistics (M138): the
+    planner-statistics identity |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k),
+    computed from each side's key histogram and checked against the
+    actual join count in the same result row — the cost-model building
+    block behind join reordering and broadcast decisions, here exact
+    (per-key counts) where a planner would use sketched NDV/histograms.
+
+    Scale shape: two map-side-combined key histograms (each a
+    word-count shuffle of its table's KEYS only), one key-keyed join
+    of the histograms (|distinct keys| rows, not |rows|), one
+    integer-product sum.  The verification join is the expensive part
+    and exists only because the query proves its own estimate; a real
+    planner runs just the histogram side — O(|keys|) state for a
+    100 TB join decision.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ka = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    kb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    est = ka.join(kb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_rows"),
+        F.count("*").cast("long").alias("n_common_keys"),
+    )
+    act = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(act).select(
+        "est_rows",
+        "n_common_keys",
+        "actual_rows",
+        (F.col("est_rows") == F.col("actual_rows")).alias("exact_match"),
+    )
