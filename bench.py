@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "retrieval_eval_metrics",
     "join_size_estimate",
     "vocab_coverage_curve",
+    "rfm_segmentation",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

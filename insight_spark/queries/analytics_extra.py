@@ -1777,3 +1777,110 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               datediff('day', DATE '1990-01-01', MAX(o_orderdate)) AS r,
+               COUNT(*) AS f,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS m_dec,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT ROUND(quantile_cont(r, 0.2), 6) AS r1,
+               ROUND(quantile_cont(r, 0.4), 6) AS r2,
+               ROUND(quantile_cont(r, 0.6), 6) AS r3,
+               ROUND(quantile_cont(r, 0.8), 6) AS r4,
+               ROUND(quantile_cont(f, 0.2), 6) AS f1,
+               ROUND(quantile_cont(f, 0.4), 6) AS f2,
+               ROUND(quantile_cont(f, 0.6), 6) AS f3,
+               ROUND(quantile_cont(f, 0.8), 6) AS f4,
+               ROUND(quantile_cont(m, 0.2), 6) AS m1,
+               ROUND(quantile_cont(m, 0.4), 6) AS m2,
+               ROUND(quantile_cont(m, 0.6), 6) AS m3,
+               ROUND(quantile_cont(m, 0.8), 6) AS m4
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey, m_dec,
+               1 + CAST(r > r1 AS INT) + CAST(r > r2 AS INT)
+                 + CAST(r > r3 AS INT) + CAST(r > r4 AS INT) AS rs,
+               1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+                 + CAST(f > f3 AS INT) + CAST(f > f4 AS INT) AS fs,
+               1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+                 + CAST(m > m3 AS INT) + CAST(m > m4 AS INT) AS ms
+        FROM cust, b
+    )
+    SELECT CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR) || CAST(ms AS VARCHAR)
+               AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m_dec) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (M140): recency (days to last order),
+    frequency (order count), monetary (exact-decimal lifetime spend),
+    each scored 1-5 against its own exact interpolated quintile
+    boundaries — the classic CRM segmentation grid ("555" = best),
+    per-segment sizes and average spend.
+
+    Quintile boundaries come from ONE global percentile aggregate
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the shared
+    linear-interpolation definition, rounded to 6 dp on both sides so
+    boundary bit-drift cannot flip a comparison — metric gaps are
+    >= 0.01, far above 1e-6) broadcast back as a single row — no
+    per-customer window, no global sort: scoring is a map-side
+    projection.  avg_monetary stays an UNROUNDED bit-equal division
+    of the exact-decimal sum (the r7 terminal-ROUND lesson); monetary
+    sums are DECIMAL(38,6) end to end — the per-segment
+    sum runs in DECIMAL (order-independent) and casts to double ONCE,
+    because a per-segment SUM of doubles accumulates in partition
+    order and is not bit-reproducible (caught by the oracle on the
+    first draft).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        ).alias("r"),
+        F.count("*").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("m_dec"),
+    ).withColumn("m", F.col("m_dec").cast("double"))
+    bounds = cust.agg(
+        *[
+            F.round(F.percentile(c, F.lit(p)), 6).alias(f"{c}{i + 1}")
+            for c in ("r", "f", "m")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8))
+        ]
+    )
+
+    def score(c: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(c) > F.col(f"{c}{i}")).cast("int")
+        return s
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "m_dec",
+        score("r").alias("rs"),
+        score("f").alias("fs"),
+        score("m").alias("ms"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws(
+                "", F.col("rs"), F.col("fs"), F.col("ms")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("m_dec").cast("double") / F.count("*")).alias(
+                "avg_monetary"
+            ),
+        )
+    )
