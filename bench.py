@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "join_size_estimate",
     "vocab_coverage_curve",
     "rfm_segmentation",
+    "pmi_collocations",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_size_estimate",    # NEW r7 (M138)
     "vocab_coverage_curve",  # NEW r7 (M139)
     "rfm_segmentation",      # NEW r7 (M140)
+    "pmi_collocations",      # NEW r7 (M141)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -151,7 +152,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "symspell_suggest",
     "entity_resolution_golden",
-    "bpe_apply_compression",
     "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF
     "pyds_topic_counts",
 )

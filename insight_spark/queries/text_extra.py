@@ -1039,3 +1039,104 @@ def symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q", F.col("term").alias("suggestion"), "freq", "rank")
     )
+
+
+#: Collocation mining (M141): minimum pair count to consider.
+_PMI_MIN_PAIRS = 5
+_PMI_TOP = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    bi AS (
+        SELECT l[i] AS w1, l[i + 1] AS w2
+        FROM toks, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS t(i)
+    ),
+    pc AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w, SUM(c) AS c_w FROM (
+            SELECT w1 AS w, c_xy AS c FROM pc
+            UNION ALL SELECT w2, c_xy FROM pc
+        ) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c_xy) AS n FROM pc),
+    lifted AS (
+        SELECT pc.w1, pc.w2, pc.c_xy,
+               CAST(pc.c_xy AS DOUBLE) * tot.n
+               / (u1.c_w * CAST(u2.c_w AS DOUBLE)) AS lift
+        FROM pc
+        JOIN uni u1 ON u1.w = pc.w1
+        JOIN uni u2 ON u2.w = pc.w2
+        CROSS JOIN tot
+        WHERE pc.c_xy >= {_PMI_MIN_PAIRS}
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, lift
+    FROM lifted
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (M141): the top adjacent-bigram
+    collocations by pointwise-mutual-information LIFT
+    c(x,y)·N / (c(x)·c(y)) — the corpus-analysis primitive behind
+    multi-word-expression vocab entries and tokenizer merge
+    candidates.
+
+    Float discipline: the ranking score is the LIFT ratio itself
+    (monotone in PMI — log never runs in either engine): a single
+    double expression over exact integer counts, identical operation
+    order on both sides → bit-equal, ranked with a (w1, w2)
+    tie-break and emitted UNROUNDED (the r7 terminal-ROUND lesson).
+    Scale shape: bigram counting is the word-count shuffle; unigram
+    margins derive from the PAIR table (sum of pair counts per side
+    — no second corpus scan); the margin join is |vocab|-keyed; the
+    head is TakeOrdered.
+    """
+    base = load_table(spark, sf_dir, "documents").select(
+        tokenize(F.col("text")).alias("l")
+    )
+    bi = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = (
+        pc.select(F.col("w1").alias("w"), F.col("c_xy").alias("c"))
+        .unionByName(pc.select(F.col("w2").alias("w"), F.col("c_xy").alias("c")))
+        .groupBy("w")
+        .agg(F.sum("c").alias("c_w"))
+    )
+    tot = pc.agg(F.sum("c_xy").alias("n"))
+    lifted = (
+        pc.filter(F.col("c_xy") >= _PMI_MIN_PAIRS)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n")
+                / (F.col("c1") * F.col("c2").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(
+        F.desc("lift"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOP)
