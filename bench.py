@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "vocab_coverage_curve",
     "rfm_segmentation",
     "pmi_collocations",
+    "calibration_reliability_bins",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_curve",  # NEW r7 (M139)
     "rfm_segmentation",      # NEW r7 (M140)
     "pmi_collocations",      # NEW r7 (M141)
+    "calibration_reliability_bins",  # NEW r7 (M142)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
@@ -150,7 +151,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "semantic_dedup",
     "bm25_search",
-    "symspell_suggest",
     "entity_resolution_golden",
     "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF
     "pyds_topic_counts",

@@ -1884,3 +1884,62 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "calibration_reliability_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(event_type = 'purchase' AS INT) AS y,
+               1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p
+        FROM events
+    ),
+    binned AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, y,
+               CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_micro
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(p_micro) AS DOUBLE) / 1000000.0 / COUNT(*)
+               AS mean_pred,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability diagram (M142): bucket a
+    model's predicted probabilities into 10 bins and compare each
+    bin's mean prediction to its observed positive rate — the ML-eval
+    table behind every calibration plot and Platt/isotonic refit
+    decision.  Score = a fixed sigmoid of the event value (a stand-in
+    model; swap in any scored column), label = purchase events.
+
+    Float discipline: bin assignment floors p·10 (identical double on
+    both engines — same sigmoid expression, and exp's argument
+    (value-50)/25 is the same double so exp agrees bitwise in
+    practice; the HASHED aggregates never touch exp's low bits:
+    per-row p is half-up-quantized to exact 1e-6 micro-units BEFORE
+    summation, and both output means are single bit-equal integer
+    divisions, unrounded).  Scale: map-side projection + one
+    10-key-bounded aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(25.0))
+    )
+    y = (F.col("event_type") == "purchase").cast("int")
+    scored = ev.select(
+        y.alias("y"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.floor(p * 1000000 + F.lit(0.5)).cast("long").alias("p_micro"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (
+            F.sum("p_micro").cast("double") / F.lit(1000000.0) / F.count("*")
+        ).alias("mean_pred"),
+        (F.sum("y").cast("double") / F.count("*")).alias("frac_pos"),
+    )
