@@ -204,6 +204,10 @@ ITERATIVE = {
     "mv_rollup_rewrite",
     # stream drain + sink merges run during build
     "stream_mv_additive_merge",
+    # bounded aggregate localCheckpoints run during build
+    "pmi_collocations",
+    "vocab_coverage_curve",
+    "rfm_segmentation",
 }
 
 

@@ -1844,13 +1844,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     first draft).
     """
     orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.max(
-            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
-        ).alias("r"),
-        F.count("*").alias("f"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("m_dec"),
-    ).withColumn("m", F.col("m_dec").cast("double"))
+    # |customers|-sized aggregate feeding the percentile pass AND the
+    # scoring pass — checkpoint once instead of scanning orders twice
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+                )
+            ).alias("r"),
+            F.count("*").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("m_dec"),
+        )
+        .withColumn("m", F.col("m_dec").cast("double"))
+        .localCheckpoint()
+    )
     bounds = cust.agg(
         *[
             F.round(F.percentile(c, F.lit(p)), 6).alias(f"{c}{i + 1}")

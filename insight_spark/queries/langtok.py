@@ -431,10 +431,14 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (100·cum >= t·total).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # vocab-sized aggregate feeding three consumers (bands, rollup,
+    # implicitly the offsets) — checkpoint once instead of three
+    # corpus tokenize+explode+count passes
     counts = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
     )
     digits = F.length(F.col("freq").cast("string"))
     banded = counts.withColumn("band", digits)

@@ -1113,7 +1113,18 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    pc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    # the pair table feeds FOUR consumers (two unigram margins, the
+    # total, the lift join); lazily it re-derives from the corpus scan
+    # each time (measured: 6 parquet scans in the plan).  It is the
+    # bigram VOCABULARY — aggregate-sized, not corpus-sized — so one
+    # localCheckpoint barrier wins at any scale (the inverse of the
+    # r6 shingle-table negative result, where the intermediate was
+    # corpus-sized).
+    pc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint()
+    )
     uni = (
         pc.select(F.col("w1").alias("w"), F.col("c_xy").alias("c"))
         .unionByName(pc.select(F.col("w2").alias("w"), F.col("c_xy").alias("c")))
