@@ -53,6 +53,11 @@ def main() -> int:
         except PlanScaleError as exc:
             verdict = f"FATAL {exc}"
             failures.append(name)
+        except Exception as exc:  # noqa: BLE001 — per-query isolation:
+            # an environment error (e.g. the embedded Derby lock held
+            # by a concurrent test run) must not kill the sweep
+            verdict = f"ERROR {type(exc).__name__}"
+            failures.append(name)
         print(f"{verdict:>5s} {name} {time.perf_counter() - t0:.1f}s"[:200])
         sys.stdout.flush()
     print(f"SUMMARY: {len(failures)} fatal; failures={failures}")
