@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "rfm_segmentation",
     "pmi_collocations",
     "calibration_reliability_bins",
+    "target_encode_categories",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

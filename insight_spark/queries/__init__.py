@@ -125,7 +125,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank",
     "topk",
     "sessionize",
-    "tokenize_wordcount",
     "dedup_hash",
     "knn_cosine_topk",
     "dp_noisy_release",      # NEW r7 (M127)
@@ -144,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segmentation",      # NEW r7 (M140)
     "pmi_collocations",      # NEW r7 (M141)
     "calibration_reliability_bins",  # NEW r7 (M142)
+    "target_encode_categories",  # NEW r7 (M143)
     "stream_hourly_counts",
     "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",

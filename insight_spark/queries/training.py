@@ -568,3 +568,69 @@ def pack_sequential_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (start / 2048).cast("int").alias("bin_id"),
     )
+
+
+#: Target-encoding smoothing weight (M143): the prior's pseudo-count.
+_TE_SMOOTH_M = 50
+
+
+@query(
+    "target_encode_categories",
+    oracle=f"""
+    WITH g AS (
+        SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS gs,
+               COUNT(*) AS gn
+        FROM orders
+    ),
+    per_cat AS (
+        SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS cs,
+               COUNT(*) AS cn
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(cn AS BIGINT) AS n,
+           CAST(cs AS DOUBLE) / cn AS cat_mean,
+           (CAST(cs AS DOUBLE)
+            + {_TE_SMOOTH_M} * (CAST(gs AS DOUBLE) / gn))
+           / (cn + {_TE_SMOOTH_M}) AS encoded
+    FROM per_cat, g
+    """,
+)
+def target_encode_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (M143): replace a categorical feature
+    by the smoothed mean of the target —
+    (sum_y + m·prior) / (n + m) with the global mean as prior — the
+    standard leakage-prone-if-done-wrong ML feature transform, here
+    in its aggregate form (per-category encoding table; join it back
+    onto rows map-side, or compose with `kfold_assign` for the
+    out-of-fold variant that avoids target leakage).
+
+    Scale: one map-side-combined aggregate per side (global + per
+    category), the global single row broadcast back — no window, no
+    second scan of fact rows per category.  Float discipline: sums
+    are DECIMAL(38,6); every output double is a bit-equal chain of
+    divisions from exact inputs, emitted unrounded (r7 rule).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("gs"),
+        F.count("*").alias("gn"),
+    )
+    per_cat = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("cs"),
+        F.count("*").alias("cn"),
+    )
+    m = F.lit(_TE_SMOOTH_M)
+    return per_cat.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        F.col("cn").cast("long").alias("n"),
+        (F.col("cs").cast("double") / F.col("cn")).alias("cat_mean"),
+        (
+            (
+                F.col("cs").cast("double")
+                + m * (F.col("gs").cast("double") / F.col("gn"))
+            )
+            / (F.col("cn") + m)
+        ).alias("encoded"),
+    )
