@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "calibration_reliability_bins",
     "target_encode_categories",
+    "funnel_time_to_convert",
+    "shard_skew_report",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -121,7 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_filter_agg",
     "groupby_agg",
     "join_star",
-    "join_fact_agg",
     "window_rank",
     "topk",
     "sessionize",
@@ -144,8 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pmi_collocations",      # NEW r7 (M141)
     "calibration_reliability_bins",  # NEW r7 (M142)
     "target_encode_categories",  # NEW r7 (M143)
+    "funnel_time_to_convert",  # NEW r7 (M144)
+    "shard_skew_report",     # NEW r7 (M145)
     "stream_hourly_counts",
-    "stream_upsert_user_latest",
     "tpch_q1_pricing_summary",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",

@@ -274,3 +274,87 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT p.user_id,
+               epoch_ms(p.t_purchase) // 1000
+               - epoch_ms(v.t_view) // 1000 AS delta_s
+        FROM p JOIN v USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(delta_s, 0.5), 6) AS median_s,
+           ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+           CAST(MIN(delta_s) AS BIGINT) AS min_s,
+           CAST(MAX(delta_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution (M144): for every FULLY converted
+    user (the ordered view → click-after → purchase-after chain of
+    `funnel_conversion_steps`), the view→purchase latency in whole
+    seconds, summarized as count + interpolated median/p90 + exact
+    min/max — the time-to-convert readout product analytics pairs
+    with the stage-rate funnel.
+
+    Same chained per-user MIN-aggregate plan as the stage funnel
+    (user-keyed shuffles of one timestamp each, no windows, no event
+    arrays); latencies are exact integer seconds (epoch-second
+    subtraction), so the only doubles are the two interpolated
+    percentiles — the shared Spark-percentile / quantile_cont
+    definition, 6-dp-rounded (value_percentiles precedent: integer
+    gaps dwarf any interpolation ulp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = p.join(v, "user_id").select(
+        (
+            F.floor(F.unix_millis("t_purchase") / 1000)
+            - F.floor(F.unix_millis("t_view") / 1000)
+        ).alias("delta_s")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 6).alias("median_s"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.min("delta_s").cast("long").alias("min_s"),
+        F.max("delta_s").cast("long").alias("max_s"),
+    )

@@ -634,3 +634,73 @@ def target_encode_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cn") + m)
         ).alias("encoded"),
     )
+
+
+#: Shard count for the skew audit (mirrors write_training_shards' md5
+#: layout so the audit describes exactly what the sink would write).
+_SKEW_N_SHARDS = 16
+
+
+@query(
+    "shard_skew_report",
+    oracle=rf"""
+    WITH sharded AS (
+        SELECT CAST(
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {_SKEW_N_SHARDS} AS INTEGER) AS shard,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM sharded GROUP BY shard
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) * {_SKEW_N_SHARDS} / tot.t
+               AS balance_ratio
+    FROM per, tot
+    """,
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit (M145): per-shard doc and token
+    loads under `sinks.write_training_shards`' exact md5 layout
+    (shard = first-8-hex of md5(id) mod n), plus each shard's
+    balance ratio (tokens x n_shards / total — 1.0 means perfectly
+    even).  The pre-flight check before a shard export: a trainer's
+    slowest data-loader rank is the most-loaded shard, so skew HERE
+    is step-time skew THERE.
+
+    Map-side projection + one shard-keyed aggregate; the ratio is a
+    bit-equal double over exact integer sums (unrounded, r7 rule).
+    Demonstrates cross-engine hex→int parity: Spark's conv(hex,16,10)
+    equals DuckDB's '0x'-prefixed VARCHAR→BIGINT cast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _SKEW_N_SHARDS
+    ).cast("int")
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(tokenize(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") * _SKEW_N_SHARDS / F.col("t")
+        ).alias("balance_ratio"),
+    )
