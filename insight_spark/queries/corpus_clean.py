@@ -739,9 +739,13 @@ def quality_gate_observed(docs: DataFrame):
         "_s", F.size(toks)
     )
     keep = (F.col("_s") > 0) & (2 * F.col("_d") >= F.col("_s"))
-    # exact half-up micro-units: (2e6*d + s) div (2*s), integer ops only
+    # exact half-up micro-units: (2e6*d + s) div (2*s), integer ops only.
+    # F.size() is 32-bit INT, so widen BEFORE multiplying: a doc with
+    # >= 1074 distinct tokens overflows 2000000*_d in INT arithmetic
+    # (ArithmeticException under Spark 4 ANSI mode, silently wrong with
+    # ANSI off) while the DuckDB oracle computes in BIGINT.
     micro = F.expr(
-        "(2000000 * _d + _s) div (2 * _s)"
+        "(2000000 * CAST(_d AS BIGINT) + _s) div (2 * CAST(_s AS BIGINT))"
     ).alias("ratio_micro")
     obs = Observation("quality_gate")
     observed = scored.observe(

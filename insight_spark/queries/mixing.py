@@ -16,6 +16,8 @@ discipline follows SURVEY §7.4: cross-engine doubles only ever appear
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -752,11 +754,27 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     release a data platform puts in front of raw usage tables.
 
     The noise is drawn by inverse CDF from a 256-quantile table
-    indexed by the first byte of md5(cell key): deterministic,
-    engine-independent, and keyed on cell identity so re-runs release
-    the SAME value (re-execution cannot average the noise away).  The
-    true count never reaches the output; cells whose noisy count
-    falls below the release floor (5) are suppressed entirely.
+    indexed by the first byte of md5(secret || cell key): the noise
+    is keyed on cell identity so re-runs release the SAME value
+    (re-execution cannot average the noise away), and cells whose
+    noisy count falls below the release floor (5) are suppressed.
+
+    PRIVACY CAVEAT — this default configuration is a MECHANISM DEMO,
+    not epsilon-DP.  With the default empty secret the noise is a
+    pure public function of the cell key, so anyone who knows the
+    scheme recomputes the bucket and subtracts the noise exactly —
+    the release is invertible and the epsilon accounting is void.
+    Determinism is chosen deliberately so the release is
+    engine-independent and hash-checkable by the DuckDB oracle.  The
+    production path sets ``SPARK_GRAFT_DP_SECRET`` (or passes
+    ``secret=`` to this module's helper): the bucket then derives
+    from md5(secret || cell), which an adversary without the secret
+    cannot recompute — the standard keyed-PRF reproducible-release
+    construction.  (A secret seed necessarily forfeits the
+    cross-engine value oracle, which is why the harness default stays
+    deterministic.)  True per-execution RNG would forfeit
+    reproducibility as well; the keyed-PRF middle ground keeps both
+    re-run stability and non-recomputability.
 
     Scale: map-side-combined count over the release grid, then a pure
     projection (md5 + table lookup) — no extra shuffle beyond the one
@@ -767,7 +785,13 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count("*").alias("n"))
-    h = F.md5(F.concat_ws("|", "event_type", "day"))
+    # Keyed-PRF bucket: empty secret (harness default) degenerates to
+    # the public md5(cell) the oracle replays; a real deployment sets
+    # SPARK_GRAFT_DP_SECRET so the noise is not publicly recomputable
+    # (see the privacy caveat above).
+    secret = os.environ.get("SPARK_GRAFT_DP_SECRET", "")
+    cell = F.concat_ws("|", "event_type", "day")
+    h = F.md5(F.concat(F.lit(secret), cell) if secret else cell)
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     noise = F.element_at(F.array(*[F.lit(v) for v in _DP_NOISE]), bucket + 1)
     noisy = F.greatest(F.col("n") + noise, F.lit(0)).alias("noisy_n")

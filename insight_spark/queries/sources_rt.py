@@ -857,8 +857,8 @@ def vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6)
                AS revenue,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_order_value
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_order_value
     FROM orders
     GROUP BY 1, 2
     """,
@@ -911,7 +911,12 @@ def mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
-        F.round(
-            F.col("_rev").cast("double") / F.col("n_orders"), 6
-        ).alias("avg_order_value"),
+        # avg stays UNROUNDED: terminal ROUND(double) of a computed
+        # mean is exactly the 1-ulp cross-engine divergence the r7
+        # float discipline forbids (rfm_segmentation precedent) —
+        # both engines emit the bit-equal IEEE division of the exact
+        # decimal sum (cast double) by the long count instead.
+        (F.col("_rev").cast("double") / F.col("n_orders")).alias(
+            "avg_order_value"
+        ),
     )

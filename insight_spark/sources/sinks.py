@@ -190,32 +190,72 @@ def foreach_batch_additive_merge(
     the engine keeps no aggregation state at all — the pattern that
     scales a 100 TB rollup without a 100 TB state store.  Unlike the
     overwrite upsert, an additive merge is NOT naturally idempotent,
-    so exactly-once needs explicit batch-id fencing: applied batch
-    ids are recorded in the serving dir and redelivered batches
-    (failure/retry replays) are skipped.
+    so exactly-once needs explicit batch-id fencing.
+
+    Commit protocol (crash-safe): each batch writes its merged result
+    to a fresh versioned dir ``serving_b{id}``, then atomically
+    promotes it by ``os.replace``-ing a pointer file (``CURRENT``)
+    that records BOTH the live dir and the highest applied batch id —
+    one atomic rename commits the data and the fence together.  A
+    crash before the rename leaves the old pointer (batch unapplied —
+    redelivery re-merges from the OLD version, correct); a crash
+    after leaves the new pointer (redelivery is fenced out).  The
+    fence can be a single high-water-mark because Structured
+    Streaming batch ids are monotonically increasing and only the
+    last uncommitted batch is ever replayed.
+
+    Failure posture: only a MISSING serving version is treated as
+    first-batch; any other read error (transient IO, corruption)
+    re-raises rather than silently re-initializing the MV from one
+    batch's partials.
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         spark = batch_df.sparkSession
-        path = os.path.join(out_dir, "serving")
-        fence = os.path.join(out_dir, f"_applied_{batch_id}")
-        if os.path.exists(fence):  # redelivery: already folded in
-            return
-        try:
-            current = spark.read.parquet(path)
+        os.makedirs(out_dir, exist_ok=True)
+        pointer = os.path.join(out_dir, "CURRENT")
+        state: dict = {"dir": None, "last_applied": -1}
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                state = json.load(fh)
+        if batch_id <= state["last_applied"]:
+            return  # redelivery: already folded in
+        if state["dir"] is None:
+            merged = batch_df
+        else:
+            # Pointer exists => the version it names was fully written
+            # before the pointer commit; a failure reading it is real.
+            current = spark.read.parquet(os.path.join(out_dir, state["dir"]))
             merged = (
                 current.unionByName(batch_df)
                 .groupBy(*key_cols)
                 .agg(*[F.sum(c).alias(c) for c in add_cols])
             )
-        except Exception:
-            merged = batch_df
-        tmp = os.path.join(out_dir, f"_staging_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        os.makedirs(fence, exist_ok=True)
+        vdir = f"serving_b{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(out_dir, vdir))
+        tmp_ptr = os.path.join(out_dir, f"_ptr_{batch_id}")
+        with open(tmp_ptr, "w") as fh:
+            json.dump({"dir": vdir, "last_applied": batch_id}, fh)
+        os.replace(tmp_ptr, pointer)  # the atomic commit point
+        if state["dir"] is not None:  # GC the superseded version
+            import shutil
+
+            shutil.rmtree(os.path.join(out_dir, state["dir"]), ignore_errors=True)
 
     return merge
+
+
+def read_additive_mv(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the live version of an additive-merge MV: resolve the
+    ``CURRENT`` pointer written by :func:`foreach_batch_additive_merge`
+    and scan only the committed serving dir."""
+    import json
+
+    with open(os.path.join(out_dir, "CURRENT")) as fh:
+        state = json.load(fh)
+    return spark.read.parquet(os.path.join(out_dir, state["dir"]))
 
 
 def write_orc(

@@ -54,3 +54,18 @@ def test_observe_adds_no_exchange(spark):
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "CollectMetrics" in plan, plan
+
+
+def test_ratio_micro_no_int_overflow_on_long_docs(spark):
+    """Regression (r8, ADVICE): F.size() is 32-bit INT, so
+    2000000 * _d overflowed INT for docs with >= 1074 distinct tokens
+    (ArithmeticException under ANSI, silently wrong otherwise) while
+    the DuckDB oracle computed in BIGINT.  The micro-ratio must now
+    widen to BIGINT before multiplying."""
+    long_doc = " ".join(f"tok{i}" for i in range(2000))  # 2000 distinct
+    docs = spark.createDataFrame(
+        [("d1", "src", long_doc)], "doc_id string, source string, text string"
+    )
+    gated, _ = quality_gate_observed(docs)
+    row = gated.select("ratio_micro").collect()[0]
+    assert row["ratio_micro"] == 1_000_000, row  # all-distinct => ratio 1.0

@@ -787,7 +787,10 @@ def test_additive_merge_batch_fencing(spark, tmp_path):
     batch id must fold in additively."""
     from pyspark.sql import functions as F
 
-    from insight_spark.sources.sinks import foreach_batch_additive_merge
+    from insight_spark.sources.sinks import (
+        foreach_batch_additive_merge,
+        read_additive_mv,
+    )
 
     out = str(tmp_path / "mv")
     merge = foreach_batch_additive_merge(out, ["k"], ["n"])
@@ -795,8 +798,17 @@ def test_additive_merge_batch_fencing(spark, tmp_path):
     merge(b0, 0)
     merge(b0, 0)  # redelivery of batch 0: must be fenced out
     merge(spark.createDataFrame([("a", 5)], "k string, n long"), 1)
-    got = {
-        r["k"]: r["n"]
-        for r in spark.read.parquet(os.path.join(out, "serving")).collect()
-    }
+    got = {r["k"]: r["n"] for r in read_additive_mv(spark, out).collect()}
     assert got == {"a": 7, "b": 3}, got
+    # A crash BETWEEN the version write and the pointer commit must
+    # leave the MV readable at the pre-crash state (batch unapplied):
+    # simulate by writing a version dir without promoting the pointer.
+    spark.createDataFrame([("a", 99)], "k string, n long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "serving_b2"))
+    got = {r["k"]: r["n"] for r in read_additive_mv(spark, out).collect()}
+    assert got == {"a": 7, "b": 3}, got
+    # ...and redelivering batch 2 after that crash folds it in once.
+    merge(spark.createDataFrame([("b", 1)], "k string, n long"), 2)
+    got = {r["k"]: r["n"] for r in read_additive_mv(spark, out).collect()}
+    assert got == {"a": 7, "b": 4}, got
