@@ -90,70 +90,74 @@ _MODULES = (
 #: ROTATION: put those twenty-two first, then fill with canaries
 #: spanning operator families.
 #: Exactly 50 names.  Unlisted queries follow in registration order.
-#: ROUND-7 rotation: (a) the 5 round-6 late adds that have never had a
-#: driver row (VERDICT r6 task 2); (b) queries whose plan/oracle
-#: CHANGED this round and must re-prove green — the vector-probe
-#: TakeOrdered re-plan, the funnel state-machine vectorization, the
-#: md5-family queries behind the shared digest-SQL helper, and
-#: minhash_near_dup_pairs' new value oracle (previously the registry's
-#: one rows-only-by-design entry, VERDICT r6 task 9); (c) the
-#: round-7 additions (dp_noisy_release M127, mmr_diverse_rerank M128,
-#: observed_quality_gate M129) — first-time evidence; (d) canaries spanning operator families fill
-#: to 50.
+#: ROUND-8 rotation (VERDICT r7 task 1 — evidence freshness): after
+#: r7's window spent all 50 slots on round-7 work, 105 queries' latest
+#: driver signatures date to r1-r3 (27 at r1, 39 at r2, 39 at r3 —
+#: computed from CORRECTNESS_r01..r07).  This window holds:
+#: (a) the 4 queries whose plan/oracle/sink CHANGED this round and
+#:     must re-prove green (the advisor fixes: ratio_micro BIGINT
+#:     widening, DP keyed-PRF refactor, MV avg un-rounding, additive
+#:     merge atomic-pointer commit);
+#: (b) the round-8 additions — first-time evidence;
+#: (c) the stalest signatures oldest-first: ALL 27 r1-era queries,
+#:     then r2-era in registration order until the window is full.
+#: The remaining r2/r3-era names continue oldest-first in the r9
+#: rotation (66 r1+r2 queries cannot fit one 50-slot window).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — round-6 late adds
-    "span_merge_intervals",
-    "mixture_fractional_upsample",
-    "funnel_conversion_steps",
-    "vector_index_probe",        # + plan changed: TakeOrdered top-5
-    "stream_funnel_stages",      # + in-batch replay vectorized
-    # (b) changed this round — re-prove green
-    "minhash_near_dup_pairs",    # NEW value oracle (md5 keep_all form)
-    "minhash_lsh_pairs",         # shared digest-SQL helper
-    "dedup_pipeline_summary",    # shared digest-SQL helper
-    "leakage_safe_split",        # _md5_cluster_ctes digest helper
-    "near_dup_clusters",         # _md5_cluster_ctes digest helper
-    "fuzzy_decontaminate",       # _fuzzy_decon_oracle digest helper
-    "search_index_probe",        # engine-pinned autoBucketedScan conf
-    "minhash_recall_gate",       # empty-shingle filter in xxhash64 path
-    # (c) canaries spanning families (all green r6 or earlier)
-    "flagship_top_customers",
-    "scan_filter_agg",
-    "groupby_agg",
-    "join_star",
-    "window_rank",
-    "topk",
-    "sessionize",
-    "dedup_hash",
-    "knn_cosine_topk",
-    "dp_noisy_release",      # NEW r7 (M127)
-    "mmr_diverse_rerank",    # NEW r7 (M128)
-    "observed_quality_gate", # NEW r7 (M129)
-    "int8_quantize_embeddings",  # NEW r7 (M130)
-    "kv_prefix_sharing",     # NEW r7 (M131)
-    "mv_rollup_rewrite",     # NEW r7 (M132)
-    "bitext_margin_mining",  # NEW r7 (M133)
-    "exact_substring_dedup", # NEW r7 (M134)
-    "stream_mv_additive_merge",  # NEW r7 (M135)
-    "table_diff_reconcile",  # NEW r7 (M136)
-    "retrieval_eval_metrics",  # NEW r7 (M137)
-    "join_size_estimate",    # NEW r7 (M138)
-    "vocab_coverage_curve",  # NEW r7 (M139)
-    "rfm_segmentation",      # NEW r7 (M140)
-    "pmi_collocations",      # NEW r7 (M141)
-    "calibration_reliability_bins",  # NEW r7 (M142)
-    "target_encode_categories",  # NEW r7 (M143)
-    "funnel_time_to_convert",  # NEW r7 (M144)
-    "shard_skew_report",     # NEW r7 (M145)
-    "stream_hourly_counts",
-    "tpch_q1_pricing_summary",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    "semantic_dedup",
-    "bm25_search",
-    "entity_resolution_golden",
-    "udtf_polymorphic_ngrams",   # plan changed r7: filter below UDTF
-    "pyds_topic_counts",
+    # (a) changed this round — re-prove green
+    "observed_quality_gate",     # ratio_micro widened to BIGINT
+    "dp_noisy_release",          # keyed-PRF bucket refactor (default path)
+    "mv_rollup_rewrite",         # avg_order_value now unrounded both sides
+    "stream_mv_additive_merge",  # atomic pointer-file commit protocol
+    # (b) round-8 additions — first-time evidence
+    "bitext_margin_mining_ann",  # M133b: ANN-candidate production shape
+    "minhash_band_cardinality",  # M146: LSH band-load audit
+    "quantile_bin_features",     # M147: equi-width histogram binning
+    "stream_watermark_audit",    # M148: late-data accounting
+    "ann_recall_eval",           # M149: ANN recall vs exact ground truth
+    "tokenizer_fertility_by_lang",  # M150: per-language fertility audit
+    # (c) stalest signatures, oldest-first — all 27 r1-era
+    "distinct_exact",
+    "lang_profile",
+    "text_stats",
+    "vector_norms",
+    "lang_id_heuristic",
+    "token_count_bpe",
+    "semi_join_segments",
+    "anti_join_customers",
+    "cross_join_pairs",
+    "theta_join_acctbal",
+    "self_join_order_pairs",
+    "asof_purchase_click",
+    "stats_moments",
+    "first_event_per_user",
+    "user_event_types",
+    "value_percentiles",
+    "pivot_status_by_priority",
+    "unpivot_status_counts",
+    "explode_variants",
+    "table_profile",
+    "window_rank_family",
+    "set_ops_users",
+    "stopword_top_terms",
+    "bigrams_top",
+    "doc_freq_idf",
+    "tfidf_top",
+    "prefix_suggest_th",
+    # (c cont.) r2-era, registration order — fills to exactly 50
+    "distinct_exact_approx",
+    "events_hourly",
+    "outer_join_order_counts",
+    "approx_value_percentiles",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "sample_events",
+    "value_histogram",
+    "window_frames",
+    "levenshtein_names",
+    "json_struct_extract",
+    "doc_quality_signals",
+    "token_jaccard_pairs",
 )
 
 _loaded = False

