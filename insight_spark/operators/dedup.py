@@ -642,6 +642,69 @@ def minhash_lsh_pairs_md5_oracle_sql(
     """
 
 
+def minhash_band_cardinality_oracle_sql(
+    n_hashes: int = 8, n_bands: int = 4
+) -> str:
+    """DuckDB SQL for the LSH band-load audit (M146): replays the SAME
+    md5 band family as ``minhash_lsh_pairs_md5_oracle_sql`` (identical
+    toks/sh/sig/bands CTE prefix) and aggregates per-band bucket-load
+    statistics instead of exploding pairs."""
+    rows_per_band = n_hashes // n_bands
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(ds, d -> substr(d, {1 + 8 * i}, 8)))"
+        f" AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    shd AS (
+        SELECT doc_id, s,
+               list_transform(s, g -> {md5_digest_concat_sql(n_hashes)}) AS ds
+        FROM sh2
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               {sigs}
+        FROM shd
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    bsz AS (
+        SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bands GROUP BY band, bkey
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_colliding,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bsz GROUP BY band
+    """
+
+
 def minhash_lsh_cross_pairs_md5(
     left: DataFrame,
     right: DataFrame,

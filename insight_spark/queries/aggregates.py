@@ -533,3 +533,86 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_region", "g_nation", "r_name", "n_name")
     )
+
+
+#: Equal-width bins for the feature-binning audit (M147).
+_N_BINS = 10
+
+
+@query(
+    "quantile_bin_features",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+        SELECT CAST(CASE WHEN mx = mn THEN 0
+                         ELSE least(floor((o_totalprice - mn) * {_N_BINS}
+                                          / (mx - mn)), {_N_BINS - 1})
+                    END AS INTEGER) AS bin_id,
+               o_totalprice
+        FROM orders, stats
+    )
+    SELECT bin_id,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS bin_lo,
+           MAX(o_totalprice) AS bin_hi,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM binned
+    GROUP BY bin_id
+    """,
+)
+def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning for feature prep (M147): bin
+    ``o_totalprice`` into 10 equal-width bins over the observed
+    [min, max] range and profile each bin (count, bounds, exact-sum
+    mean) — the discretization step a feature pipeline runs before
+    bucketized embeddings / monotonic-binning models, and the
+    histogram a cost optimizer keeps per column.
+
+    Deliberately equal-WIDTH, not ntile: a global ntile needs a total
+    sort through ONE task (an unpartitioned window), dead at 100 TB.
+    Equal-width needs only (a) one scalar min/max aggregate
+    (map-side-combined, broadcast back as a 1-row cross join) and
+    (b) a map-only bin projection + a 10-key aggregate —
+    every stage distributes.  Equi-DEPTH bins at scale are derived
+    from this same shape by iterating on approx-percentile boundaries
+    (see ``approx_value_percentiles``), not by sorting.
+
+    Bin arithmetic is the identical IEEE-double expression on both
+    sides (floor((x - mn) * B / (mx - mn)), clamped to B-1 so x = mx
+    lands in the last bin) — bit-equal per SURVEY §7.4 discipline; the
+    mean follows the exact-decimal-sum rule.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bin_id = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    * _N_BINS
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(_N_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        bin_id.alias("bin_id"), "o_totalprice"
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("bin_lo"),
+        F.max("o_totalprice").alias("bin_hi"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_price"),
+    )

@@ -489,3 +489,73 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             need(99).alias("n_tokens_99"),
         )
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               n_chars,
+               CAST(len(regexp_extract_all(
+                   text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+                   AS bpe,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS ws
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / NULLIF(SUM(ws), 0), 6)
+               AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(bpe), 0), 6)
+               AS chars_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit (M150): BPE-ish tokens per
+    whitespace word and characters per token, grouped by ``lang`` — the
+    multilingual-tokenizer budget number (a language whose fertility is
+    2× pays 2× the context window and 2× the training compute per
+    word; chars/token is the bytes-side twin used to compare tokenizer
+    vocab choices across scripts).
+
+    Segmentation is the shared RE2/Java-safe BPE-ish regex from
+    ``token_count_bpe`` (letter runs / digit runs / single
+    punctuation), so the two queries stay consistent; a real tokenizer
+    swap (e.g. trained merges from ``bpe_train_merges``) changes only
+    the per-doc token expression, not the audit shape.
+
+    Scale: one map-side projection (two regex counts per row) + one
+    map-side-combined aggregate on a |langs|-cardinality key — no joins,
+    no window, partial aggregation does nearly all the work.  Ratios
+    follow the exact-sum discipline: BIGINT sums both sides, one
+    rounded double division at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    ).cast("long")
+    ws = F.size(tokenize(F.col("text"))).cast("long")
+    per_doc = docs.select(
+        "lang", "n_chars", bpe.alias("bpe"), ws.alias("ws")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.round(
+            F.sum("bpe").cast("double")
+            / F.nullif(F.sum("ws"), F.lit(0)),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.nullif(F.sum("bpe"), F.lit(0)),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_spark.operators.dedup import (
+    _md5_shingle_bands,
     exact_dedup,
+    minhash_band_cardinality_oracle_sql,
     minhash_lsh_pairs_md5,
     minhash_lsh_pairs_md5_oracle_sql,
     near_dedup_minhash,
@@ -159,6 +161,46 @@ def minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.8,
             F.lit(True),  # vacuous gate on an empty ground-truth set
         ).alias("recall_ok"),
+    )
+
+
+@query(
+    "minhash_band_cardinality",
+    oracle=minhash_band_cardinality_oracle_sql(),
+)
+def minhash_band_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-load audit (M146): per-band bucket statistics for the
+    production J6 MinHash config (8 hashes / 4 bands / 3-shingles, md5
+    family — the exact bands ``minhash_lsh_pairs`` joins on).
+
+    The skew PRE-FLIGHT for banded dedup: ``candidate_pairs`` =
+    Σ n·(n−1)/2 over buckets is the exact number of pairs the LSH
+    stage will explode per band, and ``max_bucket`` is the single-task
+    ceiling for the bucket-array candidate generator
+    (``_bucket_pair_candidates`` collects each bucket's id array on
+    one task).  Run this BEFORE the pair join at a new scale: a
+    mega-bucket (≫ thousands) here means exact dedup wasn't run first
+    or the corpus is template-heavy, and the pair stage would OOM a
+    task — the audit costs one word-count-shaped job (band shuffle +
+    two bounded aggregates), no pair explosion.
+
+    Fully value-oracled: the md5 band family is bit-identical in
+    DuckDB, so bucket keys — and therefore every load statistic —
+    hash-match exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _sh, bands = _md5_shingle_bands(
+        docs, "text", "doc_id", n_hashes=8, n_bands=4, shingle_n=3
+    )
+    bucket_sizes = bands.groupBy("_band", "_bkey").agg(
+        F.count("*").alias("n")
+    )
+    return bucket_sizes.groupBy(F.col("_band").alias("band")).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_colliding"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs"),
     )
 
 

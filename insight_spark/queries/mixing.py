@@ -788,10 +788,15 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyed-PRF bucket: empty secret (harness default) degenerates to
     # the public md5(cell) the oracle replays; a real deployment sets
     # SPARK_GRAFT_DP_SECRET so the noise is not publicly recomputable
-    # (see the privacy caveat above).
+    # (see the privacy caveat above).  The secret is joined to the cell
+    # key with an explicit '|' separator so distinct (secret, cell)
+    # pairs cannot collapse to one PRF input (md5('ab'||'c') ==
+    # md5('a'||'bc') without it); with the secret set, the registry
+    # drops this query's oracle (_ORACLE_SKIP_ENV) so the driver runs
+    # the rows-only check instead of a guaranteed hash mismatch.
     secret = os.environ.get("SPARK_GRAFT_DP_SECRET", "")
     cell = F.concat_ws("|", "event_type", "day")
-    h = F.md5(F.concat(F.lit(secret), cell) if secret else cell)
+    h = F.md5(F.concat(F.lit(secret + "|"), cell) if secret else cell)
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     noise = F.element_at(F.array(*[F.lit(v) for v in _DP_NOISE]), bucket + 1)
     noisy = F.greatest(F.col("n") + noise, F.lit(0)).alias("noisy_n")

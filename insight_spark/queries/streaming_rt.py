@@ -411,6 +411,99 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_watermark_audit",
+    oracle="""
+    WITH chunked AS (
+        SELECT ts, event_type,
+               ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    delivered AS (
+        SELECT ts, event_type FROM events
+        UNION ALL
+        SELECT ts, event_type FROM chunked WHERE chunk = 1
+    ),
+    d AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_delivered
+        FROM delivered GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_accepted
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.window_start, d.event_type, d.n_delivered,
+           COALESCE(a.n_accepted, 0) AS n_accepted,
+           d.n_delivered - COALESCE(a.n_accepted, 0) AS n_late
+    FROM d LEFT JOIN a USING (window_start, event_type)
+    """,
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data ACCOUNTING (M148) — the audit twin of
+    ``stream_late_drop`` (K4): K4 proves late rows are dropped; this
+    query measures HOW MANY, per window — the freshness/loss dashboard
+    a streaming platform keeps next to every watermarked job (silent
+    late-drop is the classic "counts drifted low and nobody knows
+    why" incident).
+
+    Same fixture as K4: ts-ordered chunks, a far-future sentinel that
+    closes every real window, then a re-delivery of the FIRST chunk —
+    entirely behind the watermark.  Two legs meet in a batch join:
+    ``n_accepted`` comes from a REAL streaming execution (watermarked
+    hourly counts, append mode — emitted once per closed window), and
+    ``n_delivered`` from a batch scan of the exact files the stream
+    source saw.  ``n_late = n_delivered − n_accepted`` is therefore
+    nonzero exactly on the redelivered chunk's windows, and the oracle
+    replays the chunk split (ntile(4) over ts, event_id — the
+    ``prepare_stream_input`` definition) to predict it row-exactly.
+
+    Scale: the streaming leg is the production watermarked agg
+    (bounded state); the delivered leg is a metadata-cheap count over
+    the same files (in production, the source's per-batch input-row
+    metrics); the audit join is |windows|-sized.
+    """
+    from insight_spark.streaming.core import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    in_dir = _chunk_dir_with_late(spark, sf_dir)
+    events = read_events_stream(spark, in_dir)
+    agg = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_accepted"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_accepted"
+        )
+    )
+    name = "mem_wma_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+    accepted = run_stream_to_memory(
+        spark, agg, name, ckpt, output_mode="append"
+    ).filter(F.col("event_type") != "sentinel")
+    delivered = (
+        spark.read.parquet(os.path.join(in_dir, "*.parquet"))
+        .filter(F.col("event_type") != "sentinel")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_delivered"))
+    )
+    n_acc = F.coalesce(F.col("n_accepted"), F.lit(0))
+    return delivered.join(
+        accepted, ["window_start", "event_type"], "left"
+    ).select(
+        "window_start",
+        "event_type",
+        "n_delivered",
+        n_acc.alias("n_accepted"),
+        (F.col("n_delivered") - n_acc).alias("n_late"),
+    )
+
+
+@query(
     "stream_stream_join_pairs",
     oracle="""
     SELECT p.user_id AS p_user,

@@ -1563,3 +1563,129 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dcg_micro").cast("double") / idcg)
         .alias("ndcg"),
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT c_id AS q_id, e FROM c WHERE c_id < 10),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6)
+                                    DESC,
+                                c.c_id) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 5
+    ),
+    cents AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS INTEGER)
+                   AS cell_id,
+               e AS centroid
+        FROM (SELECT * FROM c ORDER BY c_id LIMIT 8)
+    ),
+    assigned AS MATERIALIZED (
+        SELECT c_id, e, cell_id FROM (
+            SELECT c.c_id, c.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_id
+                       ORDER BY list_distance(c.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, e, cell_id FROM (
+            SELECT q.q_id, q.e, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_distance(q.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM q CROSS JOIN cents
+        ) WHERE rn <= 3
+    ),
+    approx AS (
+        SELECT q_id, c_id FROM (
+            SELECT p.q_id, a.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY ROUND(list_cosine_similarity(p.e, a.e), 6)
+                                    DESC,
+                                a.c_id) AS rn
+            FROM probes p JOIN assigned a USING (cell_id)
+        ) WHERE rn <= 5
+    )
+    SELECT q.q_id AS q_vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+    FROM q
+    LEFT JOIN (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN approx a USING (q_id, c_id)
+        GROUP BY e.q_id
+    ) h USING (q_id)
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ANN recall EVAL report (M149): the standing recall
+    GATE (``ann_ivf_recall_gate``, a single boolean row) made a
+    one-shot per-query evaluation — for each of the 10 eval queries,
+    how many of the exact brute-force top-5 the IVF(8 cells, 3-probe)
+    index returned, and the recall fraction.  This is the table an
+    index-tuning sweep reads (which queries lose neighbors → which
+    cells are under-probed), where the gate only answers pass/fail.
+
+    FULLY value-oracled — unlike the gate's TRUE/count bound oracle,
+    the DuckDB side replays the whole IVF pipeline bit-identically
+    (seeded centroids = first 8 vectors by id, argmin assignment with
+    cell-id tie-break, 3-probe candidate join, rounded-cosine rank
+    with id tie-break — the ``bitext_margin_mining_ann`` replay
+    pattern over the full corpus), so a regression anywhere in
+    assign/probe/rank flips the driver hash, not just a threshold.
+
+    Zero-hit queries are anchored at recall 0 via the left join (the
+    gate's anchoring rule).  Scale: the eval query set is bounded by
+    design, so the exact side's broadcast-anchor cross join costs
+    |eval|·N — the standard offline recall-eval job; the IVF side is
+    the production cell-pruned equi-join.
+    """
+    from insight_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        knn_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    cents = seeded_centroids(corpus, n_cells=8)
+    approx = ivf_topk(
+        queries, ivf_assign(corpus, cents), cents, k=5, n_probe=3
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    counts = hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        queries.select("q_vec_id")
+        .join(counts, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            n_hits.cast("int").alias("n_hits"),
+            F.round(n_hits.cast("double") / 5, 6).alias("recall"),
+        )
+    )

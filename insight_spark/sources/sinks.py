@@ -250,11 +250,25 @@ def foreach_batch_additive_merge(
 def read_additive_mv(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the live version of an additive-merge MV: resolve the
     ``CURRENT`` pointer written by :func:`foreach_batch_additive_merge`
-    and scan only the committed serving dir."""
+    and scan only the committed serving dir.
+
+    A missing pointer means NO batch ever committed (e.g. the stream
+    drained zero micro-batches) — surfaced as a descriptive error
+    rather than a bare FileNotFoundError, because "empty stream" and
+    "wrong path" need different fixes and the raw errno can't tell
+    them apart."""
     import json
 
-    with open(os.path.join(out_dir, "CURRENT")) as fh:
-        state = json.load(fh)
+    pointer = os.path.join(out_dir, "CURRENT")
+    try:
+        with open(pointer) as fh:
+            state = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"additive MV at {out_dir!r} has no CURRENT pointer: no "
+            "micro-batch has ever committed (empty/failed stream, or "
+            "wrong out_dir) — the MV read has nothing serveable yet"
+        ) from None
     return spark.read.parquet(os.path.join(out_dir, state["dir"]))
 
 

@@ -694,3 +694,43 @@ def test_mv_rewrite_serves_from_mv_only(spark):
     assert "mv_daily_rev" in plan, plan
     assert "orders.parquet" not in plan, plan
     assert "partial_sum" in plan  # re-aggregation map-side combines
+
+
+def test_bitext_ann_no_cartesian(spark):
+    """M133b's scale claim: candidates come from a shuffle equi-join on
+    cell_id — never a cartesian / broadcast nested loop (that is M133's
+    fixture-scale-only shape this variant exists to replace)."""
+    plan = _plan(spark, "bitext_margin_mining_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_eval_exact_side_is_the_only_nlj(spark):
+    """M149: the IVF side under evaluation must stay a cell_id
+    equi-join; the one nested loop allowed is the bounded-|eval|
+    broadcast cross join computing exact ground truth."""
+    plan = _plan(spark, "ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    # one node = one "(N) <name>" detail header in the formatted plan
+    # (the tree section prints the same node a second time)
+    import re
+
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj_nodes) <= 1, plan
+
+
+def test_minhash_band_cardinality_no_pair_explosion(spark):
+    """M146: the band-load audit must cost two aggregates over the band
+    table — no candidate-pair join anywhere in the plan."""
+    plan = _plan(spark, "minhash_band_cardinality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, f"audit must not join:\n{plan}"
+
+
+def test_quantile_bin_no_global_sort(spark):
+    """M147: equal-width binning must not plan a total sort / global
+    window (the ntile trap) — one scalar agg + map-side projection."""
+    plan = _plan(spark, "quantile_bin_features")
+    assert "Window" not in plan, f"global window crept in:\n{plan}"
+    assert "CartesianProduct" not in plan

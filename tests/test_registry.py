@@ -1,0 +1,78 @@
+"""Registry/priority-list consistency — the build-time strictness that
+used to live as a hard assert inside ``all_queries()``.
+
+Round-8 post-mortem (VERDICT r8 "what's wrong" #1): five names were
+added to ``_DRIVER_PRIORITY`` before their implementations existed, and
+the runtime assert turned that drift into a dead harness — empty
+CORRECTNESS, crashed bench, failed test collection.  The production
+path is now fail-soft (strip + warn); THESE tests are where the
+mismatch fails, red at build time instead of zeroing a round.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import insight_spark.queries as reg
+from insight_spark.queries import (
+    _DRIVER_PRIORITY,
+    all_oracle_sql,
+    all_queries,
+)
+
+
+def test_priority_names_all_registered():
+    """Every _DRIVER_PRIORITY name must have a registered query — the
+    r8 failure mode, now a build failure instead of a driver crash."""
+    registered = set(all_queries())
+    missing = [n for n in _DRIVER_PRIORITY if n not in registered]
+    assert not missing, (
+        f"_DRIVER_PRIORITY names not registered: {missing} — implement "
+        "them or delist them in the same commit (VERDICT r8 task 1)"
+    )
+
+
+def test_priority_window_is_exactly_50_unique_names():
+    """The driver records the first 50 entries; a short/padded window
+    wastes slots, duplicates silently shadow a rotation slot."""
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+
+
+def test_priority_names_lead_query_order():
+    names = list(all_queries())
+    assert names[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
+
+
+def test_every_oracle_name_has_a_query():
+    assert set(all_oracle_sql()) <= set(all_queries())
+
+
+def test_all_queries_fail_soft_on_unregistered_priority_name():
+    """An unregistered priority name must strip with a warning, never
+    raise — the registry stays serviceable for every consumer."""
+    original = reg._DRIVER_PRIORITY
+    reg._DRIVER_PRIORITY = original + ("nonexistent_query_xyz",)
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = all_queries()
+        assert "nonexistent_query_xyz" not in out
+        assert len(out) == len(set(out))
+        assert any(
+            "nonexistent_query_xyz" in str(w.message) for w in caught
+        ), "stripped name must be surfaced as a RuntimeWarning"
+    finally:
+        reg._DRIVER_PRIORITY = original
+
+
+def test_oracle_skip_env_names_are_registered_and_conditional(monkeypatch):
+    """_ORACLE_SKIP_ENV entries must point at real oracled queries, and
+    setting the env var must drop the oracle (rows-only fallback), not
+    leave a guaranteed hash mismatch for the driver."""
+    for name, env in reg._ORACLE_SKIP_ENV.items():
+        assert name in all_oracle_sql(), f"{name} has no oracle to skip"
+        monkeypatch.setenv(env, "s3kret")
+        assert name not in all_oracle_sql()
+        monkeypatch.delenv(env)
+        assert name in all_oracle_sql()
