@@ -151,6 +151,13 @@ BENCH_QUERIES = [
     "target_encode_categories",
     "funnel_time_to_convert",
     "shard_skew_report",
+    # round-8/9 additions: ANN bitext + the restored-harness audits
+    "bitext_margin_mining_ann",
+    "minhash_band_cardinality",
+    "quantile_bin_features",
+    "stream_watermark_audit",
+    "ann_recall_eval",
+    "tokenizer_fertility_by_lang",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -207,6 +214,8 @@ ITERATIVE = {
     "mv_rollup_rewrite",
     # stream drain + sink merges run during build
     "stream_mv_additive_merge",
+    # watermarked stream drain runs during build
+    "stream_watermark_audit",
     # bounded aggregate localCheckpoints run during build
     "pmi_collocations",
     "vocab_coverage_curve",
