@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "stream_watermark_audit",
     "ann_recall_eval",
     "tokenizer_fertility_by_lang",
+    "ivf_cell_load_audit",
+    "dedup_cluster_size_histogram",
+    "packing_waste_audit",
+    "cross_source_overlap_matrix",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -216,6 +220,8 @@ ITERATIVE = {
     "stream_mv_additive_merge",
     # watermarked stream drain runs during build
     "stream_watermark_audit",
+    # CC convergence loop runs during build
+    "dedup_cluster_size_histogram",
     # bounded aggregate localCheckpoints run during build
     "pmi_collocations",
     "vocab_coverage_curve",

@@ -756,3 +756,90 @@ def kv_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.orderBy(
         F.desc("saved_tokens"), F.desc("n_docs"), F.asc("prefix")
     ).limit(_KV_TOP)
+
+
+@query(
+    "cross_source_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+        FROM toks
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b, p.n_shared_shingles,
+           ROUND(CAST(p.n_shared_shingles AS DOUBLE)
+                 / least(ca.n_sh, cb.n_sh), 6) AS containment
+    FROM pairs p
+    JOIN counts ca ON ca.source = p.src_a
+    JOIN counts cb ON cb.source = p.src_b
+    """,
+)
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (M154): for every source
+    pair, the count of distinct 3-shingles present in BOTH plus the
+    min-side containment ratio — the provenance report behind mixture
+    weighting (a source largely contained in another silently doubles
+    its effective mixture weight) and mirror detection (containment
+    near 1.0 = one source is a subset/mirror of the other).  Shingle
+    grain rather than whole-document digests deliberately: fixture and
+    real crawls alike overlap by near-duplication and quotation far
+    more than by byte-identical documents (the sf0.01 fixture has ZERO
+    exact cross-source duplicates but 31-210 shared shingles per pair).
+
+    Scale: documents reduce to DISTINCT (shingle, source) pairs first —
+    a word-count-shaped explode+distinct (hash the gram to 8 bytes at
+    100 TB); the shingle-keyed self-equi-join fans out C(k,2) rows for
+    a shingle in k sources — bounded by the SOURCE count, never
+    |docs|²; per-source totals and the final matrix are
+    |sources|-bounded aggregates.  Containment is one rounded division
+    over exact counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(ngrams(tokenize(F.col("text")), 3))
+        ).alias("g"),
+    ).distinct()
+    counts = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    ca = counts.select(F.col("source").alias("src_a"), F.col("n_sh").alias("_na"))
+    cb = counts.select(F.col("source").alias("src_b"), F.col("n_sh").alias("_nb"))
+    return (
+        pairs.join(ca, "src_a")
+        .join(cb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_shingles",
+            F.round(
+                F.col("n_shared_shingles").cast("double")
+                / F.least("_na", "_nb"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -704,3 +704,136 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") * _SKEW_N_SHARDS / F.col("t")
         ).alias("balance_ratio"),
     )
+
+
+@query(
+    "packing_waste_audit",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          t -> t <> '')) AS BIGINT),
+                     512) AS n_tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT CAST((n_tok - 1) // 64 AS INTEGER) AS len_bucket, n_tok
+        FROM per_doc WHERE n_tok > 0
+    )
+    SELECT len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(512 - n_tok) AS BIGINT) AS padding_waste,
+           ROUND(CAST(SUM(512 - n_tok) AS DOUBLE) / (512 * COUNT(*)), 6)
+               AS waste_ratio
+    FROM bucketed
+    GROUP BY len_bucket
+    """,
+)
+def packing_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for sequence packing (M153): per 64-token
+    length bucket, how many pad tokens a NAIVE one-doc-per-row batch at
+    max_seq_len 512 would burn (512 − len per doc, truncation capped)
+    and the waste ratio — the number that justifies running the packing
+    ops at all (``pack_token_budget`` / ``pack_sequential_bins``
+    eliminate exactly this waste; short-doc-heavy corpora routinely
+    waste >50% of step compute on padding).
+
+    Scale: one map-side projection (token count + bucket) and one
+    bounded aggregate on ≤8 bucket keys — no joins, no windows; the
+    ratio follows the exact-integer-sums / one-rounded-division rule.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.least(
+        F.size(tokenize(F.col("text"))).cast("long"), F.lit(512)
+    )
+    bucketed = docs.select(n_tok.alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    ).select(
+        F.expr("cast((n_tok - 1) div 64 as int)").alias("len_bucket"),
+        "n_tok",
+    )
+    return bucketed.groupBy("len_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum(F.lit(512) - F.col("n_tok")).alias("padding_waste"),
+        F.round(
+            F.sum(F.lit(512) - F.col("n_tok")).cast("double")
+            / (512 * F.count("*")),
+            6,
+        ).alias("waste_ratio"),
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {_TAU}
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS w FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT u AS v, u AS w FROM edges
+        UNION
+        SELECT r.v, e.w
+        FROM reach r JOIN edges e ON e.u = r.w
+    ),
+    assign AS (
+        SELECT d.doc_id,
+               coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d
+        LEFT JOIN (SELECT v, MIN(w) AS canonical_id FROM reach GROUP BY v) c
+               ON c.v = d.doc_id
+    ),
+    sizes AS (
+        SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign GROUP BY canonical_id
+    )
+    SELECT n AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY n
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (M152) — the dedup ROI report:
+    for each duplicate-cluster size n (connected components over the
+    ``near_dup_clusters`` edge set), how many clusters exist, how many
+    documents they hold, and how many rows canonical-keep dedup would
+    remove (n−1 per cluster).  This is the number quoted before
+    green-lighting a dedup pass on a new corpus ("23% of the crawl
+    collapses"), and the distribution says WHAT kind of duplication it
+    is — a fat n=2 tail (mirrors, re-posts) vs a few mega-clusters
+    (templates, boilerplate) call for different upstream fixes.
+    Clusters are NEAR-dup components, not byte-identical groups,
+    deliberately: real corpora (and this fixture at the driver tier)
+    duplicate by near-duplication, not byte equality.
+
+    Scale: the same O(log d) pointer-jumping closure as
+    ``near_dup_clusters`` (id-pair shuffles only), then a
+    canonical-keyed count and a histogram over cluster SIZES — key
+    cardinality ≤ max multiplicity, a few dozen at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _adjacent_jaccard_edges(docs)
+    assign = canonical_assignment(pairs, docs.select("doc_id"))
+    sizes = assign.groupBy("canonical_id").agg(F.count("*").alias("n"))
+    return sizes.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_removable"),
+    )

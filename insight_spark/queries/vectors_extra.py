@@ -1689,3 +1689,112 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_hits.cast("double") / 5, 6).alias("recall"),
         )
     )
+
+
+@query(
+    "ivf_cell_load_audit",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT c_id AS q_id, e FROM c WHERE c_id < 10),
+    cents AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS INTEGER)
+                   AS cell_id,
+               e AS centroid
+        FROM (SELECT * FROM c ORDER BY c_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT c_id, cell_id FROM (
+            SELECT c.c_id, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_id
+                       ORDER BY list_distance(c.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, cell_id FROM (
+            SELECT q.q_id, cents.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_distance(q.e, cents.centroid),
+                                cents.cell_id) AS rn
+            FROM q CROSS JOIN cents
+        ) WHERE rn <= 3
+    ),
+    loads AS (
+        SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM assigned GROUP BY cell_id
+    ),
+    pr AS (
+        SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_probes
+        FROM probes GROUP BY cell_id
+    )
+    SELECT loads.cell_id, loads.n_vectors,
+           CAST(COALESCE(pr.n_probes, 0) AS BIGINT) AS n_probes,
+           CAST(loads.n_vectors * COALESCE(pr.n_probes, 0) AS BIGINT)
+               AS scanned_pairs
+    FROM loads LEFT JOIN pr USING (cell_id)
+    """,
+)
+def ivf_cell_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-load audit (M151) — the ANN twin of the LSH band-load
+    audit (M146): per cell, how many vectors the coarse quantizer
+    assigned (``n_vectors``), how many eval-query probes hit it
+    (``n_probes``), and the resulting exact-scan volume
+    ``scanned_pairs = n_vectors · n_probes`` — the cost model of every
+    IVF query (Σ scanned_pairs IS the candidate count ``ann_ivf_topk``
+    ranks).  A skewed cell here is the ANN equivalent of a shuffle
+    hot key: queries probing it pay its whole load, and the fix
+    (re-train centroids / split the cell) happens BEFORE serving, which
+    is why this audit exists as its own one-shot query.
+
+    Scale: assignment is the per-row inlined-quantizer projection (no
+    join, no shuffle — tests/test_plans.py::test_ivf_assign_no_exchange_no_join); both loads are
+    map-side-combined aggregates on ≤K keys; the audit join is
+    K-sized.  Fully value-oracled via the M133b/M149 DuckDB IVF replay.
+    """
+    from insight_spark.operators.similarity import (
+        _centroid_scores,
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cents = seeded_centroids(corpus, n_cells=8)
+    loads = (
+        ivf_assign(corpus, cents)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    probe = F.slice(
+        F.array_sort(_centroid_scores(cents, "q_embedding")), 1, 3
+    )
+    pr = (
+        queries.select(
+            F.explode(
+                F.transform(probe, lambda s: s["cell_id"])
+            ).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_probes"))
+    )
+    n_probes = F.coalesce(F.col("n_probes"), F.lit(0))
+    return loads.join(pr, "cell_id", "left").select(
+        "cell_id",
+        "n_vectors",
+        n_probes.alias("n_probes"),
+        (F.col("n_vectors") * n_probes).alias("scanned_pairs"),
+    )
