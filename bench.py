@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "dedup_cluster_size_histogram",
     "packing_waste_audit",
     "cross_source_overlap_matrix",
+    "ann_lsh_recall_eval",
+    "stream_exactly_once_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -222,6 +224,8 @@ ITERATIVE = {
     "stream_watermark_audit",
     # CC convergence loop runs during build
     "dedup_cluster_size_histogram",
+    # double-delivery stream drain runs during build
+    "stream_exactly_once_audit",
     # bounded aggregate localCheckpoints run during build
     "pmi_collocations",
     "vocab_coverage_curve",

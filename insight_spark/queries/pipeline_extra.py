@@ -789,3 +789,141 @@ def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("weight"))
     )
+
+
+def _ann_lsh_recall_eval_oracle(
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB replay for the per-query LSH recall eval: the
+    `_ann_lsh_oracle` bucketing/candidate CTEs plus a brute-force exact
+    top-k side, met per (query, candidate) and anchored on the full
+    query set (zero-hit queries count as recall 0)."""
+    from insight_spark.operators.similarity import lsh_plane_signs
+
+    signs = lsh_plane_signs(n_tables, n_planes, dim)
+    rows = ",\n            ".join(
+        f"({t}, {p}, [{', '.join(str(s) for s in signs[t][p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES
+            {rows}
+        ) AS t(tbl, p, s)
+    ),
+    vecs AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS iv,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, tbl, p,
+               list_sum(list_transform(range(1, {dim + 1}),
+                   i -> iv[i] * s[i])) AS pr
+        FROM vecs CROSS JOIN planes
+    ),
+    bkt AS (
+        SELECT vec_id, tbl,
+               SUM(CASE WHEN pr >= 0
+                   THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 10
+    ),
+    approx AS (
+        SELECT q_id, c_id FROM (
+            SELECT cand.q_id, cand.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.q_id
+                       ORDER BY ROUND(list_cosine_similarity(qv.v, cv.v), 6)
+                                    DESC,
+                                cand.c_id) AS rn
+            FROM cand
+            JOIN vecs qv ON qv.vec_id = cand.q_id
+            JOIN vecs cv ON cv.vec_id = cand.c_id
+        ) WHERE rn <= {k}
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                                    DESC,
+                                c.vec_id) AS rn
+            FROM vecs q CROSS JOIN vecs c
+            WHERE q.vec_id < 10
+        ) WHERE rn <= {k}
+    )
+    SELECT q.vec_id AS q_vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {k}, 6) AS recall
+    FROM (SELECT vec_id FROM vecs WHERE vec_id < 10) q
+    LEFT JOIN (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+        GROUP BY e.q_id
+    ) h ON h.q_id = q.vec_id
+    """
+
+
+@query("ann_lsh_recall_eval", oracle=_ann_lsh_recall_eval_oracle())
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query LSH recall eval (M155) — the LSH leg of the eval suite
+    `ann_recall_eval` (M149) opened for IVF: for each of the 10 eval
+    queries, how many of the exact top-5 the 8-table/4-plane
+    hyperplane-LSH index returned, and the recall fraction.  Upgrades
+    the second bound-oracle gate (`ann_lsh_recall_gate`, a TRUE row)
+    to a fully value-hash-checked report: the DuckDB side replays the
+    literal ±1 sign matrix, integer-micro projections, bucket ids,
+    candidate join, and rounded-cosine rank bit-identically
+    (`_ann_lsh_oracle`'s machinery), so a regression anywhere in the
+    bucketing flips the driver hash — and the per-query rows say WHICH
+    queries lose neighbors, where the gate only said pass/fail.
+
+    Scale: identical legs to M149 — the exact side is the bounded-eval
+    broadcast baseline, the LSH side the production bucket equi-join.
+    """
+    from insight_spark.operators.similarity import (
+        knn_topk,
+        lsh_bucket_join,
+        lsh_plane_signs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    approx = lsh_bucket_join(
+        queries,
+        corpus,
+        k=5,
+        n_planes=4,
+        n_tables=8,
+        plane_signs=lsh_plane_signs(8, 4, 64),
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    counts = hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        queries.select("q_vec_id")
+        .join(counts, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            n_hits.cast("int").alias("n_hits"),
+            F.round(n_hits.cast("double") / 5, 6).alias("recall"),
+        )
+    )

@@ -841,3 +841,61 @@ def stream_mv_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("_sv").cast("double"), 6).alias("sum_value"),
     )
+
+
+@query(
+    "stream_exactly_once_audit",
+    oracle="""
+    SELECT event_type,
+           2 * COUNT(*) AS n_delivered,
+           COUNT(*) AS n_accepted,
+           COUNT(*) AS n_duplicates_dropped
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACCOUNTING (M156) — the audit twin of
+    ``stream_dedup_counts`` (K5), completing the pattern M148 set for
+    K4: K5 proves replayed deliveries are deduplicated; this query
+    measures HOW MANY, per event_type — the at-least-once-transport
+    health metric (a dup rate that jumps from its baseline means the
+    upstream producer is retrying, before anything downstream breaks).
+
+    Same fixture as K5: every chunk file arrives TWICE (8 micro-
+    batches).  ``n_accepted`` comes from the REAL streaming execution
+    (``dropDuplicates`` on event_id across batch boundaries);
+    ``n_delivered`` from a batch scan of the exact files the stream
+    source saw; the difference is the dropped-duplicate count — here
+    exactly one per event, which the oracle states in closed form
+    (delivered = 2× accepted).
+
+    Scale: the streaming leg is the production keyed dedup state
+    (watermark-bounded); the delivered leg is a metadata-cheap count
+    over the same files; the audit join is |event_type|-sized.
+    """
+    from insight_spark.streaming.core import read_events_stream
+
+    in_dir = _chunk_dir(spark, sf_dir, dup=True)
+    events = read_events_stream(spark, in_dir)
+    deduped = (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_accepted"))
+    )
+    name = "mem_eoa_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    accepted = _drain(spark, deduped, name)
+    delivered = (
+        spark.read.parquet(os.path.join(in_dir, "*.parquet"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_delivered"))
+    )
+    return delivered.join(accepted, "event_type").select(
+        "event_type",
+        "n_delivered",
+        "n_accepted",
+        (F.col("n_delivered") - F.col("n_accepted")).alias(
+            "n_duplicates_dropped"
+        ),
+    )
