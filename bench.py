@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "cross_source_overlap_matrix",
     "ann_lsh_recall_eval",
     "stream_exactly_once_audit",
+    "ann_pq_recall_eval",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -1798,3 +1798,143 @@ def ivf_cell_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probes.alias("n_probes"),
         (F.col("n_vectors") * n_probes).alias("scanned_pairs"),
     )
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT c_id AS q_id, v FROM c WHERE c_id < 10),
+    cb AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS INTEGER) AS j,
+               v
+        FROM (SELECT * FROM c ORDER BY c_id LIMIT 16)
+    ),
+    cbl AS MATERIALIZED (SELECT list(v ORDER BY j) AS cvs FROM cb),
+    subs AS (SELECT CAST(range AS INTEGER) AS s FROM range(0, 8)),
+    enc AS MATERIALIZED (
+        SELECT c_id, s, j AS code FROM (
+            SELECT c.c_id, subs.s, cb.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_id, subs.s
+                       ORDER BY list_sum(list_transform(range(1, 9),
+                           i -> (c.v[subs.s * 8 + i] - cb.v[subs.s * 8 + i])
+                              * (c.v[subs.s * 8 + i] - cb.v[subs.s * 8 + i]))),
+                                cb.j) AS rn
+            FROM c CROSS JOIN subs CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    encv AS MATERIALIZED (
+        SELECT c_id, list(code ORDER BY s) AS codes FROM enc GROUP BY c_id
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, e.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_sum(list_transform(range(0, 8),
+                           s -> list_sum(list_transform(range(1, 9),
+                               i -> (q.v[s * 8 + i]
+                                     - cbl.cvs[e.codes[s + 1] + 1][s * 8 + i])
+                                  * (q.v[s * 8 + i]
+                                     - cbl.cvs[e.codes[s + 1] + 1][s * 8 + i])
+                           )))), 6) ASC,
+                                e.c_id) AS rn
+            FROM q CROSS JOIN encv e CROSS JOIN cbl
+        ) WHERE rn <= 50
+    ),
+    approx AS (
+        SELECT q_id, c_id FROM (
+            SELECT short.q_id, short.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY short.q_id
+                       ORDER BY ROUND(list_cosine_similarity(qv.v, cv.v), 6)
+                                    DESC,
+                                short.c_id) AS rn
+            FROM short
+            JOIN c qv ON qv.c_id = short.q_id
+            JOIN c cv ON cv.c_id = short.c_id
+        ) WHERE rn <= 5
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                                    DESC,
+                                c.c_id) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 5
+    )
+    SELECT q.q_id AS q_vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+    FROM q
+    LEFT JOIN (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+        GROUP BY e.q_id
+    ) h ON h.q_id = q.q_id
+    """,
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query PQ recall eval (M157) — the third and final leg of the
+    ANN eval suite (M149 IVF, M155 LSH): for each of the 10 eval
+    queries, how many of the exact top-5 the PQ pipeline (8 subspaces x
+    16 codes, ADC shortlist-50, exact re-rank) returned.  Upgrades the
+    last bound-oracle ANN gate (`ann_pq_recall_gate`'s TRUE row) to a
+    fully value-hash-checked report: the DuckDB side replays the seeded
+    codebooks (first 16 vectors by id, subspace slices), per-subspace
+    argmin encoding with code-id tie-break, the rounded ADC shortlist
+    rank, and the rounded-cosine re-rank — a regression in encode /
+    ADC / shortlist width / re-rank flips the driver hash, and the
+    per-query rows localize it.
+
+    Float-parity note: every distance is an in-order sum of doubles on
+    both sides (Spark's sequential fold == DuckDB list_sum over the
+    ordered range list; products written as x·x, never pow), ranked
+    only after 6-digit rounding with id tie-breaks — the established
+    rank-on-rounded-score discipline.
+
+    Scale: the eval set is bounded, so the exact side and the ADC scan
+    cost |eval|·N with the scan touching only code ints (the PQ
+    storage win); encode is the per-row inlined-codebook projection.
+    """
+    from insight_spark.operators.similarity import (
+        knn_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    exact = knn_topk(queries, corpus, k=5).select("q_vec_id", "c_vec_id")
+    cbs = pq_codebooks(corpus, n_subspaces=8, n_codes=16)
+    approx = pq_adc_topk(
+        queries, pq_encode(corpus, cbs), cbs, corpus, k=5, shortlist=50
+    ).select("q_vec_id", "c_vec_id")
+    hits = exact.join(approx, ["q_vec_id", "c_vec_id"], "left_semi")
+    counts = hits.groupBy("q_vec_id").agg(F.count("*").alias("n_hits"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        queries.select("q_vec_id")
+        .join(counts, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            n_hits.cast("int").alias("n_hits"),
+            F.round(n_hits.cast("double") / 5, 6).alias("recall"),
+        )
+    )
