@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "ann_lsh_recall_eval",
     "stream_exactly_once_audit",
     "ann_pq_recall_eval",
+    "blocklist_filter_audit",
+    "preference_pair_build",
+    "annotator_agreement_kappa",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -1952,3 +1952,99 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_pred"),
         (F.sum("y").cast("double") / F.count("*")).alias("frac_pos"),
     )
+
+
+@query(
+    "annotator_agreement_kappa",
+    oracle="""
+    WITH rated AS (
+        SELECT label AS a,
+               CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1', '2')
+                    THEN (label + 1) % 10 ELSE label END AS b
+        FROM embeddings
+    ),
+    conf AS (SELECT a, b, COUNT(*) AS n FROM rated GROUP BY a, b),
+    rows_m AS (SELECT a AS cls, SUM(n) AS row_n FROM conf GROUP BY a),
+    cols_m AS (SELECT b AS cls, SUM(n) AS col_n FROM conf GROUP BY b),
+    s AS (
+        SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0))
+                    AS BIGINT) AS chance_sum
+        FROM rows_m FULL JOIN cols_m USING (cls)
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM conf
+    )
+    SELECT n_items, n_agree, chance_sum,
+           CAST(n_agree AS DOUBLE) / n_items AS po,
+           CAST(chance_sum AS DOUBLE) / (n_items * n_items) AS pe,
+           CAST(n_items * n_agree - chance_sum AS DOUBLE)
+               / (n_items * n_items - chance_sum) AS kappa
+    FROM tot, s
+    """,
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement via Cohen's kappa (M160) — the label-QA
+    gate run before trusting a labeled dataset (or an LLM-as-judge
+    pass): observed agreement corrected for chance agreement over the
+    two raters' confusion matrix.  Rater A is the stored label; rater B
+    is a deterministic md5-keyed perturbation (~19% of items shifted one
+    class) standing in for the second annotator column a real dataset
+    carries — swap in the real column and everything downstream is
+    unchanged.
+
+    Exactness: kappa is computed in INTEGER form —
+    kappa = (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k) —
+    so po, pe, and kappa are each ONE IEEE division of exact BIGINTs
+    (bit-equal cross-engine; no intermediate float arithmetic, no
+    terminal ROUND).
+
+    Scale: the confusion matrix is a |classes|²-keyed aggregate (one
+    map-side-combined shuffle over the ratings), marginals and the
+    chance sum are |classes|-sized joins, and the result is one row.
+    Nothing after the first aggregate touches data-sized state.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flip = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    rated = emb.select(
+        F.col("label").alias("a"),
+        F.when(flip, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label"))
+        .alias("b"),
+    )
+    conf = rated.groupBy("a", "b").agg(F.count("*").alias("n"))
+    rows_m = conf.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols_m = conf.groupBy(F.col("b").alias("cls")).agg(
+        F.sum("n").alias("col_n")
+    )
+    s = (
+        rows_m.join(cols_m, "cls", "full")
+        .select(
+            (
+                F.coalesce("row_n", F.lit(0))
+                * F.coalesce("col_n", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").alias("chance_sum"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .alias("n_agree"),
+    )
+    n, d, c = F.col("n_items"), F.col("n_agree"), F.col("chance_sum")
+    return tot.crossJoin(s).select(
+        "n_items",
+        "n_agree",
+        "chance_sum",
+        (d.cast("double") / n).alias("po"),
+        (c.cast("double") / (n * n)).alias("pe"),
+        ((n * d - c).cast("double") / (n * n - c)).alias("kappa"),
+    )

@@ -810,3 +810,90 @@ def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_kept_ratio"),
     )
+
+
+#: C4-style blocklist (Raffel et al. 2020 §2.2 "bad words" filter).
+#: Three literal terms chosen for coverage of the audit's three cases
+#: on the fixture vocabulary: a rare term ("dup", ~5% of docs), a
+#: common term ("slow", ~95% of docs — density, not presence, must
+#: gate), and an absent term ("stale", 0 hits — the list entry that
+#: never fires).  A production list swaps in the real lexicon; every
+#: downstream expression is unchanged.
+_BLOCKLIST = ("dup", "slow", "stale")
+
+#: Flag threshold: blocklist tokens >= 4% of the document's tokens.
+#: Expressed as the integer cross-multiplication 25*hits >= n_tokens
+#: (1e6*hits/n >= 40000 <=> 25*hits >= n) so the gate never touches a
+#: float on either engine.
+_BLOCK_DENSITY_PCT = 4
+
+
+@query(
+    "blocklist_filter_audit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS l
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               len(l) AS n_tok,
+               len(list_filter(l,
+                   t -> list_contains(['dup', 'slow', 'stale'], t)))
+                   AS hits,
+               len(list_filter(l, t -> t = 'dup')) AS rare_hits
+        FROM toks WHERE len(l) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE 25 * hits >= n_tok) AS BIGINT)
+               AS n_flagged,
+           CAST(COUNT(*) FILTER (WHERE rare_hits > 0) AS BIGINT)
+               AS n_rare_term_docs,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(MAX(1000000 * hits // n_tok) AS BIGINT)
+               AS max_density_micro
+    FROM scored GROUP BY source
+    """,
+)
+def blocklist_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter audit (M158): per source, how many
+    documents a bad-words filter would flag at a 4%-of-tokens density
+    threshold, how many contain the rare term at all, total hits, and
+    the worst per-doc density — the pre-flight report run BEFORE
+    committing a lexicon filter to a crawl (C4 dropped ~5% of docs to
+    its list; the per-source split says which feeds pay).  Density
+    gates, not presence gates, because common terms appear in nearly
+    every document — presence would flag the whole corpus.
+
+    Exactness: the flag is the integer cross-multiplication
+    25*hits >= n_tokens and the density report an integer division to
+    micro-units — no float reaches a hashed column on either engine.
+
+    Scale: one map-only projection (split + two higher-order filters,
+    blocklist inlined as an array literal — at lexicon sizes beyond
+    literals, a broadcast join on exploded tokens), then a
+    |sources|-keyed aggregate.  Zero corpus-sized shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    block_arr = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    l = tokenize(F.col("text"))
+    scored = docs.select(
+        "source",
+        F.size(l).alias("n_tok"),
+        F.size(
+            F.filter(l, lambda t: F.array_contains(block_arr, t))
+        ).alias("hits"),
+        F.size(F.filter(l, lambda t: t == "dup")).alias("rare_hits"),
+    ).filter(F.col("n_tok") > 0)
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(25 * F.col("hits") >= F.col("n_tok")).alias("n_flagged"),
+        F.count_if(F.col("rare_hits") > 0).alias("n_rare_term_docs"),
+        F.sum("hits").alias("total_hits"),
+        F.max(
+            F.expr("1000000 * hits div n_tok")
+        ).alias("max_density_micro"),
+    )

@@ -837,3 +837,106 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         F.sum(F.col("n") - 1).alias("n_removable"),
     )
+
+
+@query(
+    "preference_pair_build",
+    oracle=r"""
+    WITH scored AS (
+        SELECT lang, source, doc_id,
+               1000000 * len(list_distinct(l)) // len(l) AS reward_micro
+        FROM (
+            SELECT lang, source, doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '') AS l
+            FROM documents
+        ) WHERE len(l) > 0
+    ),
+    ranked AS (
+        SELECT lang, source, doc_id, reward_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY reward_micro DESC, doc_id ASC) AS rn_best,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY reward_micro ASC, doc_id DESC) AS rn_worst
+        FROM scored
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MAX(CASE WHEN rn_best = 1 THEN doc_id END) AS BIGINT)
+               AS chosen_doc_id,
+           CAST(MAX(CASE WHEN rn_worst = 1 THEN doc_id END) AS BIGINT)
+               AS rejected_doc_id,
+           CAST(MAX(CASE WHEN rn_best = 1 THEN reward_micro END)
+                - MAX(CASE WHEN rn_worst = 1 THEN reward_micro END)
+                AS BIGINT) AS margin_micro
+    FROM ranked GROUP BY lang, source HAVING COUNT(*) >= 2
+    """,
+)
+def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair construction (M159): within each prompt
+    group — (lang, source) stands in for the prompt key — pair the
+    highest-reward candidate (chosen) against the lowest (rejected),
+    with the reward margin that downstream DPO loss weighting and
+    pair-quality filters (drop margin≈0 pairs) consume.  The reward
+    here is the distinct-token ratio in integer micro-units; a real
+    pipeline swaps in its reward-model score column and every
+    downstream expression is unchanged.  Tie-breaks are polarized
+    (chosen: reward DESC, id ASC; rejected: reward ASC, id DESC) so a
+    constant-reward group still yields a valid distinct pair rather
+    than chosen == rejected; 1-candidate groups are dropped (no pair
+    exists).
+
+    Exactness: the reward is an integer division to micro-units, the
+    margin a BIGINT difference — nothing float anywhere.
+
+    Scale: one map-only scoring projection, two row_number windows on
+    the SAME (lang, source) partitioning (one shuffle, bounded
+    per-group state), then a group-keyed conditional aggregate —
+    |groups|-sized output.  No self-join of candidates against each
+    other (the all-pairs construction would be |group|² per prompt).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    scored = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        l.alias("l"),
+    ).filter(F.size("l") > 0).select(
+        "lang",
+        "source",
+        "doc_id",
+        F.expr(
+            "1000000 * size(array_distinct(l)) div size(l)"
+        ).alias("reward_micro"),
+    )
+    w_best = Window.partitionBy("lang", "source").orderBy(
+        F.desc("reward_micro"), F.asc("doc_id")
+    )
+    w_worst = Window.partitionBy("lang", "source").orderBy(
+        F.asc("reward_micro"), F.desc("doc_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_best).alias("rn_best"),
+        F.row_number().over(w_worst).alias("rn_worst"),
+    )
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max(
+                F.when(F.col("rn_best") == 1, F.col("doc_id"))
+            ).alias("chosen_doc_id"),
+            F.max(
+                F.when(F.col("rn_worst") == 1, F.col("doc_id"))
+            ).alias("rejected_doc_id"),
+            (
+                F.max(F.when(F.col("rn_best") == 1, F.col("reward_micro")))
+                - F.max(F.when(F.col("rn_worst") == 1, F.col("reward_micro")))
+            ).alias("margin_micro"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+    )
