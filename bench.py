@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "blocklist_filter_audit",
     "preference_pair_build",
     "annotator_agreement_kappa",
+    "class_centroid_outliers",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

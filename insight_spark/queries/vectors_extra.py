@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -1937,4 +1937,112 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_hits.cast("int").alias("n_hits"),
             F.round(n_hits.cast("double") / 5, 6).alias("recall"),
         )
+    )
+
+
+@query(
+    "class_centroid_outliers",
+    oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, d, CAST(SUM(e[d]) AS BIGINT) AS s
+        FROM q CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS d)
+        GROUP BY label, d
+    ),
+    cent AS (SELECT label, list(s ORDER BY d) AS sv FROM dims GROUP BY label),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label),
+    scored AS (
+        SELECT q.label, cnt.n,
+               list_sum(list_transform(range(1, 65),
+                   d -> CAST(cnt.n * q.e[d] - cent.sv[d] AS HUGEINT)
+                      * CAST(cnt.n * q.e[d] - cent.sv[d] AS HUGEINT)))
+                   AS dist2
+        FROM q JOIN cent USING (label) JOIN cnt USING (label)
+    ),
+    windowed AS (
+        SELECT label, n, dist2,
+               SUM(dist2) OVER (PARTITION BY label) AS cls_sum
+        FROM scored
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(COUNT(*) FILTER (WHERE n * dist2 > 4 * cls_sum)
+                AS BIGINT) AS n_outliers,
+           CAST(SUM(dist2) AS DECIMAL(38,0)) AS sum_dist2,
+           CAST(MAX(dist2) AS DECIMAL(38,0)) AS max_dist2
+    FROM windowed GROUP BY label
+    """,
+)
+def class_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-centroid outlier audit (M161) — the embedding-space
+    mislabeled-data detector (data-centric AI's cleanlab-style gate):
+    per label class, how many members sit anomalously far from their
+    class centroid (squared L2 > 4x the class mean), plus the exact
+    within-class scatter and worst offender.  High outlier counts per
+    class are the "relabel or drop before training" signal.
+
+    Exactness: with micro-int coordinates x and per-class dim sums S,
+    the n^2-scaled squared distance sum_d (n*x_d - S_d)^2 is EXACT
+    integer arithmetic (the centroid never materializes as a float),
+    and the flag n*dist2 > 4*sum(dist2) is the cross-multiplied form
+    of dist2 > 4*mean — no division, no float anywhere.  Spark
+    accumulates in DECIMAL(38,0), DuckDB in HUGEINT; the hashed
+    columns are cast to DECIMAL(38,0) on both sides.
+
+    Scale: per-dim class sums are ONE map-side-combined aggregate over
+    the posexploded coords (|classes| x dims rows of model state,
+    broadcast back); scoring is a map-only zip_with fold; the verdict
+    a |classes|-keyed aggregate.  Nothing shuffles the corpus twice.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", quantize_micro(F.col("embedding")).alias("e")
+    )
+    dims = (
+        q.select("label", F.posexplode("e").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))),
+            lambda t: t["s"],
+        ).alias("sv")
+    )
+    cnt = q.groupBy("label").agg(F.count("*").alias("n"))
+    model = F.broadcast(cent.join(cnt, "label"))
+    dec = "decimal(38,0)"
+    scored = q.join(model, "label").select(
+        "label",
+        "n",
+        F.aggregate(
+            F.zip_with(
+                "e",
+                "sv",
+                lambda x, sd: (F.col("n") * x - sd).cast(dec)
+                * (F.col("n") * x - sd).cast(dec),
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    w_cls = Window.partitionBy("label")
+    flagged = scored.withColumn(
+        "is_out",
+        F.col("n").cast(dec) * F.col("dist2")
+        > 4 * F.sum("dist2").over(w_cls),
+    )
+    return flagged.groupBy("label").agg(
+        F.max("n").alias("n_items"),
+        F.count_if(F.col("is_out")).alias("n_outliers"),
+        F.sum("dist2").cast(dec).alias("sum_dist2"),
+        F.max("dist2").cast(dec).alias("max_dist2"),
     )
