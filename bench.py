@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "preference_pair_build",
     "annotator_agreement_kappa",
     "class_centroid_outliers",
+    "sft_dialogue_assembly",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -927,3 +927,85 @@ def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_hits.cast("double") / 5, 6).alias("recall"),
         )
     )
+
+
+@query(
+    "sft_dialogue_assembly",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN 'U' ELSE 'A' END AS role
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, ts, event_id, role,
+               LAG(role) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM tagged
+    ),
+    assembled AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(*) FILTER (WHERE role = prev) AS BIGINT)
+                   AS n_violations,
+               string_agg(role, '' ORDER BY ts, event_id) AS transcript
+        FROM lagged GROUP BY user_id
+    )
+    SELECT user_id, n_turns, n_violations,
+           n_turns - n_violations AS n_merged_turns,
+           transcript,
+           substr(transcript, 1, 1) = 'U' AS opens_with_user
+    FROM assembled
+    """,
+)
+def sft_dialogue_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT dialogue assembly (M162) — the chat-data prep step that turns
+    an event log into per-conversation turn sequences: each user's
+    events, time-ordered, become a role transcript ('U'ser /
+    'A'ssistant — here a deterministic event_type mapping stands in for
+    the real message-role column), with the QA numbers every SFT
+    pipeline gates on before templating: turn count, role-alternation
+    violations (adjacent same-role messages — real pipelines merge
+    them, so the post-merge turn count ships too), and whether the
+    conversation opens with a user turn (chat templates require it).
+
+    Exactness: everything is counts, ordered string assembly with a
+    unique (ts, event_id) tie-break, and a substring test — no floats.
+
+    Scale: ONE shuffle on the conversation key serves both the lag
+    window and the ordered collect (same partitioning); per-key state
+    is one conversation's turns — the transcript column is the
+    conversation itself, which is exactly what the op must emit.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view", "signup"), F.lit("U")
+    ).otherwise(F.lit("A"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "ts", "event_id", role.alias("role")
+    ).withColumn("prev", F.lag("role").over(w))
+    assembled = lagged.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count_if(F.col("role") == F.col("prev")).alias("n_violations"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "role"))
+                ),
+                lambda t: t["role"],
+            ),
+            "",
+        ).alias("transcript"),
+    )
+    return assembled.select(
+        "user_id",
+        "n_turns",
+        "n_violations",
+        (F.col("n_turns") - F.col("n_violations")).alias("n_merged_turns"),
+        "transcript",
+        (F.substring("transcript", 1, 1) == "U").alias("opens_with_user"),
+    )
