@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "annotator_agreement_kappa",
     "class_centroid_outliers",
     "sft_dialogue_assembly",
+    "matryoshka_dim_recall_eval",
+    "fim_transform",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

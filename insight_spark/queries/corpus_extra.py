@@ -927,3 +927,108 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+@query(
+    "fim_transform",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS l
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, l, len(l) AS n,
+               len(l) // 3 AS p1, 2 * len(l) // 3 AS p2,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+                   AND len(l) >= 3 AS fim_applied
+        FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id, fim_applied,
+           CAST(n AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN fim_applied THEN p1 ELSE 0 END AS INTEGER)
+               AS n_prefix,
+           CAST(CASE WHEN fim_applied THEN p2 - p1 ELSE 0 END AS INTEGER)
+               AS n_middle,
+           CAST(CASE WHEN fim_applied THEN n - p2 ELSE 0 END AS INTEGER)
+               AS n_suffix,
+           CASE WHEN fim_applied THEN
+               concat_ws(' ', '<PRE>', array_to_string(l[1:p1], ' '),
+                         '<SUF>', array_to_string(l[p2+1:n], ' '),
+                         '<MID>', array_to_string(l[p1+1:p2], ' '))
+           ELSE array_to_string(l, ' ') END AS out_text
+    FROM sized
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle transform (M164) — the code-pretraining data prep
+    of Bavarian et al. 2022: for a deterministic 50% of documents
+    (md5 doc-key gate — the "FIM rate"), split the token stream at
+    1/3 and 2/3 and re-emit in PSM order
+    (``<PRE> prefix <SUF> suffix <MID> middle``) so the model learns
+    infilling; the rest pass through untouched.  Ships the split
+    accounting (prefix/middle/suffix token counts) that the loss
+    masking and the FIM-rate audit consume.
+
+    Determinism: the gate is an md5-hex prefix compare and the split
+    points are integer divisions — re-runs emit the byte-identical
+    corpus (the property that makes the transform driver-hashable and
+    training jobs resumable).
+
+    Scale: pure map-only projection (split, three slices, string
+    reassembly) — zero shuffles, full codegen; the transform composes
+    under any upstream filter with predicate pushdown intact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    sized = docs.select("doc_id", l.alias("l")).filter(
+        F.size("l") > 0
+    ).select(
+        "doc_id",
+        "l",
+        F.size("l").alias("n"),
+        F.expr("size(l) div 3").alias("p1"),
+        F.expr("2 * size(l) div 3").alias("p2"),
+    ).withColumn(
+        "fim_applied",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+        & (F.col("n") >= 3),
+    )
+    fim = F.concat_ws(
+        " ",
+        F.lit("<PRE>"),
+        F.array_join(F.slice("l", 1, F.col("p1")), " "),
+        F.lit("<SUF>"),
+        F.array_join(
+            F.slice("l", F.col("p2") + 1, F.col("n") - F.col("p2")), " "
+        ),
+        F.lit("<MID>"),
+        F.array_join(
+            F.slice("l", F.col("p1") + 1, F.col("p2") - F.col("p1")), " "
+        ),
+    )
+    z = F.lit(0)
+    return sized.select(
+        "doc_id",
+        "fim_applied",
+        F.col("n").cast("int").alias("n_tokens"),
+        F.when(F.col("fim_applied"), F.col("p1"))
+        .otherwise(z)
+        .cast("int")
+        .alias("n_prefix"),
+        F.when(F.col("fim_applied"), F.col("p2") - F.col("p1"))
+        .otherwise(z)
+        .cast("int")
+        .alias("n_middle"),
+        F.when(F.col("fim_applied"), F.col("n") - F.col("p2"))
+        .otherwise(z)
+        .cast("int")
+        .alias("n_suffix"),
+        F.when(F.col("fim_applied"), fim)
+        .otherwise(F.array_join("l", " "))
+        .alias("out_text"),
+    )

@@ -2046,3 +2046,116 @@ def class_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dist2").cast(dec).alias("sum_dist2"),
         F.max("dist2").cast(dec).alias("max_dist2"),
     )
+
+
+@query(
+    "matryoshka_dim_recall_eval",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT c_id AS q_id, v FROM c WHERE c_id < 10),
+    dims AS (SELECT CAST(unnest([16, 32, 64]) AS INTEGER) AS dim),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                                    DESC,
+                                c.c_id) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 5
+    ),
+    approx AS (
+        SELECT dim, q_id, c_id FROM (
+            SELECT d.dim, q.q_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.dim, q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    q.v[1:d.dim], c.v[1:d.dim]), 6) DESC,
+                                c.c_id) AS rn
+            FROM q CROSS JOIN c CROSS JOIN dims d
+        ) WHERE rn <= 5
+    )
+    SELECT q.q_id AS q_vec_id, d.dim,
+           CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
+           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 5, 6) AS recall
+    FROM q CROSS JOIN dims d
+    LEFT JOIN (
+        SELECT a.dim, a.q_id, COUNT(*) AS n
+        FROM approx a
+        JOIN exact e ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY a.dim, a.q_id
+    ) h ON h.q_id = q.q_id AND h.dim = d.dim
+    """,
+)
+def matryoshka_dim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall eval (M163): per eval query and
+    serving dimension d in {16, 32, 64}, how many of the full-dim
+    exact top-5 a prefix-truncated cosine search returns — the
+    dimension-vs-recall trade table read before picking an MRL
+    embedding's serving width (truncating to a prefix cuts index
+    memory and ADC/scan cost linearly; this is the recall price).
+    The d=64 leg equals the ground truth (recall 1.0 by construction)
+    and anchors the report.
+
+    Parity: both engines rank on 6-digit-rounded cosine over the SAME
+    prefix slice (F.slice / list v[1:d]) with id tie-breaks — the
+    established rank-on-rounded-score discipline of the ANN eval suite
+    (M149/M155/M157).
+
+    Scale: the eval set is bounded (broadcast), so each leg is a
+    map-side |eval|x|corpus| scan over corpus partitions — no corpus
+    shuffle; legs union to |eval|x|dims| output rows.  A production
+    variant slices once into a short column and reuses the ANN index
+    path; the eval's exact scan is the measurement instrument, not
+    the serving plan.
+    """
+    from insight_spark.operators.similarity import knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    exact = knn_topk(qs, corpus, k=5).select("q_vec_id", "c_vec_id")
+    legs = []
+    for d in (16, 32, 64):
+        qd = qs.select(
+            "q_vec_id", F.slice("q_embedding", 1, d).alias("q_embedding")
+        )
+        cd = corpus.select(
+            "c_vec_id", F.slice("c_embedding", 1, d).alias("c_embedding")
+        )
+        legs.append(
+            knn_topk(qd, cd, k=5).select(
+                F.lit(d).alias("dim"), "q_vec_id", "c_vec_id"
+            )
+        )
+    approx = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    hits = (
+        approx.join(exact, ["q_vec_id", "c_vec_id"], "left_semi")
+        .groupBy("dim", "q_vec_id")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = qs.select("q_vec_id").crossJoin(
+        spark.range(3).select(
+            (16 * F.pow(F.lit(2), F.col("id")))
+            .cast("int")
+            .alias("dim")
+        )
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return grid.join(hits, ["dim", "q_vec_id"], "left").select(
+        "q_vec_id",
+        "dim",
+        n.cast("int").alias("n_hits"),
+        F.round(n.cast("double") / 5, 6).alias("recall"),
+    )
