@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "sft_dialogue_assembly",
     "matryoshka_dim_recall_eval",
     "fim_transform",
+    "packed_attention_mask_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

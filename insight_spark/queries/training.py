@@ -940,3 +940,100 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_candidates") >= 2)
     )
+
+
+@query(
+    "packed_attention_mask_audit",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, source, n_tokens,
+               CAST((SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id)
+                     - n_tokens) // 2048 AS INTEGER) AS bin_id
+        FROM sized
+    ),
+    linked AS (
+        SELECT source, bin_id, n_tokens,
+               n_tokens * (SUM(n_tokens) OVER (
+                              PARTITION BY source, bin_id ORDER BY doc_id)
+                           - n_tokens) AS cross_j
+        FROM binned
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(SUM(cross_j) AS BIGINT) AS cross_links,
+           CAST(SUM(n_tokens) * (SUM(n_tokens) + 1) // 2 AS BIGINT)
+               AS causal_links,
+           CAST(SUM(cross_j) AS DOUBLE)
+               / (SUM(n_tokens) * (SUM(n_tokens) + 1) // 2) AS leak_ratio
+    FROM linked GROUP BY source, bin_id
+    """,
+)
+def packed_attention_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence attention-mask audit (M165): for every packing
+    bin of the ``pack_sequential_bins`` layout, the number of
+    cross-document attention links a plain causal mask would leak if
+    the block-diagonal document-boundary reset were forgotten —
+    token t of doc j attends to every token of docs i<j in the bin,
+    so leaked links = sum_j L_j * (sum_{i<j} L_i) — plus the bin's
+    total causal links and the leak ratio.  This is the mask-shape
+    accounting packed pretraining REQUIRES (cross-doc attention
+    contaminates training) and the cost model for choosing
+    block-diagonal kernels over full-causal-with-mask.
+
+    Exactness: both windows and all link counts are exact BIGINT
+    arithmetic over the same doc_id-ordered stream as the packing op;
+    the ratio is ONE IEEE division of exact integers (bit-equal).
+
+    Scale: TWO stacked windows on the same source-keyed shuffle (the
+    second adds bin_id to the partition key — no extra exchange), then
+    a bounded (source, bin) aggregate.  Per-bin state is one context
+    window (~2048 tokens) regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)
+        )
+        .cast("int")
+        .alias("bin_id"),
+    )
+    w_bin = (
+        Window.partitionBy("source", "bin_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    linked = binned.withColumn(
+        "cross_j",
+        F.col("n_tokens")
+        * (F.sum("n_tokens").over(w_bin) - F.col("n_tokens")),
+    )
+    t = F.sum("n_tokens")
+    causal = F.expr("sum(n_tokens) * (sum(n_tokens) + 1) div 2")
+    return linked.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        t.alias("bin_tokens"),
+        F.sum("cross_j").alias("cross_links"),
+        causal.alias("causal_links"),
+        (F.sum("cross_j").cast("double") / causal).alias("leak_ratio"),
+    )
