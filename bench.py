@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "matryoshka_dim_recall_eval",
     "fim_transform",
     "packed_attention_mask_audit",
+    "dedup_weight_consolidation",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -233,6 +234,7 @@ ITERATIVE = {
     "stream_watermark_audit",
     # CC convergence loop runs during build
     "dedup_cluster_size_histogram",
+    "dedup_weight_consolidation",
     # double-delivery stream drain runs during build
     "stream_exactly_once_audit",
     # bounded aggregate localCheckpoints run during build

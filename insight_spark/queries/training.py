@@ -1037,3 +1037,85 @@ def packed_attention_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         causal.alias("causal_links"),
         (F.sum("cross_j").cast("double") / causal).alias("leak_ratio"),
     )
+
+
+@query(
+    "dedup_weight_consolidation",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS l
+        FROM documents
+    ),
+    sets AS (SELECT doc_id, list_distinct(l) AS s, len(l) AS n_tokens
+             FROM toks),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {_TAU}
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS w FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT u AS v, u AS w FROM edges
+        UNION
+        SELECT r.v, e.w
+        FROM reach r JOIN edges e ON e.u = r.w
+    ),
+    assign AS (
+        SELECT d.doc_id, d.n_tokens,
+               coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        FROM sets d
+        LEFT JOIN (SELECT v, MIN(w) AS canonical_id FROM reach GROUP BY v) c
+               ON c.v = d.doc_id
+    )
+    SELECT canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS weight,
+           CAST(MAX(CASE WHEN doc_id = canonical_id THEN n_tokens END)
+                AS BIGINT) AS canonical_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens,
+           CAST(SUM(n_tokens)
+                - MAX(CASE WHEN doc_id = canonical_id THEN n_tokens END)
+                AS BIGINT) AS tokens_saved
+    FROM assign GROUP BY canonical_id
+    """,
+)
+def dedup_weight_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup with sampling weights (M166): collapse each near-dup
+    cluster to its canonical document but KEEP the duplicate count as
+    a per-document weight — the "dedup without losing the popularity
+    signal" variant (a doc crawled 40 times is evidence of importance;
+    hard dedup throws that away, weight-carrying dedup hands it to the
+    mixture/upsampling stage as a prior).  Ships the token accounting
+    (canonical vs whole-cluster tokens, tokens saved) that prices the
+    consolidation.
+
+    Scale: the same O(log d) pointer-jumping closure as
+    ``near_dup_clusters`` (id-pair shuffles only) plus ONE
+    canonical-keyed aggregate over (doc_id, n_tokens) rows — the
+    canonical's own token count surfaces via a conditional MAX inside
+    that aggregate, not a second join.  All outputs exact BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _adjacent_jaccard_edges(docs)
+    sized = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    assign = canonical_assignment(pairs, docs.select("doc_id")).join(
+        sized, "doc_id"
+    )
+    canon_toks = F.max(
+        F.when(F.col("doc_id") == F.col("canonical_id"), F.col("n_tokens"))
+    )
+    return assign.groupBy("canonical_id").agg(
+        F.count("*").alias("weight"),
+        canon_toks.alias("canonical_tokens"),
+        F.sum("n_tokens").alias("cluster_tokens"),
+        (F.sum("n_tokens") - canon_toks).alias("tokens_saved"),
+    )
