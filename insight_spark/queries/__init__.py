@@ -118,7 +118,29 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_watermark_audit",    # M148: late-data accounting
     "ann_recall_eval",           # M149: ANN recall vs exact ground truth
     "tokenizer_fertility_by_lang",  # M150: per-language fertility audit
-    # (c) stalest signatures, oldest-first — all 27 r1-era
+    # (b cont.) round-9 late additions (M151-M166, registered after the
+    # window was first set) — first-time evidence outranks stale
+    # refresh (the M133b lesson: implemented-but-never-driver-checked
+    # is a flagged gap)
+    "ivf_cell_load_audit",          # M151
+    "dedup_cluster_size_histogram",  # M152
+    "packing_waste_audit",          # M153
+    "cross_source_overlap_matrix",  # M154
+    "ann_lsh_recall_eval",          # M155
+    "stream_exactly_once_audit",    # M156
+    "ann_pq_recall_eval",           # M157
+    "blocklist_filter_audit",       # M158
+    "preference_pair_build",        # M159
+    "annotator_agreement_kappa",    # M160
+    "class_centroid_outliers",      # M161
+    "sft_dialogue_assembly",        # M162
+    "matryoshka_dim_recall_eval",   # M163
+    "fim_transform",                # M164
+    "packed_attention_mask_audit",  # M165
+    "dedup_weight_consolidation",   # M166
+    # (c) stalest signatures, oldest-first — r1-era (doc_freq_idf,
+    # tfidf_top, prefix_suggest_th + the 13 r2-era names move to the
+    # r10 rotation; the window holds exactly 50)
     "distinct_exact",
     "lang_profile",
     "text_stats",
@@ -143,23 +165,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set_ops_users",
     "stopword_top_terms",
     "bigrams_top",
-    "doc_freq_idf",
-    "tfidf_top",
-    "prefix_suggest_th",
-    # (c cont.) r2-era, registration order — fills to exactly 50
-    "distinct_exact_approx",
-    "events_hourly",
-    "outer_join_order_counts",
-    "approx_value_percentiles",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "sample_events",
-    "value_histogram",
-    "window_frames",
-    "levenshtein_names",
-    "json_struct_extract",
-    "doc_quality_signals",
-    "token_jaccard_pairs",
 )
 
 _loaded = False
