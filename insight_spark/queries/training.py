@@ -1119,3 +1119,104 @@ def dedup_weight_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("cluster_tokens"),
         (F.sum("n_tokens") - canon_toks).alias("tokens_saved"),
     )
+
+
+#: Pooled-quantile grid resolution for cross-source normalization.
+#: 101 points (percentiles 0..100) — the bounded model-state table a
+#: production normalizer ships to executors; finer grids change the
+#: constant, not the shape.
+_QNORM_GRID = [i / 100.0 for i in range(101)]
+
+
+@query(
+    "cross_source_quantile_norm",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    pct AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN n > 1
+                    THEN (r - 1) * 1000000 // (n - 1)
+                    ELSE 500000 END AS p_micro
+        FROM ranked
+    ),
+    grid AS (
+        SELECT CAST(gi AS INTEGER) AS gi, ROUND(qv, 6) AS norm_value
+        FROM (
+            SELECT unnest(range(0, 101)) AS gi,
+                   unnest(quantile_cont(n_chars,
+                       [{", ".join(str(p) for p in _QNORM_GRID)}])) AS qv
+            FROM documents
+        )
+    )
+    SELECT p.doc_id, p.source,
+           CAST(p.n_chars AS BIGINT) AS n_chars,
+           CAST(p.p_micro AS BIGINT) AS p_micro,
+           g.norm_value
+    FROM pct p JOIN grid g ON g.gi = CAST(p.p_micro // 10000 AS INTEGER)
+    """,
+)
+def cross_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (M167) — the batch-effect
+    correction run before applying one global threshold to scores from
+    heterogeneous sources (each crawl/feed has its own length/quality
+    distribution; a 90th-percentile doc should mean the same thing
+    everywhere): each document's within-source percentile is mapped to
+    the POOLED distribution's value at that percentile via a bounded
+    101-point quantile grid.
+
+    Exactness: within-source percentiles are integer rank arithmetic
+    ((r−1)·1e6 div (n−1), median for singleton sources); the pooled
+    grid is the exact interpolating percentile ROUNDed to 6 digits on
+    both engines (the ``value_percentiles`` discipline); the grid
+    lookup is an integer-division bucket join.
+
+    Scale: one source-partitioned rank window; the grid is a 101-row
+    broadcast (model state — production swaps the exact percentile for
+    approx_percentile at the same grid and keeps every downstream
+    expression); the mapping join is map-side.  The corpus shuffles
+    once, on the source key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    pct = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_n).alias("n"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(r - 1) * 1000000 div (n - 1)"),
+        )
+        .otherwise(F.lit(500000))
+        .alias("p_micro"),
+    )
+    grid_sql = ", ".join(str(p) for p in _QNORM_GRID)
+    grid = (
+        docs.agg(
+            F.expr(f"percentile(n_chars, array({grid_sql}))").alias("qs")
+        )
+        .select(F.posexplode("qs").alias("gi", "qv"))
+        .select("gi", F.round("qv", 6).alias("norm_value"))
+    )
+    return pct.join(
+        F.broadcast(grid),
+        F.col("gi") == F.expr("p_micro div 10000").cast("int"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("p_micro").cast("long").alias("p_micro"),
+        "norm_value",
+    )
