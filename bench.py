@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "fim_transform",
     "packed_attention_mask_audit",
     "dedup_weight_consolidation",
+    "cross_source_quantile_norm",
+    "split_label_shift_chi2",
+    "lsh_candidate_precision",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

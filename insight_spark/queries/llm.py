@@ -843,3 +843,47 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "lsh_candidate_precision",
+    oracle=f"""
+    WITH audited AS ({minhash_lsh_pairs_md5_oracle_sql(keep_all=True)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_verified,
+           CAST(COUNT(*) FILTER (WHERE NOT is_dup) AS BIGINT)
+               AS n_false_positives,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS DOUBLE) / COUNT(*)
+               AS precision
+    FROM audited
+    """,
+)
+def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate precision (M169) — the tuning complement of the
+    recall evals (M149/M155/M157): of all candidate pairs the banding
+    scheme surfaces, what fraction survives exact-Jaccard
+    verification.  Low precision means the verify stage (the exact
+    set-intersection join — the expensive step) is mostly burning
+    cycles on band collisions: the direct signal to add rows per band
+    or shrink bands.  Read together with ``minhash_band_cardinality``
+    (bucket skew) and ``ann_lsh_recall_eval`` (what banding loses),
+    this completes the LSH parameter-tuning triangle.
+
+    Exactness: counts are integers over the SAME md5 hash family the
+    ``minhash_near_dup_pairs`` audit replays; precision is ONE IEEE
+    division of exact BIGINTs.
+
+    Scale: identical plan to the keep_all audit (band-bucket groupBy,
+    id-only candidates, set-join verify) plus a 1-row aggregate — the
+    report costs nothing beyond the audit it summarizes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    audited = minhash_lsh_pairs_md5(docs, keep_all=True)
+    return audited.agg(
+        F.count("*").alias("n_candidates"),
+        F.count_if(F.col("is_dup")).alias("n_verified"),
+        F.count_if(~F.col("is_dup")).alias("n_false_positives"),
+        (F.count_if(F.col("is_dup")).cast("double") / F.count("*")).alias(
+            "precision"
+        ),
+    )

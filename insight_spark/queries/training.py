@@ -1220,3 +1220,112 @@ def cross_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_micro").cast("long").alias("p_micro"),
         "norm_value",
     )
+
+
+@query(
+    "split_label_shift_chi2",
+    oracle="""
+    WITH rated AS (
+        SELECT label,
+               CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS tr
+        FROM embeddings
+    ),
+    cls AS (
+        SELECT label,
+               CAST(SUM(tr) AS BIGINT) AS o_tr,
+               CAST(COUNT(*) - SUM(tr) AS BIGINT) AS o_te
+        FROM rated GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(SUM(o_tr) AS BIGINT) AS s_tr,
+               CAST(SUM(o_te) AS BIGINT) AS s_te,
+               CAST(SUM(o_tr) + SUM(o_te) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_classes
+        FROM cls
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   CAST((o_tr * n - (o_tr + o_te) * s_tr)
+                        * (o_tr * n - (o_tr + o_te) * s_tr) AS DOUBLE)
+                   / (n * (o_tr + o_te) * s_tr)
+                   * 1000000000 + 0.5) AS BIGINT)
+               + CAST(floor(
+                   CAST((o_te * n - (o_tr + o_te) * s_te)
+                        * (o_te * n - (o_tr + o_te) * s_te) AS DOUBLE)
+                   / (n * (o_tr + o_te) * s_te)
+                   * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM cls CROSS JOIN tot
+    )
+    SELECT t.s_tr AS n_train, t.s_te AS n_test, t.n_classes,
+           ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6)
+               AS chi2
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.s_tr, t.s_te, t.n_classes
+    """,
+)
+def split_label_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test label-shift chi-square (M168) — the split-QA gate run
+    after a content-keyed split (M2): does the md5 split preserve the
+    label distribution, or did it induce covariate shift?  Pearson
+    chi-square over the 2 x |classes| (split, label) table; compare to
+    the chi2 critical value at |classes|-1 df before trusting
+    test-set metrics.
+
+    Exactness: each cell's (O-E)^2/E term is the cross-multiplied
+    integer form (O*N - C_k*S_s)^2 / (N*C_k*S_s) — numerator and
+    denominator EXACT BIGINTs, one IEEE division per cell — quantized
+    to nano-units BEFORE the per-class sum (the ``psi_drift``
+    discipline: sum order cannot move the result), one final rounded
+    double.
+
+    Scale: one |classes|-keyed conditional aggregate over the items, a
+    1-row totals broadcast, and term math on the bounded class table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rated = emb.select(
+        "label",
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("tr"),
+    )
+    cls = rated.groupBy("label").agg(
+        F.sum("tr").cast("long").alias("o_tr"),
+        (F.count("*") - F.sum("tr")).cast("long").alias("o_te"),
+    )
+    tot = cls.agg(
+        F.sum("o_tr").cast("long").alias("s_tr"),
+        F.sum("o_te").cast("long").alias("s_te"),
+        (F.sum("o_tr") + F.sum("o_te")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+
+    def term(o: str, s: str) -> F.Column:
+        num = (
+            F.col(o) * F.col("n")
+            - (F.col("o_tr") + F.col("o_te")) * F.col(s)
+        )
+        den = F.col("n") * (F.col("o_tr") + F.col("o_te")) * F.col(s)
+        return F.floor(
+            (num * num).cast("double") / den * 1000000000 + F.lit(0.5)
+        ).cast("long")
+
+    terms = cls.crossJoin(F.broadcast(tot)).select(
+        "s_tr",
+        "s_te",
+        "n_classes",
+        (term("o_tr", "s_tr") + term("o_te", "s_te")).alias("term_nano"),
+    )
+    return terms.groupBy(
+        F.col("s_tr").alias("n_train"),
+        F.col("s_te").alias("n_test"),
+        "n_classes",
+    ).agg(
+        F.round(
+            F.sum("term_nano").cast("double") / 1000000000.0, 6
+        ).alias("chi2")
+    )
