@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "cross_source_quantile_norm",
     "split_label_shift_chi2",
     "lsh_candidate_precision",
+    "late_interaction_maxsim",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

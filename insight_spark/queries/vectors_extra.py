@@ -2159,3 +2159,134 @@ def matryoshka_dim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("int").alias("n_hits"),
         F.round(n.cast("double") / 5, 6).alias("recall"),
     )
+
+
+@query(
+    "late_interaction_maxsim",
+    oracle="""
+    WITH sl AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               list_transform(range(0, 8), s ->
+                   list_transform(range(1, 9), k ->
+                       CAST(embedding[s * 8 + k] AS DOUBLE))) AS sl
+        FROM embeddings
+    ),
+    n AS MATERIALIZED (
+        SELECT c_id, sl,
+               list_transform(sl, v -> sqrt(list_sum(
+                   list_transform(range(1, 9), k -> v[k] * v[k])))) AS nn
+        FROM sl
+    ),
+    q AS (SELECT c_id AS q_id, sl AS qsl, nn AS qnn FROM n
+          WHERE c_id < 5),
+    scored AS (
+        SELECT q.q_id, n.c_id,
+               list_sum(list_transform(range(1, 9), i ->
+                   round(list_max(list_transform(range(1, 9), j ->
+                       list_sum(list_transform(range(1, 9), k ->
+                           q.qsl[i][k] * n.sl[j][k]))
+                       / (q.qnn[i] * n.nn[j]))), 6))) AS score
+        FROM q CROSS JOIN n
+    )
+    SELECT q_id AS q_vec_id, c_id AS c_vec_id,
+           CAST(rn AS INTEGER) AS rank,
+           ROUND(score, 6) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY ROUND(score, 6) DESC, c_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (M170): score(q, d) =
+    sum over query token-vectors of the max cosine against any doc
+    token-vector (MaxSim), top-3 per query — the retrieval family's
+    missing leg between single-vector dense (J3) and cross-encoder
+    rerank: token-level interaction at dot-product cost.  The fixture's
+    64-dim embeddings stand in as 8 token-vectors of 8 dims (a real
+    multi-vector table swaps in its token matrix; every expression is
+    unchanged).
+
+    Parity: every dot/norm is an in-order double fold (Spark aggregate
+    == DuckDB list_sum over the ordered range, x*x not pow — the M157
+    discipline); sqrt is IEEE-exact; each per-token cosine is ROUNDed 6
+    BEFORE the max; the 8 rounded maxes sum in slice order; ranking is
+    on the rounded score with id tie-breaks.
+
+    Scale: queries broadcast (bounded eval set), corpus scanned once
+    map-side — |eval| x N scored pairs, no corpus shuffle; the per-pair
+    8x8 interaction runs inside whole-stage codegen.  Production
+    swaps the exhaustive scan for the ANN shortlist (M151/M157) and
+    applies MaxSim only to the shortlist — same scoring expression.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx8 = F.sequence(F.lit(0), F.lit(7))
+    sl = F.transform(
+        idx8,
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda k: F.element_at(
+                F.col("embedding"), (s * 8 + k).cast("int")
+            ).cast("double"),
+        ),
+    )
+    norms = lambda slc: F.transform(  # noqa: E731
+        slc,
+        lambda v: F.sqrt(
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    n = emb.select(F.col("vec_id").alias("c_id"), sl.alias("sl")).select(
+        "c_id", "sl", norms(F.col("sl")).alias("nn")
+    )
+    q = (
+        n.filter(F.col("c_id") < 5)
+        .select(
+            F.col("c_id").alias("q_id"),
+            F.col("sl").alias("qsl"),
+            F.col("nn").alias("qnn"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("qsl"),
+            F.col("qnn"),
+            lambda qi, qni: F.array_max(
+                F.zip_with(
+                    F.col("sl"),
+                    F.col("nn"),
+                    lambda dj, nj: F.round(dot(qi, dj) / (qni * nj), 6),
+                )
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = n.crossJoin(F.broadcast(q)).select(
+        "q_id", "c_id", score.alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("q_id").alias("q_vec_id"),
+            F.col("c_id").alias("c_vec_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
