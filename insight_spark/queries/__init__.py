@@ -138,7 +138,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fim_transform",                # M164
     "packed_attention_mask_audit",  # M165
     "dedup_weight_consolidation",   # M166
-    # (c) stalest signatures, oldest-first — r1-era (doc_freq_idf,
+    "cross_source_quantile_norm",   # M167
+    "split_label_shift_chi2",       # M168
+    "lsh_candidate_precision",      # M169
+    "late_interaction_maxsim",      # M170
+    # (c) stalest signatures, oldest-first — r1-era (window_rank_family,
+    # set_ops_users, stopword_top_terms, bigrams_top, doc_freq_idf,
     # tfidf_top, prefix_suggest_th + the 13 r2-era names move to the
     # r10 rotation; the window holds exactly 50)
     "distinct_exact",
@@ -161,10 +166,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_status_counts",
     "explode_variants",
     "table_profile",
-    "window_rank_family",
-    "set_ops_users",
-    "stopword_top_terms",
-    "bigrams_top",
 )
 
 _loaded = False
