@@ -1974,8 +1974,8 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n) AS BIGINT) AS n_items,
            CAST(COUNT(*) FILTER (WHERE n * dist2 > 4 * cls_sum)
                 AS BIGINT) AS n_outliers,
-           CAST(SUM(dist2) AS DECIMAL(38,0)) AS sum_dist2,
-           CAST(MAX(dist2) AS DECIMAL(38,0)) AS max_dist2
+           CAST(MAX(n) * MAX(dist2) AS DOUBLE) / CAST(SUM(dist2) AS DOUBLE)
+               AS worst_over_mean
     FROM windowed GROUP BY label
     """,
 )
@@ -1983,17 +1983,19 @@ def class_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-centroid outlier audit (M161) — the embedding-space
     mislabeled-data detector (data-centric AI's cleanlab-style gate):
     per label class, how many members sit anomalously far from their
-    class centroid (squared L2 > 4x the class mean), plus the exact
-    within-class scatter and worst offender.  High outlier counts per
-    class are the "relabel or drop before training" signal.
+    class centroid (squared L2 > 4x the class mean), plus how extreme
+    the worst offender is relative to the class mean.  High outlier
+    counts per class are the "relabel or drop before training" signal.
 
     Exactness: with micro-int coordinates x and per-class dim sums S,
     the n^2-scaled squared distance sum_d (n*x_d - S_d)^2 is EXACT
     integer arithmetic (the centroid never materializes as a float),
     and the flag n*dist2 > 4*sum(dist2) is the cross-multiplied form
-    of dist2 > 4*mean — no division, no float anywhere.  Spark
+    of dist2 > 4*mean — no division, no float in the flag.  Spark
     accumulates in DECIMAL(38,0), DuckDB in HUGEINT; the hashed
-    columns are cast to DECIMAL(38,0) on both sides.
+    outputs are exact BIGINTs plus worst_over_mean = n*max/sum — a
+    single IEEE division of exact integers (no DecimalType leaves the
+    query, per the schema-discipline guard).
 
     Scale: per-dim class sums are ONE map-side-combined aggregate over
     the posexploded coords (|classes| x dims rows of model state,
@@ -2043,8 +2045,10 @@ def class_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("label").agg(
         F.max("n").alias("n_items"),
         F.count_if(F.col("is_out")).alias("n_outliers"),
-        F.sum("dist2").cast(dec).alias("sum_dist2"),
-        F.max("dist2").cast(dec).alias("max_dist2"),
+        (
+            (F.max("n") * F.max("dist2")).cast("double")
+            / F.sum("dist2").cast("double")
+        ).alias("worst_over_mean"),
     )
 
 
