@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "split_label_shift_chi2",
     "lsh_candidate_precision",
     "late_interaction_maxsim",
+    "retriever_agreement_audit",
+    "surprisal_filter_sweep",
+    "embedding_norm_audit",
+    "export_manifest_checksums",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

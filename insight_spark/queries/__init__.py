@@ -142,7 +142,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "split_label_shift_chi2",       # M168
     "lsh_candidate_precision",      # M169
     "late_interaction_maxsim",      # M170
-    # (c) stalest signatures, oldest-first — r1-era (window_rank_family,
+    "retriever_agreement_audit",    # M171
+    "surprisal_filter_sweep",       # M172
+    "embedding_norm_audit",         # M173
+    "export_manifest_checksums",    # M174
+    # (c) stalest signatures, oldest-first — r1-era
+    # (pivot_status_by_priority, unpivot_status_counts,
+    # explode_variants, table_profile, window_rank_family,
     # set_ops_users, stopword_top_terms, bigrams_top, doc_freq_idf,
     # tfidf_top, prefix_suggest_th + the 13 r2-era names move to the
     # r10 rotation; the window holds exactly 50)
@@ -162,10 +168,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "first_event_per_user",
     "user_event_types",
     "value_percentiles",
-    "pivot_status_by_priority",
-    "unpivot_status_counts",
-    "explode_variants",
-    "table_profile",
 )
 
 _loaded = False

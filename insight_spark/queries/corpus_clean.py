@@ -897,3 +897,68 @@ def blocklist_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * hits div n_tok")
         ).alias("max_density_micro"),
     )
+
+
+#: Thresholds (micro-units of mean surprisal) for the LM-filter sweep.
+#: Spans the fixture's observed avg_surprisal range (~1.3-1.6) so every
+#: tier produces a non-trivial keep-rate curve.
+_SURPRISAL_SWEEP_MICRO = (1400000, 1450000, 1500000, 1550000, 1600000)
+
+from insight_spark.queries import _ORACLE as _REGISTERED_ORACLES  # noqa: E402
+
+
+@query(
+    "surprisal_filter_sweep",
+    oracle=f"""
+    WITH scored AS ({_REGISTERED_ORACLES["bigram_lm_score"]}),
+    th AS (
+        SELECT unnest([{", ".join(str(t) for t in _SURPRISAL_SWEEP_MICRO)}])
+            AS t_micro
+    )
+    SELECT CAST(t_micro AS BIGINT) AS threshold_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (
+                WHERE avg_surprisal <= t_micro / 1000000.0) AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(*) FILTER (
+                WHERE avg_surprisal <= t_micro / 1000000.0) AS DOUBLE)
+               / COUNT(*) AS kept_frac
+    FROM scored CROSS JOIN th
+    GROUP BY t_micro
+    """,
+)
+def surprisal_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-filter threshold sweep (M172): the keep-rate curve of the
+    bigram-LM quality filter (M83) at five candidate thresholds — the
+    knob-setting report read before committing a perplexity cutoff to
+    a crawl (CCNet picked its tercile boundaries from exactly this
+    curve; "keep 70%" is a budget decision, and this table is where
+    the budget meets the data).
+
+    Parity: the per-doc scores are the M83 pipeline verbatim (oracle
+    text reused from the registered query, so the two cannot drift);
+    thresholds are integer micro literals divided by 1e6 — the same
+    double on both engines; counts integer, kept_frac ONE division.
+
+    Scale: the score table is computed once (two vocabulary-bounded LM
+    broadcasts + one doc-keyed agg — M83's shape); the sweep is a
+    5-row broadcast cross join over the |docs|-row score table and a
+    5-key aggregate.  Adding thresholds changes the constant, nothing
+    else.
+    """
+    scored = bigram_lm_score(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in _SURPRISAL_SWEEP_MICRO], "t_micro long"
+    )
+    kept = F.count_if(
+        F.col("avg_surprisal") <= F.col("t_micro") / F.lit(1000000.0)
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(F.col("t_micro").alias("threshold_micro"))
+        .agg(
+            F.count("*").alias("n_scored"),
+            kept.alias("n_kept"),
+            (kept.cast("double") / F.count("*")).alias("kept_frac"),
+        )
+    )

@@ -920,3 +920,70 @@ def mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order_value"
         ),
     )
+
+
+@query(
+    "export_manifest_checksums",
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(list_reduce(list_transform(range(1, 9),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                                  - 1 AS BIGINT)),
+                    (acc, x) -> acc * 16 + x) % 8 AS INTEGER) AS shard,
+               list_reduce(list_transform(range(1, 9),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(text), i, 1))
+                                  - 1 AS BIGINT)),
+                    (acc, x) -> acc * 16 + x) AS h
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor(h) AS BIGINT) AS content_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def export_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest with content checksums (M174): for each training
+    shard of the M5 layout (md5(doc_id) hex-fold mod 8), the manifest
+    row a data handoff ships beside the files — doc count, char total,
+    id range, and an order-independent content checksum (XOR of each
+    doc's md5-prefix integer).  The receiving side recomputes the same
+    six numbers after transfer; any lost, duplicated, truncated, or
+    altered document flips the checksum.  XOR, not SUM, deliberately:
+    commutative/associative like a sum but overflow-free at any corpus
+    size, so the manifest arithmetic is identical at sf0.001 and
+    100 TB.
+
+    Exactness: shard and checksum reuse the exact hex-fold arithmetic
+    of ``shard_export_counts`` (content-keyed, engine-reproducible);
+    every output column is an exact integer — nothing float in the
+    whole query.
+
+    Scale: one map-only projection (two md5s per row) + a bounded
+    8-key map-side-combined aggregate.  The manifest costs one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = lambda col: F.conv(  # noqa: E731
+        F.substring(F.md5(col), 1, 8), 16, 10
+    ).cast("long")
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        (fold(F.col("doc_id").cast("string")) % 8)
+        .cast("int")
+        .alias("shard"),
+        fold(F.col("text")).alias("h"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr("bit_xor(h)").alias("content_checksum"),
+    )

@@ -1151,3 +1151,124 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lifted.orderBy(
         F.desc("lift"), F.asc("w1"), F.asc("w2")
     ).limit(_PMI_TOP)
+
+
+@query(
+    "retriever_agreement_audit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(l) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(l) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(l)) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY token
+    ),
+    bm AS (
+        SELECT tf.doc_id FROM tf
+        JOIN dfreq USING (token)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY ROUND(CAST(SUM(CAST(
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75
+                               + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               AS DECIMAL(38,12))) AS DOUBLE), 6) DESC, tf.doc_id
+        LIMIT 10
+    ),
+    ti AS (
+        SELECT tf.doc_id FROM tf
+        JOIN dfreq USING (token)
+        CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS n FROM toks) nt
+        GROUP BY tf.doc_id
+        ORDER BY ROUND(SUM(ROUND(tf.tf
+                   * (ln((CAST(nt.n AS DOUBLE) + 1.0) / (dfreq.df + 1.0))
+                      + 1.0), 6)), 6) DESC, tf.doc_id
+        LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bm) AS BIGINT) AS n_bm25,
+           CAST((SELECT COUNT(*) FROM ti) AS BIGINT) AS n_tfidf,
+           CAST((SELECT COUNT(*) FROM bm JOIN ti USING (doc_id))
+                AS BIGINT) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM bm JOIN ti USING (doc_id))
+                AS DOUBLE)
+               / ((SELECT COUNT(*) FROM bm) + (SELECT COUNT(*) FROM ti)
+                  - (SELECT COUNT(*) FROM bm JOIN ti USING (doc_id)))
+               AS jaccard_at_10
+    """,
+)
+def retriever_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever agreement audit (M171): overlap@10 between two lexical
+    rankers — BM25 (I11) and additive tf-idf — for the same two-term
+    query.  The pre-swap report run before changing a search scorer:
+    high agreement means the swap is low-risk, low agreement means A/B
+    the change; the same harness compares any two rankers that emit
+    (doc_id, score) (dense vs sparse, old vs new analyzer), which is
+    how hybrid-search weight tuning starts.
+
+    Parity: both legs reuse the EXACT scoring expressions of their
+    standing queries (``bm25_search``: ln idf quantized to
+    DECIMAL(38,12) before the term sum; ``tfidf_top``: per-term ROUND
+    6 — the two-term sum is commutative so order cannot move it),
+    rank on the rounded score with id tie-breaks; the counts are
+    integers and jaccard ONE IEEE division.
+
+    Scale: both rankings prune to query-term postings before any
+    shuffle (TF of 2 terms, broadcast df), each top-10 is a
+    TakeOrdered; the agreement join is 10x10.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (
+        bm25_scores(docs, ["key", "order"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    ti = (
+        tf_idf(docs)
+        .filter(F.col("token").isin("key", "order"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tf_idf"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    both = bm.join(ti, "doc_id")
+    n_bm = bm.agg(F.count("*").alias("n_bm25"))
+    n_ti = ti.agg(F.count("*").alias("n_tfidf"))
+    n_ov = both.agg(F.count("*").alias("n_overlap"))
+    return (
+        n_bm.crossJoin(n_ti)
+        .crossJoin(n_ov)
+        .select(
+            "n_bm25",
+            "n_tfidf",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / (
+                    F.col("n_bm25")
+                    + F.col("n_tfidf")
+                    - F.col("n_overlap")
+                )
+            ).alias("jaccard_at_10"),
+        )
+    )

@@ -2294,3 +2294,60 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_sum(list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT))) AS norm2
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+           CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS mean_norm2,
+           CAST(COUNT(*) FILTER (WHERE norm2 < 100000000) AS BIGINT)
+               AS n_degenerate
+    FROM q GROUP BY label
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit (M173) — the ANN-index pre-flight: per
+    label class, the distribution of vector norms (squared, micro^2
+    units) and the count of degenerate near-zero vectors (norm <
+    0.01).  Mixed-norm corpora break inner-product indexes and make
+    cosine vs dot-product ranking diverge; near-zero vectors make
+    cosine undefined — both must be caught BEFORE the index build
+    (M151/M157), and this is the report that catches them (the vector
+    twin of the ``table_profile`` relational health check).
+
+    Exactness: each norm^2 is an in-order BIGINT fold of micro-int
+    squares (exact — 64·(1e6)^2 bounds well under 2^63); min/max/
+    counts exact; mean ONE IEEE division.
+
+    Scale: map-only projection + a |classes|-keyed aggregate.  Zero
+    joins, zero windows — the cheapest query in the vector family,
+    which is the point of a pre-flight.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        quantize_micro(F.col("embedding")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    q = emb.select("label", norm2.alias("norm2"))
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+        (F.sum("norm2").cast("double") / F.count("*")).alias("mean_norm2"),
+        F.count_if(F.col("norm2") < 100000000).alias("n_degenerate"),
+    )
