@@ -1955,6 +1955,119 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cents WHERE v > 0
+    ),
+    counted AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counted),
+    expected AS (
+        SELECT digit, n,
+               CASE digit
+                   WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                   WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                   WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                   WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                   ELSE 45757
+               END AS expected_micro,
+               total
+        FROM counted, tot
+    )
+    SELECT digit, n, expected_micro,
+           CAST(n AS DOUBLE) / total AS observed_frac,
+           CAST(floor(
+               1e9 * CAST((n * 1000000 - total * expected_micro)
+                          AS DOUBLE)
+                   * (n * 1000000 - total * expected_micro)
+                   / (CAST(total AS DOUBLE) * expected_micro * 1000000)
+               + 0.5) AS BIGINT) AS chi2_term_nano
+    FROM expected
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (M175): distribution of the first
+    significant digit of order totals vs Benford's law — the classic
+    fraud / synthetic-data / unit-mixup detector run as a DQ gate over
+    any monetary or count column (a corpus whose first digits are
+    uniform was generated, truncated, or re-scaled somewhere).  Emits
+    per-digit observed counts, fractions, the expected Benford
+    probability, and a chi-square contribution per digit; the caller
+    sums chi2_term_nano for the test statistic.
+
+    Exactness: the first digit is extracted from the exact BIGINT cents
+    string (no float log10 — powers of ten are a branch hazard there);
+    the expected table is pre-quantized micro-probabilities that sum to
+    exactly 1_000_000; each chi-square term's numerator (O·1e6 − N·p)
+    is exact BIGINT arithmetic, and the single double square/divide is
+    nano-quantized per digit (the `psi_drift` discipline) so the rows
+    hash bit-equal cross-engine.
+
+    Scale: map-only digit projection, a 9-key map-side-combined
+    aggregate, and a 9-row window for the total — nothing after the
+    scan touches data-sized state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.where(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    )
+    digits = cents.where(F.col("v") > 0).select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    #: round(log10(1 + 1/d) * 1e6) for d = 1..9; sums to exactly 1e6.
+    benford_micro = F.array(
+        *[
+            F.lit(v)
+            for v in (
+                301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757,
+            )
+        ]
+    )
+    tot = counted.agg(F.sum("n").cast("long").alias("total"))
+    expected = counted.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.element_at(benford_micro, F.col("digit")).alias("expected_micro"),
+        "total",
+    )
+    num = F.col("n") * F.lit(1000000) - F.col("total") * F.col(
+        "expected_micro"
+    )
+    return expected.select(
+        "digit",
+        "n",
+        "expected_micro",
+        (F.col("n").cast("double") / F.col("total")).alias("observed_frac"),
+        F.floor(
+            F.lit(1e9)
+            * num.cast("double")
+            * num
+            / (
+                F.col("total").cast("double")
+                * F.col("expected_micro")
+                * F.lit(1000000)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("chi2_term_nano"),
+    )
+
+
+@query(
     "annotator_agreement_kappa",
     oracle="""
     WITH rated AS (

@@ -962,3 +962,105 @@ def surprisal_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (kept.cast("double") / F.count("*")).alias("kept_frac"),
         )
     )
+
+
+#: Encoding-artifact character classes (shared regex dialect — the
+#: \x{...} code-point escape parses identically in Java regex and RE2,
+#: SURVEY §7.4.5).  C0 controls exclude \t \n \r (legitimate text).
+_ENC_FFFD = r"\x{fffd}"
+_ENC_ZERO_WIDTH = r"[\x{200b}\x{200c}\x{200d}\x{feff}]"
+_ENC_CONTROL = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_ENC_ANY = (
+    r"[\x{fffd}\x{200b}\x{200c}\x{200d}\x{feff}\x{a0}"
+    r"\x00-\x08\x0b\x0c\x0e-\x1f]"
+)
+
+
+@query(
+    "encoding_artifact_audit",
+    oracle=f"""
+    WITH raw AS (
+        SELECT source,
+               CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   WHEN '0' THEN text || chr(65533)
+                   WHEN '1' THEN text || chr(65533)
+                   WHEN '2' THEN chr(8203) || text
+                   WHEN '3' THEN text || chr(160)
+                   WHEN '4' THEN text || chr(7)
+                   ELSE text
+               END AS t
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(regexp_matches(t, '{_ENC_FFFD}')) AS BIGINT)
+               AS n_replacement,
+           CAST(count_if(regexp_matches(t, '{_ENC_ZERO_WIDTH}')) AS BIGINT)
+               AS n_zero_width,
+           CAST(count_if(regexp_matches(t, '{_ENC_CONTROL}')) AS BIGINT)
+               AS n_control,
+           CAST(count_if(contains(t, chr(160))) AS BIGINT) AS n_nbsp,
+           CAST(SUM(len(t) - len(regexp_replace(t, '{_ENC_ANY}', '', 'g')))
+                AS BIGINT) AS artifact_chars,
+           CAST(count_if(NOT regexp_matches(t, '{_ENC_ANY}')) AS DOUBLE)
+               / COUNT(*) AS clean_frac
+    FROM raw GROUP BY source
+    """,
+)
+def encoding_artifact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact audit (M176): per-source counts of the
+    mojibake fingerprints every web-scale corpus carries — U+FFFD
+    replacement characters (a decoder already lost bytes), zero-width
+    characters (C&P/SEO junk that poisons tokenizers), C0 control
+    characters other than tab/newline/CR, and non-breaking spaces —
+    plus total artifact characters and the per-source clean fraction.
+    The report that decides whether a source needs re-extraction
+    before it is worth quality-scoring.
+
+    The fixture text is pure ASCII, so a deterministic md5-keyed
+    corruption stand-in (~5/16 of docs get one artifact class each,
+    the kappa/M160 pattern) plays the raw crawl; point the audit at a
+    real raw-text column and the CASE disappears.
+
+    Exactness: artifact detection is shared-dialect regex (the \\x{{..}}
+    code-point escape parses identically in Java regex and RE2);
+    counts are exact BIGINTs, clean_frac ONE IEEE division.
+
+    Scale: map-only regex projection (codegen, no Python) + one
+    |sources|-keyed map-side-combined aggregate — zero joins, zero
+    windows, pushdown-transparent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    t = (
+        F.when(h.isin("0", "1"), F.concat(F.col("text"), F.lit(chr(0xFFFD))))
+        .when(h == "2", F.concat(F.lit(chr(0x200B)), F.col("text")))
+        .when(h == "3", F.concat(F.col("text"), F.lit(chr(0xA0))))
+        .when(h == "4", F.concat(F.col("text"), F.lit(chr(0x07))))
+        .otherwise(F.col("text"))
+    )
+    raw = docs.select("source", t.alias("t"))
+    return raw.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("t").rlike(_ENC_FFFD))
+        .cast("long")
+        .alias("n_replacement"),
+        F.count_if(F.col("t").rlike(_ENC_ZERO_WIDTH))
+        .cast("long")
+        .alias("n_zero_width"),
+        F.count_if(F.col("t").rlike(_ENC_CONTROL))
+        .cast("long")
+        .alias("n_control"),
+        F.count_if(F.col("t").contains(chr(0xA0)))
+        .cast("long")
+        .alias("n_nbsp"),
+        F.sum(
+            F.length("t") - F.length(F.regexp_replace("t", _ENC_ANY, ""))
+        )
+        .cast("long")
+        .alias("artifact_chars"),
+        (
+            F.count_if(~F.col("t").rlike(_ENC_ANY)).cast("double")
+            / F.count("*")
+        ).alias("clean_frac"),
+    )
