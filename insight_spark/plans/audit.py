@@ -73,6 +73,9 @@ __all__ = [
 #: - vector_index_probe: rank window runs on the TakeOrdered(5) head
 #:   (<= 5 rows) — the corpus-scale candidate set is reduced by
 #:   orderBy+limit BEFORE any window.
+#: - acf_hourly_lags / cusum_changepoint: row_number / running-sum /
+#:   running-min over the HOURLY series — windows run post-aggregate on
+#:   |hours| rows (the wow_revenue_delta pattern).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "ks_distribution_shift",
@@ -80,6 +83,8 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "histogram_quantile",
         "wow_revenue_delta",
         "vector_index_probe",
+        "acf_hourly_lags",
+        "cusum_changepoint",
     }
 )
 

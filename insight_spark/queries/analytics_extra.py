@@ -2161,3 +2161,197 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c.cast("double") / (n * n)).alias("pe"),
         ((n * d - c).cast("double") / (n * n - c)).alias("kappa"),
     )
+
+
+@query(
+    "acf_hourly_lags",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    idx AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i
+        FROM hourly
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS k),
+    pairs AS (
+        SELECT l.k, a.x AS xt, b.x AS xl
+        FROM idx a
+        JOIN lags l ON a.i > l.k
+        JOIN idx b ON b.i = a.i - l.k
+    ),
+    moments AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xt) AS BIGINT) AS sx,
+               CAST(SUM(xl) AS BIGINT) AS sy,
+               CAST(SUM(xt * xt) AS BIGINT) AS sxx,
+               CAST(SUM(xl * xl) AS BIGINT) AS syy,
+               CAST(SUM(xt * xl) AS BIGINT) AS sxy
+        FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+    FROM moments
+    """,
+)
+def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event series (M177) at
+    row-lags 1..6 — the seasonality/burstiness diagnostic read before
+    picking a forecast window or an anomaly baseline (a strong lag-24
+    ACF says "daily cycle", a flat one says the series is noise).
+    Pearson form over (x_t, x_{t-k}) pairs; on a dense series row-lag
+    equals time-lag (run `gap_fill_hourly` first when the grid has
+    holes).
+
+    Exactness: all six moment sums are exact BIGINTs over the bounded
+    hourly series; each ACF value is the cross-multiplied integer
+    Pearson numerator over one IEEE sqrt of a product of exact-integer
+    factors — same expression both engines, bit-equal (sqrt is
+    correctly rounded by IEEE 754, unlike libm log/exp which stay
+    banned from hashed paths).
+
+    Scale: the per-hour pre-aggregate is the only data-sized shuffle
+    (map-side combined); everything after runs on |hours| rows — the
+    row_number window and the 6-lag self-join are post-aggregate
+    (documented BOUNDED_GLOBAL_WINDOW_OK exemption, the
+    `wow_revenue_delta` pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("h")
+    idx = hourly.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 7)], "k long")
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("x").alias("xl"), F.col("i").alias("ib")
+    ).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .where(F.col("a.i") > F.col("k"))
+        .join(b, F.col("b.ib") == F.col("a.i") - F.col("k"))
+        .select("k", F.col("a.x").alias("xt"), "xl")
+    )
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xt").cast("long").alias("sx"),
+        F.sum("xl").cast("long").alias("sy"),
+        F.sum(F.col("xt") * F.col("xt")).cast("long").alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("syy"),
+        F.sum(F.col("xt") * F.col("xl")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    d1 = n * F.col("sxx") - sx * sx
+    d2 = n * F.col("syy") - sy * sy
+    return m.select(
+        F.col("k").cast("int").alias("lag"),
+        n.alias("n_pairs"),
+        (
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double"))
+        ).alias("acf"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hourly
+    ),
+    dev AS (SELECT h, x, n * x - sx AS d, n FROM hourly, stats),
+    pre AS (
+        SELECT h, x, n,
+               SUM(d) OVER (ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS p
+        FROM dev
+    ),
+    cus AS (
+        SELECT h, x, n,
+               p - least(CAST(0 AS BIGINT),
+                         MIN(p) OVER (ORDER BY h
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)) AS cus_scaled
+        FROM pre
+    )
+    SELECT h AS hour, x AS n_events,
+           CAST(cus_scaled AS BIGINT) AS cusum_scaled,
+           CAST(cus_scaled AS DOUBLE) / n AS cusum
+    FROM cus
+    ORDER BY cus_scaled DESC, hour
+    LIMIT 5
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over the hourly event series
+    (M178): the sequential change-point statistic
+    S_t = max(0, S_{t-1} + (x_t − mean)) — where the drift sustained
+    above the series mean accumulates — reported for the top-5 hours.
+    The monitoring primitive behind "traffic stepped up around 3pm":
+    a spike decays immediately, a level shift keeps growing.
+
+    The recurrence is inherently sequential, but it has the exact
+    closed form S_t = P_t − min(0, min_{j≤t} P_j) over the deviation
+    prefix sums P — two stacked running windows, no recursion (the
+    same prefix−running-min identity both engines evaluate).
+
+    Exactness: deviations are scaled by n (d_t = n·x_t − Σx) so the
+    mean never materializes as a float — prefix sums, running minima,
+    and cusum_scaled are exact BIGINTs end-to-end; the reported cusum
+    is ONE IEEE division by n.  Top-5 ordering is on the exact integer
+    with the unique hour as tie-break.
+
+    Scale: per-hour pre-aggregate is the only data-sized shuffle; the
+    two running windows operate on |hours| post-aggregate rows
+    (documented BOUNDED_GLOBAL_WINDOW_OK exemption) and the result is
+    a TakeOrdered(5).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    stats = hourly.agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dev = hourly.crossJoin(stats).select(
+        "h", "x", "n", (F.col("n") * F.col("x") - F.col("sx")).alias("d")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dev.select("h", "x", "n", F.sum("d").over(w).alias("p"))
+    cus = pre.select(
+        "h",
+        "x",
+        "n",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+        ).alias("cus_scaled"),
+    )
+    return (
+        cus.orderBy(F.col("cus_scaled").desc(), "h")
+        .limit(5)
+        .select(
+            F.col("h").alias("hour"),
+            F.col("x").alias("n_events"),
+            F.col("cus_scaled").cast("long").alias("cusum_scaled"),
+            (F.col("cus_scaled").cast("double") / F.col("n")).alias("cusum"),
+        )
+    )
