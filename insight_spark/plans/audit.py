@@ -76,6 +76,8 @@ __all__ = [
 #: - acf_hourly_lags / cusum_changepoint: row_number / running-sum /
 #:   running-min over the HOURLY series — windows run post-aggregate on
 #:   |hours| rows (the wow_revenue_delta pattern).
+#: - rank_biased_overlap: rank windows run on the two TakeOrdered(10)
+#:   heads (≤10 rows each — the vector_index_probe pattern).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "ks_distribution_shift",
@@ -85,6 +87,7 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "vector_index_probe",
         "acf_hourly_lags",
         "cusum_changepoint",
+        "rank_biased_overlap",
     }
 )
 

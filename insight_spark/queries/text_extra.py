@@ -1272,3 +1272,165 @@ def retriever_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_at_10"),
         )
     )
+
+
+#: RBO@10 depth weights, p = 0.9: round(1e9 · (1−p)·p^(d−1)/d)
+#: half-up, precomputed in exact Decimal so libm pow never enters a
+#: hashed path (the dp_noisy_release / DCG-weights discipline).
+_RBO_W_NANO = (
+    (1, 100000000), (2, 45000000), (3, 27000000), (4, 18225000),
+    (5, 13122000), (6, 9841500), (7, 7592014), (8, 5978711),
+    (9, 4782969), (10, 3874205),
+)
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(l) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(l) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(l)) AS token FROM toks)
+        WHERE token IN ('key', 'order')
+        GROUP BY token
+    ),
+    bmscore AS (
+        SELECT tf.doc_id,
+               ROUND(CAST(SUM(CAST(
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75
+                               + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS s
+        FROM tf
+        JOIN dfreq USING (token)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bmtop AS (SELECT doc_id, s FROM bmscore ORDER BY s DESC, doc_id LIMIT 10),
+    bmr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+                   AS ra
+        FROM bmtop
+    ),
+    tiscore AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ROUND(tf.tf
+                   * (ln((CAST(nt.n AS DOUBLE) + 1.0) / (dfreq.df + 1.0))
+                      + 1.0), 6)), 6) AS s
+        FROM tf
+        JOIN dfreq USING (token)
+        CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS n FROM toks) nt
+        GROUP BY tf.doc_id
+    ),
+    titop AS (SELECT doc_id, s FROM tiscore ORDER BY s DESC, doc_id LIMIT 10),
+    tir AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+                   AS rb
+        FROM titop
+    ),
+    matched AS (
+        SELECT greatest(ra, rb) AS enter_d
+        FROM bmr JOIN tir USING (doc_id)
+    ),
+    depths AS (
+        SELECT * FROM (VALUES
+            (1, CAST(100000000 AS BIGINT)), (2, 45000000), (3, 27000000),
+            (4, 18225000), (5, 13122000), (6, 9841500), (7, 7592014),
+            (8, 5978711), (9, 4782969), (10, 3874205)
+        ) AS t(depth, weight_nano)
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(m.enter_d) AS BIGINT) AS overlap_at_d,
+           CAST(weight_nano AS BIGINT) AS weight_nano,
+           CAST(COUNT(m.enter_d) * weight_nano AS BIGINT) AS term_nano
+    FROM depths d
+    LEFT JOIN matched m ON m.enter_d <= d.depth
+    GROUP BY depth, weight_nano
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (M180, Webber et al. 2010): the top-weighted
+    agreement measure between the same two rankers as M171 (BM25 vs
+    additive tf-idf, same two-term query) — where flat overlap@10
+    treats a swap at rank 1 and a swap at rank 10 alike, RBO weights
+    prefix agreement by p^(d−1)/d so disagreement at the TOP of the
+    ranking (what the user actually sees) dominates the score.  Emits
+    the per-depth table: overlap of the two depth-d prefixes, the RBO
+    weight, and the weighted term; Σ term_nano / 1e9 is truncated
+    RBO@10 at p = 0.9.
+
+    Exactness: depth weights are half-up-quantized nano literals
+    precomputed in exact Decimal (libm pow never enters a hashed
+    path — the DCG-weights discipline); prefix overlaps count matched
+    docs by enter-depth = greatest(rank_A, rank_B), so every output
+    column is an exact BIGINT — no terminal division at all.
+
+    Scale: both legs prune to query-term postings before any shuffle
+    and TakeOrdered to 10 rows; the rank windows run on the 10-row
+    heads (documented bounded-window exemption, the
+    `vector_index_probe` pattern); the depth table is a 10-row
+    broadcast left join against ≤10 matched docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bmtop = (
+        bm25_scores(docs, ["key", "order"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmr = bmtop.select(
+        "doc_id", F.row_number().over(w_bm).cast("long").alias("ra")
+    )
+    titop = (
+        tf_idf(docs)
+        .filter(F.col("token").isin("key", "order"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tf_idf"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w_ti = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tir = titop.select(
+        "doc_id", F.row_number().over(w_ti).cast("long").alias("rb")
+    )
+    matched = bmr.join(tir, "doc_id").select(
+        F.greatest("ra", "rb").alias("enter_d")
+    )
+    depths = spark.createDataFrame(
+        list(_RBO_W_NANO), "depth int, weight_nano long"
+    )
+    return (
+        F.broadcast(depths)
+        .join(matched, F.col("enter_d") <= F.col("depth"), "left")
+        .groupBy("depth", "weight_nano")
+        .agg(F.count("enter_d").cast("long").alias("overlap_at_d"))
+        .select(
+            "depth",
+            "overlap_at_d",
+            "weight_nano",
+            (F.col("overlap_at_d") * F.col("weight_nano"))
+            .cast("long")
+            .alias("term_nano"),
+        )
+    )

@@ -1329,3 +1329,87 @@ def split_label_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_nano").cast("double") / 1000000000.0, 6
         ).alias("chi2")
     )
+
+
+@query(
+    "best_of_n_select",
+    oracle="""
+    WITH cand AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS reward_micro
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, event_id, reward_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY reward_micro DESC, event_id ASC) AS rn
+        FROM cand
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+               AS chosen_event_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN reward_micro END) AS BIGINT)
+               AS best_reward_micro,
+           CAST(MAX(CASE WHEN rn = 1 THEN reward_micro END)
+                - MAX(CASE WHEN rn = 2 THEN reward_micro END) AS BIGINT)
+               AS runnerup_margin_micro,
+           CAST(SUM(reward_micro)
+                - MAX(CASE WHEN rn = 1 THEN reward_micro END) AS DOUBLE)
+               / (COUNT(*) - 1) AS mean_rejected_micro
+    FROM ranked GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
+)
+def best_of_n_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection (M179): the rejection-sampling data prep
+    behind BoN distillation — per prompt group (user_id stands in for
+    the prompt key, events for sampled responses), keep the
+    highest-reward candidate and report the selection-confidence
+    signals downstream filters consume: the margin over the RUNNER-UP
+    (a near-zero top-2 gap means the reward model couldn't
+    distinguish — a weak training example) and the mean rejected
+    reward (the baseline the chosen response beat).  Complements M159
+    (`preference_pair_build`): that emits chosen-vs-worst DPO pairs,
+    this emits the keep-one-of-n SFT selection with its confidence
+    accounting.  The reward is the micro-quantized event value; swap
+    in a reward-model score column and nothing downstream changes.
+
+    Exactness: rewards are exact micro-ints; margin a BIGINT
+    difference; mean_rejected ONE IEEE division of exact BIGINTs.
+
+    Scale: ONE user_id shuffle serves both the row_number window and
+    the group aggregate (same partitioning, bounded per-group state);
+    no candidate self-join.  1-candidate groups are dropped (nothing
+    was rejected).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("reward_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("reward_micro"), F.asc("event_id")
+    )
+    ranked = cand.select("*", F.row_number().over(w).alias("rn"))
+    best = F.max(F.when(F.col("rn") == 1, F.col("reward_micro")))
+    second = F.max(F.when(F.col("rn") == 2, F.col("reward_micro")))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+            .cast("long")
+            .alias("chosen_event_id"),
+            best.cast("long").alias("best_reward_micro"),
+            (best - second).cast("long").alias("runnerup_margin_micro"),
+            (
+                (F.sum("reward_micro") - best).cast("double")
+                / (F.count("*") - 1)
+            ).alias("mean_rejected_micro"),
+        )
+        .where(F.col("n_candidates") >= 2)
+    )
