@@ -146,12 +146,25 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surprisal_filter_sweep",       # M172
     "embedding_norm_audit",         # M173
     "export_manifest_checksums",    # M174
+    # (b cont.) session-2 round-9 additions (M175-M180) — first-time
+    # evidence; the six displaced stale r1-era names
+    # (self_join_order_pairs, asof_purchase_click, stats_moments,
+    # first_event_per_user, user_event_types, value_percentiles) move
+    # to the r10 rotation with the rest of the r1/r2-era backlog
+    "benford_first_digit_audit",    # M175
+    "encoding_artifact_audit",      # M176
+    "acf_hourly_lags",              # M177
+    "cusum_changepoint",            # M178
+    "best_of_n_select",             # M179
+    "rank_biased_overlap",          # M180
     # (c) stalest signatures, oldest-first — r1-era
     # (pivot_status_by_priority, unpivot_status_counts,
     # explode_variants, table_profile, window_rank_family,
     # set_ops_users, stopword_top_terms, bigrams_top, doc_freq_idf,
-    # tfidf_top, prefix_suggest_th + the 13 r2-era names move to the
-    # r10 rotation; the window holds exactly 50)
+    # tfidf_top, prefix_suggest_th, self_join_order_pairs,
+    # asof_purchase_click, stats_moments, first_event_per_user,
+    # user_event_types, value_percentiles + the 13 r2-era names move
+    # to the r10 rotation; the window holds exactly 50)
     "distinct_exact",
     "lang_profile",
     "text_stats",
@@ -162,12 +175,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "anti_join_customers",
     "cross_join_pairs",
     "theta_join_acctbal",
-    "self_join_order_pairs",
-    "asof_purchase_click",
-    "stats_moments",
-    "first_event_per_user",
-    "user_event_types",
-    "value_percentiles",
 )
 
 _loaded = False
