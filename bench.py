@@ -182,6 +182,20 @@ BENCH_QUERIES = [
     "surprisal_filter_sweep",
     "embedding_norm_audit",
     "export_manifest_checksums",
+    # round-9 session-2 additions (M175-M187)
+    "benford_first_digit_audit",
+    "encoding_artifact_audit",
+    "acf_hourly_lags",
+    "cusum_changepoint",
+    "best_of_n_select",
+    "rank_biased_overlap",
+    "roc_auc_binned",
+    "vocab_novelty_curve",
+    "knn_label_agreement",
+    "theil_sen_trend",
+    "feature_hash_collision_audit",
+    "rake_keyword_extract",
+    "dau_wau_stickiness",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

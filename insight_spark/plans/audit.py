@@ -78,6 +78,10 @@ __all__ = [
 #:   |hours| rows (the wow_revenue_delta pattern).
 #: - rank_biased_overlap: rank windows run on the two TakeOrdered(10)
 #:   heads (≤10 rows each — the vector_index_probe pattern).
+#: - roc_auc_binned: running negative-count over score-histogram
+#:   buckets — bounded by the score range (~4 900), not data size.
+#: - theil_sen_trend: row_number/count windows over the hourly series
+#:   and its |hours|² pair set — bounded by the time range.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "ks_distribution_shift",
@@ -88,6 +92,8 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "acf_hourly_lags",
         "cusum_changepoint",
         "rank_biased_overlap",
+        "roc_auc_binned",
+        "theil_sen_trend",
     }
 )
 

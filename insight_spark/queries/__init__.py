@@ -146,17 +146,28 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surprisal_filter_sweep",       # M172
     "embedding_norm_audit",         # M173
     "export_manifest_checksums",    # M174
-    # (b cont.) session-2 round-9 additions (M175-M180) — first-time
-    # evidence; the six displaced stale r1-era names
+    # (b cont.) session-2 round-9 additions (M175-M187) — first-time
+    # evidence; the thirteen displaced stale r1-era names
     # (self_join_order_pairs, asof_purchase_click, stats_moments,
-    # first_event_per_user, user_event_types, value_percentiles) move
-    # to the r10 rotation with the rest of the r1/r2-era backlog
+    # first_event_per_user, user_event_types, value_percentiles,
+    # semi_join_segments, anti_join_customers, cross_join_pairs,
+    # theta_join_acctbal, vector_norms, lang_id_heuristic,
+    # token_count_bpe) move to the r10 rotation with the rest of the
+    # r1/r2-era backlog (their latest evidence: r1-r3 driver greens
+    # plus the r7/r9 full-registry sf0.1 sweeps)
     "benford_first_digit_audit",    # M175
     "encoding_artifact_audit",      # M176
     "acf_hourly_lags",              # M177
     "cusum_changepoint",            # M178
     "best_of_n_select",             # M179
     "rank_biased_overlap",          # M180
+    "roc_auc_binned",               # M181
+    "vocab_novelty_curve",          # M182
+    "knn_label_agreement",          # M183
+    "theil_sen_trend",              # M184
+    "feature_hash_collision_audit",  # M185
+    "rake_keyword_extract",         # M186
+    "dau_wau_stickiness",           # M187
     # (c) stalest signatures, oldest-first — r1-era
     # (pivot_status_by_priority, unpivot_status_counts,
     # explode_variants, table_profile, window_rank_family,
@@ -168,13 +179,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_exact",
     "lang_profile",
     "text_stats",
-    "vector_norms",
-    "lang_id_heuristic",
-    "token_count_bpe",
-    "semi_join_segments",
-    "anti_join_customers",
-    "cross_join_pairs",
-    "theta_join_acctbal",
 )
 
 _loaded = False

@@ -2355,3 +2355,255 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cus_scaled").cast("double") / F.col("n")).alias("cusum"),
         )
     )
+
+
+@query(
+    "roc_auc_binned",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(floor(value * 10 + 0.5) AS BIGINT) AS b,
+               CAST(event_type = 'purchase' AS INT) AS y
+        FROM events
+    ),
+    buckets AS (
+        SELECT b,
+               CAST(count_if(y = 1) AS BIGINT) AS np,
+               CAST(count_if(y = 0) AS BIGINT) AS nn
+        FROM scored GROUP BY b
+    ),
+    cum AS (
+        SELECT np, nn,
+               CAST(SUM(nn) OVER (ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - nn AS BIGINT)
+                   AS nn_below
+        FROM buckets
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2,
+           CAST(SUM(np * (2 * nn_below + nn)) AS DOUBLE)
+               / (2 * SUM(np) * SUM(nn)) AS auc
+    FROM cum
+    """,
+)
+def roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC-AUC (M181): the Mann-Whitney identity
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) computed from
+    score-histogram buckets — the model-eval number behind every
+    ranking-quality gate, in the binned form a 100 TB scorer actually
+    uses (exact per-row ranking needs a global sort; the histogram
+    needs one bounded aggregate).  Score = event value deci-quantized
+    (production: any monotone quantization of the model score; AUC is
+    rank-based so quantization only merges ties), label = purchase.
+
+    Exactness: per-bucket positive/negative counts are exact BIGINTs;
+    the tie-aware U statistic is computed doubled
+    (u2 = Σ_b np_b·(2·negatives_below + nn_b)) so ties never produce a
+    fraction; AUC is ONE IEEE division u2 / (2·n_pos·n_neg).
+
+    Scale: one map-side-combined aggregate over the scan; the running
+    negative count is a window over |buckets| rows — bounded by the
+    score range (≈4 900 here), not the data size (documented
+    BOUNDED_GLOBAL_WINDOW_OK exemption).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(F.col("value") * 10 + F.lit(0.5)).cast("long").alias("b"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    buckets = scored.groupBy("b").agg(
+        F.count_if(F.col("y") == 1).cast("long").alias("np"),
+        F.count_if(F.col("y") == 0).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(w) - F.col("nn")).cast("long").alias("nn_below"),
+    )
+    u2 = F.sum(
+        F.col("np") * (F.lit(2) * F.col("nn_below") + F.col("nn"))
+    ).cast("long")
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_buckets"),
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (F.lit(2) * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    idx AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i
+        FROM hourly
+    ),
+    slopes AS (
+        SELECT CAST(floor(CAST((b.x - a.x) * 1000000 AS DOUBLE)
+                          / (b.i - a.i)) AS BIGINT) AS slope_micro,
+               a.i AS i, b.i AS j
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+        SELECT slope_micro,
+               CAST(row_number() OVER (
+                   ORDER BY slope_micro, i, j) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM slopes
+    )
+    SELECT m AS n_pairs,
+           CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
+           CAST(slope_micro AS BIGINT) AS median_slope_micro,
+           CAST(slope_micro AS DOUBLE) / 1000000 AS slope_per_hour
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (M184): the median of all pairwise
+    slopes of the hourly event series — the trend estimator that
+    shrugs off the outlier hours OLS would chase (breakdown point
+    ~29%).  The "is traffic actually growing" number for a noisy
+    operational series.
+
+    Exactness: slopes are micro-quantized via one floor of one IEEE
+    division of exact integers ((Δx·1e6 exact in double far below
+    2^53) / Δi) — identical doubles both engines; the median is the
+    exact lower-middle element under the total order
+    (slope_micro, i, j), so the result is ONE deterministic row.
+
+    Scale: the per-hour pre-aggregate is the only data-sized shuffle;
+    the |hours|² pair join (~260 k pairs for a 30-day series) and both
+    windows run post-aggregate on series-sized state — bounded by the
+    time range, never by data volume (documented
+    BOUNDED_GLOBAL_WINDOW_OK exemption).  For multi-year series swap
+    in the standard per-partition-sample variant; the median logic is
+    unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("h")
+    idx = hourly.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("i").alias("i"))
+    b = idx.select(F.col("x").alias("xb"), F.col("i").alias("j"))
+    slopes = (
+        a.join(b, F.col("j") > F.col("i"))
+        .select(
+            F.floor(
+                ((F.col("xb") - F.col("xa")) * F.lit(1000000))
+                .cast("double")
+                / (F.col("j") - F.col("i"))
+            )
+            .cast("long")
+            .alias("slope_micro"),
+            "i",
+            "j",
+        )
+    )
+    w_rank = Window.orderBy("slope_micro", "i", "j")
+    w_all = Window.partitionBy()
+    ranked = slopes.select(
+        "slope_micro",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+    )
+    n_hours = hourly.agg(F.count("*").cast("long").alias("n_hours"))
+    return (
+        ranked.where(F.col("rn") == F.expr("(m + 1) div 2"))
+        .crossJoin(n_hours)
+        .select(
+            F.col("m").alias("n_pairs"),
+            "n_hours",
+            F.col("slope_micro").cast("long").alias("median_slope_micro"),
+            (F.col("slope_micro").cast("double") / F.lit(1000000)).alias(
+                "slope_per_hour"
+            ),
+        )
+    )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH day_users AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM day_users GROUP BY d
+    ),
+    contrib AS (
+        SELECT DISTINCT
+               unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS wd,
+               user_id
+        FROM day_users
+    ),
+    wau AS (
+        SELECT wd AS d, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM contrib GROUP BY wd
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (M187): daily active users over trailing-7-day
+    weekly active users, per day — the engagement ratio product teams
+    track (DAU/WAU → how many weekly users show up on a given day;
+    1/7 = everyone visits once a week, 1.0 = everyone visits daily).
+
+    The trailing-window distinct is NOT computed with a per-day range
+    join (a 30-way nested-loop rescan of the activity table): each
+    (day, user) activity row instead EMITS the 7 window-days it
+    contributes to via a map-side sequence-explode, and WAU is one
+    distinct aggregate over the emitted pairs — the shuffle-friendly
+    inversion that scales as 7×|day-user pairs| regardless of the
+    window count.  Days past the observed range are dropped by the
+    inner join with the DAU side (early days carry a partial trailing
+    window, as every production WAU does).
+
+    Exactness: both counts are exact distinct BIGINTs over UTC
+    date_trunc'd days; stickiness is ONE IEEE division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    dau = day_users.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    contrib = day_users.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wd"),
+        "user_id",
+    ).distinct()
+    wau = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

@@ -1032,3 +1032,118 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join("l", " "))
         .alias("out_text"),
     )
+
+
+@query(
+    "vocab_novelty_curve",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> ''))) AS token
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT token, CAST(MIN(doc_id) AS BIGINT) AS fd
+        FROM toks GROUP BY token
+    ),
+    bounds AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+               CAST(MAX(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    doc_batches AS (
+        SELECT least((doc_id - lo) * 10 // (hi - lo + 1), 9) AS batch,
+               COUNT(*) AS n_docs
+        FROM documents, bounds GROUP BY 1
+    ),
+    tok_batches AS (
+        SELECT least((fd - lo) * 10 // (hi - lo + 1), 9) AS batch,
+               COUNT(*) AS new_tokens
+        FROM first_seen, bounds GROUP BY 1
+    )
+    SELECT CAST(d.batch AS INT) AS batch,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(t.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST((SELECT SUM(COALESCE(t2.new_tokens, 0))
+                 FROM tok_batches t2 WHERE t2.batch <= d.batch)
+                AS BIGINT) AS cum_vocab
+    FROM doc_batches d LEFT JOIN tok_batches t ON t.batch = d.batch
+    """,
+)
+def vocab_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary novelty curve (M182): split the corpus into 10
+    equal-width ingest batches (doc_id stands in for crawl order) and
+    count the tokens FIRST seen in each batch plus the cumulative
+    vocabulary — the Heaps'-law growth curve that answers "is new data
+    still bringing new language, or are we re-crawling the same
+    vocabulary?" (a flattening curve is the data-acquisition stop
+    signal; a spike mid-curve flags a source switch or an encoding
+    break).
+
+    Exactness: batch assignment is pure integer arithmetic
+    ((id − lo)·10 div (hi − lo + 1), capped at 9) against broadcast
+    exact bounds; all counts exact BIGINTs; the cumulative is a
+    10×10 triangular self-join — no window, no division anywhere.
+
+    Scale: per-doc distinct tokens then a token-keyed MIN(doc_id)
+    aggregate — the word-count shuffle shape; everything after runs
+    on ≤10 rows.  First-seen-doc per token is itself the useful
+    byproduct (the "which batch introduced this term" index).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+    )
+    first_seen = toks.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    doc_batches = (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.expr("(doc_id - lo) * 10 div (hi - lo + 1)"), F.lit(9)
+            ).alias("batch")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tok_batches = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.expr("(fd - lo) * 10 div (hi - lo + 1)"), F.lit(9)
+            ).alias("batch")
+        )
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    cum = (
+        doc_batches.alias("d")
+        .join(
+            tok_batches.alias("t2"),
+            F.col("t2.batch") <= F.col("d.batch"),
+            "left",
+        )
+        .groupBy(F.col("d.batch").alias("batch"))
+        .agg(
+            F.sum(F.coalesce(F.col("t2.new_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("cum_vocab")
+        )
+    )
+    return (
+        doc_batches.join(tok_batches, "batch", "left")
+        .join(cum, "batch")
+        .select(
+            F.col("batch").cast("int").alias("batch"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("new_tokens", F.lit(0))
+            .cast("long")
+            .alias("new_tokens"),
+            "cum_vocab",
+        )
+    )

@@ -1009,3 +1009,83 @@ def sft_dialogue_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transcript",
         (F.substring("transcript", 1, 1) == "U").alias("opens_with_user"),
     )
+
+
+@query(
+    "feature_hash_collision_audit",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT token, COUNT(*) AS occurrences
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    bucketed AS (
+        SELECT v.token, tf.occurrences,
+               CAST((strpos('0123456789abcdef', substr(md5(v.token), 1, 1))
+                     - 1) * 16
+                    + strpos('0123456789abcdef', substr(md5(v.token), 2, 1))
+                    - 1 AS INTEGER) AS bucket
+        FROM vocab v JOIN tf USING (token)
+    ),
+    loads AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(occurrences) AS BIGINT) AS occurrences
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT n_tokens AS load,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(occurrences) AS BIGINT) AS occurrences
+    FROM loads GROUP BY n_tokens
+    """,
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash collision audit (M185): the load histogram of the
+    hashing trick's bucket space — for a 256-bucket table, how many
+    buckets hold 1 distinct token, 2, 3, … and how many token
+    OCCURRENCES ride each load class.  The dimensioning report read
+    before committing a hash width: heavy multi-token buckets mean
+    the collision noise the trick accepts is landing on real signal
+    mass (occurrences), and vocab/256 ≫ typical load says widen the
+    table.  Buckets with zero tokens simply don't appear (n_empty =
+    256 − Σ n_buckets).
+
+    Bucket = the first TWO md5 hex nibbles decoded via the
+    cross-engine ``instr('0123456789abcdef', nibble) − 1`` idiom (the
+    `hashing_trick_features` / simhash convention — pure string ops,
+    no hex-to-int cast divergence).
+
+    Scale: one token-keyed distinct+count aggregate (the word-count
+    shuffle), then everything runs on ≤256 bucket rows and ≤|vocab|
+    load classes.  All columns exact BIGINTs — no division at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("occurrences"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1"
+    )
+    loads = (
+        tf.select(bucket.cast("int").alias("bucket"), "occurrences")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("occurrences").cast("long").alias("occurrences"),
+        )
+    )
+    return loads.groupBy(F.col("n_tokens").alias("load")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("occurrences").cast("long").alias("occurrences"),
+    )

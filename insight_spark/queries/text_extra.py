@@ -1434,3 +1434,139 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_nano"),
         )
     )
+
+
+@query(
+    "rake_keyword_extract",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
+        FROM toks
+    ),
+    marked AS (
+        SELECT doc_id, tok, p,
+               CASE WHEN tok IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+        FROM pos
+    ),
+    seg AS (
+        SELECT doc_id, tok, p, phrase_id FROM (
+            SELECT doc_id, tok, p, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY p
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS phrase_id
+            FROM marked
+        ) WHERE is_stop = 0
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(tok, ' ' ORDER BY p) AS phrase,
+               COUNT(*) AS plen
+        FROM seg GROUP BY doc_id, phrase_id
+        HAVING COUNT(*) BETWEEN 1 AND 3
+    ),
+    members AS (
+        SELECT s.doc_id, s.phrase_id, s.tok, ph.plen, ph.phrase
+        FROM seg s JOIN phrases ph
+          ON ph.doc_id = s.doc_id AND ph.phrase_id = s.phrase_id
+    ),
+    word_scores AS (
+        SELECT tok,
+               1000000 * CAST(SUM(plen) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS score_micro
+        FROM members GROUP BY tok
+    ),
+    instance AS (
+        SELECT m.doc_id, m.phrase_id, m.phrase,
+               CAST(SUM(ws.score_micro) AS BIGINT) AS iscore
+        FROM members m JOIN word_scores ws ON ws.tok = m.tok
+        GROUP BY m.doc_id, m.phrase_id, m.phrase
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(iscore) AS BIGINT) AS score_micro
+    FROM instance GROUP BY phrase
+    ORDER BY score_micro DESC, phrase
+    LIMIT 15
+    """,
+)
+def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (M186, Rose et al. 2010): candidate
+    phrases are maximal stopword-delimited token runs (capped at 3
+    words); each word scores deg(w)/freq(w) — degree favors words that
+    live in long phrases, frequency demotes ubiquitous ones — and a
+    phrase scores the sum of its member-word scores.  Top-15 corpus
+    keyphrases.  The unsupervised keyword pass that needs no model
+    artifact at all, which is why it still opens most document-tagging
+    pipelines (tf-idf ranks single tokens; RAKE surfaces multi-word
+    terms).
+
+    Exactness: per-word score is ONE integer division to micro-units
+    (1e6·Σplen div n); a phrase score is an exact BIGINT sum of those,
+    so ordering/limit sit on exact integers with the phrase string as
+    tie-break — no floats anywhere.
+
+    Scale: phrase segmentation is a per-doc running-sum window
+    (doc-partitioned, bounded per-doc state); word scores are a
+    token-keyed agg (word-count shape) re-joined to members on the
+    token key.  Phrase assembly uses the ordered string_agg /
+    sorted-collect_list idiom (`inverted_index_build` discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "tok")
+    )
+    marked = pos.select(
+        "doc_id",
+        "tok",
+        "p",
+        F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0).alias(
+            "is_stop"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = marked.select(
+        "doc_id", "tok", "p", F.sum("is_stop").over(w).alias("phrase_id")
+    ).where(F.col("is_stop") == 0)
+    phrases = (
+        seg.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen").between(1, 3))
+    )
+    members = seg.join(phrases, ["doc_id", "phrase_id"]).select(
+        "doc_id", "phrase_id", "tok", "plen", "phrase"
+    )
+    word_scores = members.groupBy("tok").agg(
+        F.expr("1000000 * CAST(SUM(plen) AS BIGINT) div COUNT(*)").alias(
+            "score_micro"
+        )
+    )
+    instance = (
+        members.join(word_scores, "tok")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("score_micro").cast("long").alias("iscore"))
+    )
+    return (
+        instance.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("iscore").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(15)
+    )

@@ -2351,3 +2351,100 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("norm2").cast("double") / F.count("*")).alias("mean_norm2"),
         F.count_if(F.col("norm2") < 100000000).alias("n_degenerate"),
     )
+
+
+@query(
+    "knn_label_agreement",
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id AS q_vec_id, label AS q_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    cand AS (
+        SELECT vec_id AS c_vec_id, label AS c_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT q_vec_id, q_label, c_vec_id, c_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_vec_id
+                   ORDER BY ROUND(list_cosine_similarity(qe, ce), 6) DESC,
+                            c_vec_id) AS rank
+        FROM probes CROSS JOIN cand
+    ),
+    nn AS (
+        SELECT * FROM ranked
+        WHERE rank <= 4 AND c_vec_id <> q_vec_id
+    )
+    SELECT q_vec_id, q_label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(count_if(c_label = q_label) AS BIGINT) AS n_same,
+           CAST(count_if(c_label = q_label) AS DOUBLE) / COUNT(*)
+               AS agree_frac
+    FROM nn GROUP BY q_vec_id, q_label
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit (M183): for a deterministic md5-keyed
+    probe sample (~1/16 of vectors), do the 3 nearest cosine
+    neighbors share the probe's label?  The LOCAL-neighborhood
+    mislabel detector that complements M161's global class-centroid
+    audit — a probe whose neighborhood votes against its label is the
+    classic confident-learning relabel candidate, and the aggregate
+    agreement rate is the "is this embedding space even separable by
+    these labels" pre-flight before training a classifier head on it.
+
+    Ranking discipline: top-4 per probe on the ROUNDed cosine with id
+    tie-breaks (the `knn_cosine_topk` parity pattern), then self is
+    dropped — leaving the 3 non-self neighbors regardless of where
+    duplicate-vector ties place the self row.
+
+    Scale: the bounded probe side broadcasts; the corpus is scanned
+    once map-side (|probes|×N pairs inside codegen, no corpus
+    shuffle); per-probe state is a top-4 heap.  Production points the
+    same agreement aggregate at the ANN shortlist (M68's IVF probe)
+    instead of the exact scan — the audit columns are unchanged.
+    """
+    from insight_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    ).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_vec_id")
+    )
+    ranked = (
+        cand.crossJoin(F.broadcast(probes))
+        .select(
+            "q_vec_id",
+            "q_label",
+            "c_vec_id",
+            "c_label",
+            F.round(
+                cosine(F.col("q_embedding"), F.col("c_embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+    )
+    nn = ranked.where(
+        (F.col("rank") <= 4) & (F.col("c_vec_id") != F.col("q_vec_id"))
+    )
+    same = F.count_if(F.col("c_label") == F.col("q_label"))
+    return nn.groupBy("q_vec_id", "q_label").agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        same.cast("long").alias("n_same"),
+        (same.cast("double") / F.count("*")).alias("agree_frac"),
+    )
