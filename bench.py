@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     "feature_hash_collision_audit",
     "rake_keyword_extract",
     "dau_wau_stickiness",
+    "user_diversity_gini",
+    "churn_label_build",
+    "trending_terms_rank_shift",
+    "revenue_lorenz_curve",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

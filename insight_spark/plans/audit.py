@@ -80,6 +80,10 @@ __all__ = [
 #:   heads (≤10 rows each — the vector_index_probe pattern).
 #: - roc_auc_binned: running negative-count over score-histogram
 #:   buckets — bounded by the score range (~4 900), not data size.
+#: - revenue_lorenz_curve: running sums over spend buckets — bounded
+#:   by the spend range.
+#: - trending_terms_rank_shift: rank windows on the two
+#:   TakeOrdered(20) heads (the vector_index_probe pattern).
 #: - theil_sen_trend: row_number/count windows over the hourly series
 #:   and its |hours|² pair set — bounded by the time range.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
@@ -94,6 +98,8 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "rank_biased_overlap",
         "roc_auc_binned",
         "theil_sen_trend",
+        "revenue_lorenz_curve",
+        "trending_terms_rank_shift",
     }
 )
 

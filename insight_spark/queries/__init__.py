@@ -168,17 +168,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_hash_collision_audit",  # M185
     "rake_keyword_extract",         # M186
     "dau_wau_stickiness",           # M187
-    # (c) stalest signatures, oldest-first — r1-era
-    # (pivot_status_by_priority, unpivot_status_counts,
-    # explode_variants, table_profile, window_rank_family,
-    # set_ops_users, stopword_top_terms, bigrams_top, doc_freq_idf,
-    # tfidf_top, prefix_suggest_th, self_join_order_pairs,
-    # asof_purchase_click, stats_moments, first_event_per_user,
-    # user_event_types, value_percentiles + the 13 r2-era names move
-    # to the r10 rotation; the window holds exactly 50)
-    "distinct_exact",
-    "lang_profile",
-    "text_stats",
+    # M188 user_diversity_gini heads the r10 window (the 50-slot cap;
+    # it carries local two-tier oracle + suite evidence meanwhile)
+    "churn_label_build",            # M189
+    "trending_terms_rank_shift",    # M190
+    "revenue_lorenz_curve",         # M191
+    # (c) stalest signatures — the session-2 additions took the
+    # remaining slots; ALL r1-era + r2-era stale names (27 + 13, list
+    # at the r8 rotation note) now move to the r10 rotation, which
+    # should lead with them plus user_diversity_gini (M188).  The
+    # window holds exactly 50.
 )
 
 _loaded = False

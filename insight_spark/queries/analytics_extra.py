@@ -2607,3 +2607,138 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+@query(
+    "user_diversity_gini",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+               / (SUM(c) * SUM(c)) AS simpson_gini
+    FROM counts GROUP BY user_id
+    """,
+)
+def user_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity (M188): the Gini–Simpson index
+    1 − Σ(c_t/n)² over each user's event-type distribution — 0 for a
+    single-behavior user, →1 for uniformly mixed behavior.  The
+    log-free diversity feature (Shannon entropy needs libm log, which
+    stays banned from hashed paths — Gini–Simpson carries the same
+    ordering signal for segmentation/churn features and is exact).
+
+    Exactness: per-(user, type) counts are exact BIGINTs; the index is
+    the integer form (n² − Σc²)/n² — ONE IEEE division of exact
+    integers per user.
+
+    Scale: one (user, type)-keyed map-side-combined aggregate, then a
+    user-keyed second aggregate — the same two-level rollup shape as
+    any per-entity profile; per-user state is |event types|, bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n = F.sum("c")
+    return counts.groupBy("user_id").agg(
+        n.cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        (
+            (n * n - F.sum(F.col("c") * F.col("c"))).cast("double")
+            / (n * n)
+        ).alias("simpson_gini"),
+    )
+
+
+@query(
+    "revenue_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    binned AS (
+        SELECT v // 100000 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(v) AS BIGINT) AS revenue_cents
+        FROM cust GROUP BY v // 100000
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_customers) AS BIGINT) AS tn,
+               CAST(SUM(revenue_cents) AS BIGINT) AS ts
+        FROM binned
+    ),
+    cum AS (
+        SELECT bucket, n_customers, revenue_cents,
+               CAST(SUM(n_customers) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cn,
+               CAST(SUM(revenue_cents) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cs
+        FROM binned
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_customers, revenue_cents,
+           CAST(1000000 * cn // tn AS BIGINT) AS cum_pop_ppm,
+           CAST(1000000 * cs // ts AS BIGINT) AS cum_rev_ppm
+    FROM cum, tot
+    """,
+)
+def revenue_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Lorenz concentration curve (M191): customers bucketed by
+    total spend ($1000-wide buckets), with cumulative population and
+    revenue shares in ppm — the whale-concentration table behind "the
+    top 5% of customers carry 40% of revenue" and the Gini coefficient
+    (one trapezoid pass over these rows; the same shape audits token
+    mass per source or shard-size concentration).
+
+    Exactness: per-customer revenue is an exact BIGINT cents sum;
+    bucket assignment one integer division; cumulative shares are
+    integer ppm divisions of exact cumulative sums — every output
+    column an exact BIGINT, no floats at all.
+
+    Scale: the customer rollup is the only data-sized shuffle; the
+    running sums operate on |buckets| rows — bounded by the spend
+    range, not the customer count (documented
+    BOUNDED_GLOBAL_WINDOW_OK exemption).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("v")
+    )
+    binned = cust.groupBy(F.expr("v div 100000").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("v").cast("long").alias("revenue_cents"),
+    )
+    tot = binned.agg(
+        F.sum("n_customers").cast("long").alias("tn"),
+        F.sum("revenue_cents").cast("long").alias("ts"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bucket",
+        "n_customers",
+        "revenue_cents",
+        F.sum("n_customers").over(w).cast("long").alias("cn"),
+        F.sum("revenue_cents").over(w).cast("long").alias("cs"),
+    )
+    return cum.crossJoin(tot).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_customers",
+        "revenue_cents",
+        F.expr("1000000 * cn div tn").cast("long").alias("cum_pop_ppm"),
+        F.expr("1000000 * cs div ts").cast("long").alias("cum_rev_ppm"),
+    )

@@ -1570,3 +1570,126 @@ def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(15)
     )
+
+
+@query(
+    "trending_terms_rank_shift",
+    oracle=r"""
+    WITH bounds AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+               CAST(MAX(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    toks AS (
+        SELECT CASE WHEN (doc_id - lo) * 2 < (hi - lo + 1)
+                    THEN 0 ELSE 1 END AS half,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents, bounds
+    ),
+    counts AS (
+        SELECT half, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY half, token
+    ),
+    top_a AS (
+        SELECT token, tf FROM counts WHERE half = 0
+        ORDER BY tf DESC, token LIMIT 20
+    ),
+    top_b AS (
+        SELECT token, tf FROM counts WHERE half = 1
+        ORDER BY tf DESC, token LIMIT 20
+    ),
+    ra AS (
+        SELECT token, tf AS tf_first,
+               CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+                   AS rank_first
+        FROM top_a
+    ),
+    rb AS (
+        SELECT token, tf AS tf_second,
+               CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+                   AS rank_second
+        FROM top_b
+    )
+    SELECT COALESCE(ra.token, rb.token) AS token,
+           rank_first, rank_second, tf_first, tf_second,
+           CAST(COALESCE(rank_first, 21) - COALESCE(rank_second, 21)
+                AS INT) AS rank_delta
+    FROM ra FULL JOIN rb ON ra.token = rb.token
+    """,
+)
+def trending_terms_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-terms rank shift (M190): the top-20 term leaderboards
+    of the corpus's first and second ingest halves (doc_id stands in
+    for crawl order) full-outer-joined, with the rank delta — positive
+    = the term climbed, NULL rank = entered or left the top-20 (delta
+    uses the standard rank-21 sentinel for absences).  The
+    drift-of-attention report behind "what's newly hot in this crawl"
+    and the lexical early-warning twin of `psi_drift`'s distributional
+    gate.
+
+    Exactness: term counts are exact BIGINTs; ranks come from
+    row_number on the rounded-free exact (tf, token) order; delta is
+    integer arithmetic over sentinel-coalesced ranks.
+
+    Scale: one (half, token)-keyed count (the word-count shuffle) with
+    the half flag assigned map-side from broadcast exact bounds; each
+    leaderboard is a TakeOrdered(20); the rank windows run on the
+    20-row heads (documented BOUNDED_GLOBAL_WINDOW_OK exemption) and
+    the join is 20×20.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                (F.col("doc_id") - F.col("lo")) * 2
+                < F.col("hi") - F.col("lo") + 1,
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+            F.explode(tokenize(F.col("text"))).alias("token"),
+        )
+    )
+    counts = toks.groupBy("half", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+    def leaderboard(half: int, tf_name: str, rank_name: str) -> DataFrame:
+        top = (
+            counts.where(F.col("half") == half)
+            .select("token", "tf")
+            .orderBy(F.desc("tf"), F.asc("token"))
+            .limit(20)
+        )
+        w = Window.orderBy(F.desc("tf"), F.asc("token"))
+        return top.select(
+            "token",
+            F.col("tf").alias(tf_name),
+            F.row_number().over(w).cast("int").alias(rank_name),
+        )
+
+    ra = leaderboard(0, "tf_first", "rank_first")
+    rb = leaderboard(1, "tf_second", "rank_second")
+    return (
+        ra.alias("a")
+        .join(rb.alias("b"), F.col("a.token") == F.col("b.token"), "full")
+        .select(
+            F.coalesce(F.col("a.token"), F.col("b.token")).alias("token"),
+            "rank_first",
+            "rank_second",
+            "tf_first",
+            "tf_second",
+            (
+                F.coalesce(F.col("rank_first"), F.lit(21))
+                - F.coalesce(F.col("rank_second"), F.lit(21))
+            )
+            .cast("int")
+            .alias("rank_delta"),
+        )
+    )

@@ -1413,3 +1413,95 @@ def best_of_n_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_candidates") >= 2)
     )
+
+
+@query(
+    "churn_label_build",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS TIMESTAMP) + INTERVAL 21 DAY AS split_ts
+        FROM events
+    ),
+    obs AS (
+        SELECT user_id, ts, event_type FROM events, bounds
+        WHERE ts < split_ts
+    ),
+    holdout_users AS (
+        SELECT DISTINCT user_id FROM events, bounds WHERE ts >= split_ts
+    ),
+    feats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events_obs,
+               CAST(count_if(event_type = 'purchase') AS BIGINT)
+                   AS n_purchases_obs,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                   AS n_active_days_obs,
+               CAST(MAX(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                    AS TIMESTAMP) AS last_active_day
+        FROM obs GROUP BY user_id
+    )
+    SELECT f.user_id, n_events_obs, n_purchases_obs, n_active_days_obs,
+           last_active_day,
+           CAST(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS churned
+    FROM feats f LEFT JOIN holdout_users h ON h.user_id = f.user_id
+    """,
+)
+def churn_label_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label construction (M189): the canonical
+    features-from-logs training-set build — a 21-day observation
+    window yields per-user features (event count, purchases, active
+    days, last active day) and the 9-day holdout window yields the
+    label (churned = zero holdout activity).  The time-split
+    discipline every behavioral model needs: features may only read
+    BEFORE the split, labels only AFTER — the leakage rule
+    `leakage_safe_split` enforces structurally, here instantiated as
+    an actual labeled table a trainer consumes.
+
+    Exactness: the split is exact timestamp arithmetic off the
+    broadcast observed minimum (UTC, no DST hazards); counts exact
+    BIGINTs; the label an integer null-flag off a left join — no
+    floats anywhere.
+
+    Scale: one user-keyed aggregate over the observation scan plus a
+    DISTINCT holdout projection joined user-keyed; users with zero
+    observation events are (correctly) absent — they have no feature
+    row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts").cast("timestamp") + F.expr("INTERVAL 21 DAY")).alias(
+            "split_ts"
+        )
+    )
+    with_split = ev.crossJoin(F.broadcast(bounds))
+    obs = with_split.where(F.col("ts") < F.col("split_ts"))
+    holdout = (
+        with_split.where(F.col("ts") >= F.col("split_ts"))
+        .select("user_id")
+        .distinct()
+        .withColumn("in_holdout", F.lit(1))
+    )
+    feats = obs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events_obs"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("n_purchases_obs"),
+        F.countDistinct(F.date_trunc("day", "ts"))
+        .cast("long")
+        .alias("n_active_days_obs"),
+        F.max(F.date_trunc("day", "ts"))
+        .cast("timestamp")
+        .alias("last_active_day"),
+    )
+    return feats.join(holdout, "user_id", "left").select(
+        "user_id",
+        "n_events_obs",
+        "n_purchases_obs",
+        "n_active_days_obs",
+        "last_active_day",
+        F.when(F.col("in_holdout").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("churned"),
+    )
