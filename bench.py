@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "churn_label_build",
     "trending_terms_rank_shift",
     "revenue_lorenz_curve",
+    "ab_srm_check",
+    "survival_hazard_table",
+    "bloom_fpr_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -168,8 +168,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_hash_collision_audit",  # M185
     "rake_keyword_extract",         # M186
     "dau_wau_stickiness",           # M187
-    # M188 user_diversity_gini heads the r10 window (the 50-slot cap;
-    # it carries local two-tier oracle + suite evidence meanwhile)
+    # M188 user_diversity_gini and M192-M194 (ab_srm_check,
+    # survival_hazard_table, bloom_fpr_audit) head the r10 window
+    # (the 50-slot cap; they carry local two-tier oracle + suite
+    # evidence meanwhile)
     "churn_label_build",            # M189
     "trending_terms_rank_shift",    # M190
     "revenue_lorenz_curve",         # M191

@@ -2742,3 +2742,185 @@ def revenue_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * cn div tn").cast("long").alias("cum_pop_ppm"),
         F.expr("1000000 * cs div ts").cast("long").alias("cum_rev_ppm"),
     )
+
+
+@query(
+    "ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT CAST(count_if(arm = 0) AS BIGINT) AS n_a,
+               CAST(count_if(arm = 1) AS BIGINT) AS n_b
+        FROM assigned
+    )
+    SELECT n_a, n_b,
+           CAST(n_a + n_b AS BIGINT) AS n_total,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+               AS chi2,
+           CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                          / (n_a + n_b) > 3.841 THEN 1 ELSE 0 END
+                AS INT) AS srm_flag
+    FROM counts
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (M192): the first gate every A/B
+    readout must pass — under a 50/50 md5 hash split, is the observed
+    arm imbalance within chance?  Chi-square with 1 dof reduces to
+    (n_a − n_b)²/(n_a + n_b); past 3.841 (95%) the assignment or
+    logging pipeline is dropping one arm's users and every downstream
+    metric is invalid (the industry-standard "SRM" trigger).  The
+    assignment here is the same first-nibble md5 parity a real
+    bucketing service computes; swap in the logged arm column and the
+    test is unchanged.
+
+    Exactness: arm counts are exact BIGINTs over DISTINCT users; the
+    statistic is ONE IEEE division of exact integers, and the flag
+    compares that division against a pre-quantized literal (no libm
+    p-value — the 1-dof 95% critical value is a constant).
+
+    Scale: a DISTINCT user projection and ONE 2-key conditional
+    aggregate — map-side combined, one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.expr(
+            "instr('0123456789abcdef',"
+            " substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1"
+        )
+        % 2
+    )
+    assigned = ev.select("user_id").distinct().select(arm.alias("arm"))
+    counts = assigned.agg(
+        F.count_if(F.col("arm") == 0).cast("long").alias("n_a"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_total"),
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+@query(
+    "survival_hazard_table",
+    oracle="""
+    WITH first_view AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id,
+               CAST((epoch_us(MIN(e.ts)) - epoch_us(f.t0)) // 86400000000
+                    AS BIGINT) AS day_bin
+        FROM first_view f
+        JOIN events e ON e.user_id = f.user_id
+         AND e.event_type = 'purchase' AND e.ts >= f.t0
+        GROUP BY f.user_id, f.t0
+    ),
+    conv_days AS (
+        SELECT day_bin, CAST(COUNT(*) AS BIGINT) AS n_converted
+        FROM conv WHERE day_bin BETWEEN 0 AND 6 GROUP BY day_bin
+    ),
+    cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM first_view),
+    days AS (SELECT unnest(range(7)) AS day),
+    at_risk AS (
+        SELECT d.day,
+               n - COALESCE((SELECT SUM(c2.n_converted) FROM conv_days c2
+                             WHERE c2.day_bin < d.day), 0) AS n_at_risk
+        FROM days d, cohort
+    )
+    SELECT CAST(a.day AS INT) AS day,
+           CAST(a.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(COALESCE(c.n_converted, 0) AS BIGINT) AS n_converted,
+           CAST(1000000 * COALESCE(c.n_converted, 0) // a.n_at_risk
+                AS BIGINT) AS hazard_ppm
+    FROM at_risk a LEFT JOIN conv_days c ON c.day_bin = a.day
+    """,
+)
+def survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival/hazard table (M193): per day 0-6 after a
+    user's first view — users still at risk (no conversion yet),
+    conversions that day, and the discrete hazard (conversions per
+    at-risk user, ppm) — the Kaplan-Meier data prep behind
+    time-to-convert curves with censoring done RIGHT: users who never
+    purchase (or purchase after the 7-day horizon) stay in every
+    day's risk set instead of being dropped, the mistake that
+    overstates every conversion rate M144's converted-only latency
+    table cannot see.  Chain (1 − h_d) over these rows for the
+    survival curve.
+
+    Exactness: day bins are integer-microsecond differences div
+    86400e6 (unix_micros/epoch_us — the `twap_user_value` discipline;
+    fractional-double epochs never enter); risk sets are
+    total-minus-prefix integer arithmetic
+    over the 7-row bin table (triangular join, no window); hazard is
+    ONE integer ppm division.
+
+    Scale: two user-keyed MIN aggregates (the funnel shuffle shape);
+    everything after runs on 7 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_view = ev.where(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t0"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("tc"))
+        .select(
+            F.expr(
+                "(unix_micros(tc) - unix_micros(t0)) div 86400000000"
+            )
+            .cast("long")
+            .alias("day_bin")
+        )
+    )
+    conv_days = (
+        conv.where(F.col("day_bin").between(0, 6))
+        .groupBy("day_bin")
+        .agg(F.count("*").cast("long").alias("n_converted"))
+    )
+    cohort = first_view.agg(F.count("*").cast("long").alias("n"))
+    days = spark.createDataFrame([(d,) for d in range(7)], "day long")
+    at_risk = (
+        days.crossJoin(F.broadcast(cohort))
+        .join(
+            conv_days.alias("c2"),
+            F.col("c2.day_bin") < F.col("day"),
+            "left",
+        )
+        .groupBy("day", "n")
+        .agg(
+            F.coalesce(F.sum("n_converted"), F.lit(0)).alias("converted_before")
+        )
+        .select(
+            "day", (F.col("n") - F.col("converted_before")).alias("n_at_risk")
+        )
+    )
+    return (
+        at_risk.join(conv_days, at_risk.day == conv_days.day_bin, "left")
+        .select(
+            F.col("day").cast("int").alias("day"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.coalesce("n_converted", F.lit(0))
+            .cast("long")
+            .alias("n_converted"),
+            F.expr(
+                "CAST(1000000 * COALESCE(n_converted, 0) div n_at_risk"
+                " AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+    )

@@ -96,3 +96,176 @@ def z_order_code_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "bloom_fpr_audit",
+    oracle=r"""
+    WITH bounds AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+               CAST(MAX(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    toks AS (
+        SELECT CASE WHEN (doc_id - lo) * 2 < (hi - lo + 1)
+                    THEN 0 ELSE 1 END AS half,
+               unnest(list_distinct(
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> ''))) AS token
+        FROM documents, bounds
+    ),
+    a_tokens AS (SELECT DISTINCT token FROM toks WHERE half = 0),
+    b_only AS (
+        SELECT 'zzprobe' || CAST(i AS VARCHAR) AS token
+        FROM (SELECT unnest(range(2000)) AS i)
+        WHERE 'zzprobe' || CAST(i AS VARCHAR)
+              NOT IN (SELECT token FROM a_tokens)
+    ),
+    hashes AS (SELECT unnest([1, 2, 3]) AS h),
+    a_pos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(token), (h - 1) * 8 + 1, 8))
+                    AS BIGINT) % 4096 AS pos
+        FROM a_tokens, hashes
+    ),
+    b_pos AS (
+        SELECT token,
+               CAST(('0x' || substr(md5(token), (h - 1) * 8 + 1, 8))
+                    AS BIGINT) % 4096 AS pos
+        FROM b_only, hashes
+    ),
+    b_probe AS (
+        SELECT b.token,
+               COUNT(DISTINCT b.pos) AS n_own,
+               COUNT(DISTINCT a.pos) AS n_hit
+        FROM b_pos b LEFT JOIN a_pos a ON a.pos = b.pos
+        GROUP BY b.token
+    ),
+    stats AS (
+        SELECT CAST((SELECT COUNT(*) FROM a_tokens) AS BIGINT)
+                   AS n_inserted,
+               CAST((SELECT COUNT(*) FROM a_pos) AS BIGINT) AS bits_set,
+               CAST(COUNT(*) AS BIGINT) AS n_tested,
+               CAST(count_if(n_hit = n_own) AS BIGINT) AS n_false_pos
+        FROM b_probe
+    )
+    SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(3 AS INT) AS k_hashes,
+           n_inserted, bits_set,
+           CAST(1000000 * bits_set // 4096 AS BIGINT) AS load_ppm,
+           n_tested, n_false_pos,
+           CAST(n_false_pos AS DOUBLE) / n_tested AS fpr
+    FROM stats
+    """,
+)
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit (M194): build an
+    m=4096-bit / k=3 Bloom filter from the first ingest half's
+    vocabulary, probe it with 2 000 synthetic known-absent tokens
+    (anti-joined against the vocab for certainty — every hit is a
+    false positive by construction), and report the measured
+    FPR beside the filter's load factor — the calibration run behind
+    sizing every runtime bloom (`bloom_semi_agg`'s pruning filter,
+    the incremental-dedup prefilter): measured FPR drifting above the
+    (1−e^{−kn/m})^k design point means the filter is overloaded and
+    the downstream "pruned" scan is silently reading junk.
+
+    Membership is exact-set semantics over the filter's SET bit
+    positions: a probe token is a (false) member iff ALL its k
+    positions are set — computed as distinct-own vs distinct-hit
+    position counts so duplicate positions within one token's k
+    hashes are handled exactly.
+
+    Cross-engine bits: position = 8-hex-char md5 slice → int mod 4096
+    via the M145-pinned conv/'0x'-cast parity; all counts exact
+    BIGINTs, load an integer ppm division, FPR ONE IEEE division.
+
+    Scale: vocab-keyed distinct/anti-join shuffles (word-count shape);
+    the position table is ≤4096 rows broadcast into the probe join;
+    the probe set is a fixed 2 000 rows regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from insight_spark.operators.text import tokenize
+
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                (F.col("doc_id") - F.col("lo")) * 2
+                < F.col("hi") - F.col("lo") + 1,
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+            F.explode(F.array_distinct(tokenize(F.col("text")))).alias(
+                "token"
+            ),
+        )
+        .distinct()
+    )
+    a_tokens = toks.where(F.col("half") == 0).select("token").distinct()
+    b_only = (
+        spark.range(2000)
+        .select(F.concat(F.lit("zzprobe"), F.col("id").cast("string")).alias("token"))
+        .join(a_tokens, "token", "left_anti")
+    )
+    hashes = spark.createDataFrame([(1,), (2,), (3,)], "h int")
+
+    def pos_col() -> F.Column:
+        return (
+            F.conv(
+                F.expr("substr(md5(token), (h - 1) * 8 + 1, 8)"), 16, 10
+            ).cast("long")
+            % 4096
+        )
+
+    a_pos = (
+        a_tokens.crossJoin(F.broadcast(hashes))
+        .select(pos_col().alias("pos"))
+        .distinct()
+    )
+    b_pos = b_only.crossJoin(F.broadcast(hashes)).select(
+        "token", pos_col().alias("pos")
+    )
+    b_probe = (
+        b_pos.alias("b")
+        .join(
+            F.broadcast(a_pos.select(F.col("pos").alias("apos"))),
+            F.col("b.pos") == F.col("apos"),
+            "left",
+        )
+        .groupBy("token")
+        .agg(
+            F.countDistinct("pos").alias("n_own"),
+            F.countDistinct("apos").alias("n_hit"),
+        )
+    )
+    n_ins = a_tokens.agg(F.count("*").cast("long").alias("n_inserted"))
+    bits = a_pos.agg(F.count("*").cast("long").alias("bits_set"))
+    stats = b_probe.agg(
+        F.count("*").cast("long").alias("n_tested"),
+        F.count_if(F.col("n_hit") == F.col("n_own"))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return (
+        stats.crossJoin(n_ins)
+        .crossJoin(bits)
+        .select(
+            F.lit(4096).cast("long").alias("m_bits"),
+            F.lit(3).cast("int").alias("k_hashes"),
+            "n_inserted",
+            "bits_set",
+            F.expr("1000000 * bits_set div 4096")
+            .cast("long")
+            .alias("load_ppm"),
+            "n_tested",
+            "n_false_pos",
+            (F.col("n_false_pos").cast("double") / F.col("n_tested")).alias(
+                "fpr"
+            ),
+        )
+    )
