@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "ab_srm_check",
     "survival_hazard_table",
     "bloom_fpr_audit",
+    "skipgram_pair_counts",
+    "embedding_dim_variance",
+    "zipf_coverage_curve",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -84,6 +84,7 @@ __all__ = [
 #:   by the spend range.
 #: - trending_terms_rank_shift: rank windows on the two
 #:   TakeOrdered(20) heads (the vector_index_probe pattern).
+#: - zipf_coverage_curve: rank window on the TakeOrdered(1000) head.
 #: - theil_sen_trend: row_number/count windows over the hourly series
 #:   and its |hours|² pair set — bounded by the time range.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
@@ -100,6 +101,7 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "theil_sen_trend",
         "revenue_lorenz_curve",
         "trending_terms_rank_shift",
+        "zipf_coverage_curve",
     }
 )
 

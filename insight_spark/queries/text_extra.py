@@ -1693,3 +1693,146 @@ def trending_terms_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_delta"),
         )
     )
+
+
+@query(
+    "skipgram_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.tok AS center, b.tok AS context
+        FROM pos a JOIN pos b
+          ON b.doc_id = a.doc_id
+         AND b.p BETWEEN a.p - 2 AND a.p + 2
+         AND b.p <> a.p
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    ORDER BY n DESC, center, context
+    LIMIT 30
+    """,
+)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair extraction (M195): directed (center,
+    context) co-occurrence counts within a ±2-token window — the
+    word2vec/fastText data-prep pass whose output table IS the
+    training set for count-based embeddings (and, normalized, the PMI
+    input M84 consumes).  Positional windows differ from M82's
+    doc-level co-occurrence: "key order" co-occurring ADJACENTLY is
+    the signal a context-window embedding learns, shared-document
+    co-occurrence is not.  Top-30 pairs shown; production writes the
+    full pair table.
+
+    Scale: the pair join is doc-keyed (equi on doc_id with the ±2
+    positional predicate applied inside the matched doc) — per-doc
+    work is 4·|tokens|, never cross-document; the count is a
+    map-side-combined (center, context) aggregate and the result a
+    TakeOrdered(30) on exact integers with lexicographic tie-breaks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "tok")
+    )
+    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("tok").alias("center"))
+    b = pos.select("doc_id", F.col("p").alias("pb"), F.col("tok").alias("context"))
+    pairs = a.join(b, "doc_id").where(
+        (F.col("pb") >= F.col("pa") - 2)
+        & (F.col("pb") <= F.col("pa") + 2)
+        & (F.col("pb") != F.col("pa"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
+        .limit(30)
+    )
+
+
+@query(
+    "zipf_coverage_curve",
+    oracle=r"""
+    WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_mass FROM tf),
+    head AS (
+        SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 1000
+    ),
+    ranked AS (
+        SELECT tf,
+               CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+                   AS r
+        FROM head
+    ),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(CASE WHEN r <= k THEN tf ELSE 0 END) AS BIGINT)
+               AS top_mass,
+           total_mass,
+           CAST(1000000 * SUM(CASE WHEN r <= k THEN tf ELSE 0 END)
+                // total_mass AS BIGINT) AS coverage_ppm
+    FROM ranked, ks, total
+    GROUP BY k, total_mass
+    """,
+)
+def zipf_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve (M197): what fraction of total token mass
+    the top-10 / top-100 / top-1000 terms cover — the
+    vocabulary-design number behind tokenizer sizing ("how much of
+    the stream do the first k merges already handle"), stopword-list
+    length, and cache sizing for a serving-side term dictionary.  A
+    corpus where the top-10 cover 60% is template-heavy; one where
+    the top-1000 cover 30% is vocabulary-open — both change the
+    compression story.
+
+    Exactness: term frequencies and masses are exact BIGINTs;
+    coverage is an integer ppm division; ranks come from row_number
+    on the TakeOrdered(1000) head under the exact (tf, token) order
+    (documented BOUNDED_GLOBAL_WINDOW_OK exemption — the window
+    never sees more than 1000 rows).
+
+    Scale: one token-keyed count (the word-count shuffle), a
+    TakeOrdered(1000), a 1-row total, and a 3-key conditional
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").cast("long").alias("total_mass"))
+    head = tf.orderBy(F.desc("tf"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    ranked = head.select(
+        "tf", F.row_number().over(w).cast("long").alias("r")
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    top = F.sum(F.when(F.col("r") <= F.col("k"), F.col("tf")).otherwise(0))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(total))
+        .groupBy("k", "total_mass")
+        .agg(top.cast("long").alias("top_mass"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "top_mass",
+            "total_mass",
+            F.expr("CAST(1000000 * top_mass div total_mass AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

@@ -2448,3 +2448,87 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         same.cast("long").alias("n_same"),
         (same.cast("double") / F.count("*")).alias("agree_frac"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e[d]) AS BIGINT) AS s,
+               SUM(CAST(e[d] AS HUGEINT) * e[d]) AS qq
+        FROM q CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS d)
+        GROUP BY d
+    ),
+    scored AS (
+        SELECT d, n, s, n * qq - CAST(s AS HUGEINT) * s AS num
+        FROM dims
+    )
+    SELECT CAST(d AS INT) AS dim, n,
+           CAST(s AS DOUBLE) / n AS mean_micro,
+           CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_micro2
+    FROM scored
+    ORDER BY num DESC, d
+    LIMIT 5
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile (M196): the 5 highest-variance
+    embedding dimensions with mean and variance — the feature-pruning
+    / whitening pre-flight that answers "which dims carry the signal"
+    before a PCA/MRL truncation decision (a near-zero-variance dim is
+    dead weight in every distance computation; one dominant dim says
+    the space needs whitening before cosine means anything).
+    Complements M173's per-vector norm audit with the per-DIMENSION
+    view.
+
+    Exactness: coordinates are micro-ints (M161's quantize_micro);
+    per-dim moment sums accumulate in DECIMAL(38,0)/HUGEINT, the
+    n²-scaled variance numerator n·Q − S² is exact integer
+    arithmetic, ordering/limit run on that exact integer with the dim
+    as tie-break, and the two output doubles are each ONE IEEE
+    division of exact values (no DecimalType leaves the query, per
+    the schema-discipline guard).
+
+    Scale: ONE map-side-combined aggregate over the posexploded
+    coords — 64 rows of model state; everything after is 64-row math.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(quantize_micro(F.col("embedding")).alias("e"))
+    dims = (
+        q.select(F.posexplode("e").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("qq"),
+        )
+    )
+    num = F.col("n") * F.col("qq") - F.col("s").cast("decimal(38,0)") * F.col(
+        "s"
+    )
+    return (
+        dims.select("d", "n", "s", num.alias("num"))
+        .orderBy(F.desc("num"), F.asc("d"))
+        .limit(5)
+        .select(
+            F.col("d").cast("int").alias("dim"),
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("mean_micro"),
+            (
+                F.col("num").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("var_micro2"),
+        )
+    )
