@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "skipgram_pair_counts",
     "embedding_dim_variance",
     "zipf_coverage_curve",
+    "reshard_stability_audit",
+    "json_validity_audit",
+    "jaccard_threshold_sweep",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

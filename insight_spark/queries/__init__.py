@@ -168,10 +168,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_hash_collision_audit",  # M185
     "rake_keyword_extract",         # M186
     "dau_wau_stickiness",           # M187
-    # M188 user_diversity_gini, M192-M194 (ab_srm_check,
-    # survival_hazard_table, bloom_fpr_audit), and M195-M197
-    # (skipgram_pair_counts, embedding_dim_variance,
-    # zipf_coverage_curve) head the r10 window (the 50-slot cap;
+    # M188 user_diversity_gini and M192-M200 (ab_srm_check,
+    # survival_hazard_table, bloom_fpr_audit, skipgram_pair_counts,
+    # embedding_dim_variance, zipf_coverage_curve,
+    # reshard_stability_audit, json_validity_audit,
+    # jaccard_threshold_sweep) head the r10 window (the 50-slot cap;
     # they carry local two-tier oracle + suite evidence meanwhile)
     "churn_label_build",            # M189
     "trending_terms_rank_shift",    # M190

@@ -1147,3 +1147,107 @@ def vocab_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_vocab",
         )
     )
+
+
+@query(
+    "jaccard_threshold_sweep",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    ),
+    sized AS (SELECT * FROM toks WHERE len(s) > 0{_JTJ_ORACLE_PRED}),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s))), 6) AS sim
+        FROM sized a JOIN sized b ON b.doc_id > a.doc_id
+        WHERE 10 * len(list_intersect(a.s, b.s))
+              >= 7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    ),
+    ths AS (SELECT unnest([70, 80, 90]) AS threshold_pct),
+    flagged AS (
+        SELECT threshold_pct, a_id, b_id FROM pairs, ths
+        WHERE sim >= threshold_pct / 100.0
+    ),
+    pair_counts AS (
+        SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM flagged GROUP BY threshold_pct
+    ),
+    doc_counts AS (
+        SELECT threshold_pct,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_flagged
+        FROM (
+            SELECT threshold_pct, a_id AS id FROM flagged
+            UNION ALL
+            SELECT threshold_pct, b_id AS id FROM flagged
+        ) GROUP BY threshold_pct
+    )
+    SELECT CAST(t.threshold_pct AS INT) AS threshold_pct,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+    FROM ths t
+    LEFT JOIN pair_counts p ON p.threshold_pct = t.threshold_pct
+    LEFT JOIN doc_counts d ON d.threshold_pct = t.threshold_pct
+    """,
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep (M200): pair volume and flagged-doc
+    count at Jaccard 0.7 / 0.8 / 0.9 — the dedup knob table read
+    before committing a similarity cutoff (M18's fixed 0.9 is a
+    policy; this is the curve the policy debate reads: every 0.05 of
+    threshold buys/costs this many documents).  The M172 sweep
+    pattern applied to the dedup axis.
+
+    Candidates are generated ONCE at the loosest threshold via the
+    same prefix-filter rule as `jaccard_threshold_join` (exact
+    integer prefix length, no all-pairs), then each threshold is a
+    conditional count over the rounded sims — both engines compare
+    the identical 6-dp doubles, and missing-threshold rows backfill
+    zero via the left join from the literal threshold table.  The
+    brute-force oracle restricts to the shared md5-range subset at
+    the stress tier (the `_JTJ_SUBSET` cap).
+
+    Scale: one prefix-filtered candidate join (vocabulary-frequency
+    broadcast, per-doc bounded prefixes) + a 3-row broadcast cross
+    join + two bounded aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    if _JTJ_SUBSET:
+        docs = docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "3"
+        )
+    pairs = prefix_filtered_jaccard_join(docs, 7, 10).select(
+        "a_id", "b_id", F.col("jaccard_sim").alias("sim")
+    )
+    ths = spark.createDataFrame(
+        [(70,), (80,), (90,)], "threshold_pct int"
+    )
+    flagged = pairs.crossJoin(F.broadcast(ths)).where(
+        F.col("sim") >= F.col("threshold_pct") / F.lit(100.0)
+    )
+    pair_counts = flagged.groupBy("threshold_pct").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        flagged.select(
+            "threshold_pct",
+            F.explode(F.array("a_id", "b_id")).alias("id"),
+        )
+        .groupBy("threshold_pct")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        ths.join(pair_counts, "threshold_pct", "left")
+        .join(doc_counts, "threshold_pct", "left")
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+    )

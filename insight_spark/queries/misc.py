@@ -1124,3 +1124,59 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         (F.col("est_rows") == F.col("actual_rows")).alias("exact_match"),
     )
+
+
+@query(
+    "json_validity_audit",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1')
+                    THEN substr(props, 1, greatest(len(props) - 2, 0))
+                    ELSE props
+               END AS p
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(NOT json_valid(p)) AS BIGINT) AS n_invalid,
+           CAST(count_if(json_valid(p)) AS DOUBLE) / COUNT(*)
+               AS valid_frac
+    FROM raw GROUP BY event_type
+    """,
+)
+def json_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON validity audit (M199): per event type, how many payloads
+    fail to parse — the dead-letter accounting every ingestion
+    pipeline runs before `json_extract_agg`-style consumers trust a
+    props column (a malformed payload silently nulls out of
+    get_json_object; this table says how much is silently missing).
+    The fixture's props are all valid, so a deterministic md5-keyed
+    truncation (~1/8 of events lose their closing chars — the classic
+    mid-object log truncation) stands in for real corruption, the
+    M176 pattern.
+
+    Parity: validity = Spark ``try_parse_json IS NOT NULL`` vs DuckDB
+    ``json_valid`` — both RFC-8259 parsers; the stand-in corruption
+    produces unambiguously-invalid fragments (truncated objects), so
+    the engines agree on every row by construction.
+
+    Scale: map-only parse + one |event types|-keyed aggregate; counts
+    exact BIGINTs, valid_frac ONE IEEE division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    p = F.when(
+        h.isin("0", "1"),
+        F.expr("substr(props, 1, greatest(length(props) - 2, 0))"),
+    ).otherwise(F.col("props"))
+    raw = ev.select("event_type", p.alias("p"))
+    valid = F.expr("try_parse_json(p) IS NOT NULL")
+    return raw.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_if(~valid).cast("long").alias("n_invalid"),
+        (F.count_if(valid).cast("double") / F.count("*")).alias(
+            "valid_frac"
+        ),
+    )

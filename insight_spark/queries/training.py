@@ -1505,3 +1505,87 @@ def churn_label_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("churned"),
     )
+
+
+@query(
+    "reshard_stability_audit",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    moves AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(count_if(h % 8 <> h % 9) AS BIGINT) AS moved_mod,
+               CAST(count_if(h * 8 // 4294967296 <> h * 9 // 4294967296)
+                    AS BIGINT) AS moved_range
+        FROM keys
+    )
+    SELECT strategy, n_keys, n_moved,
+           CAST(1000000 * n_moved // n_keys AS BIGINT) AS moved_ppm
+    FROM (
+        SELECT 'mod' AS strategy, n_keys, moved_mod AS n_moved FROM moves
+        UNION ALL
+        SELECT 'range' AS strategy, n_keys, moved_range AS n_moved
+        FROM moves
+    )
+    """,
+)
+def reshard_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard stability audit (M198): when a shard count grows 8 → 9,
+    what fraction of keys MOVE under (a) mod-N hashing vs (b)
+    range/bucket hashing (floor(h·N / 2³²))?  Mod-N reshuffles ~8/9
+    of all keys — every cache entry invalidated, every co-located
+    bucket join re-shuffled, every incremental-dedup shard restated —
+    while range sharding moves only the ~1/9 that land in the new
+    shard's range.  The one-table argument for range/consistent
+    sharding in any stateful layout (`write_training_shards`, the A6b
+    bucketed join, the M125 serving index).
+
+    Exactness: the key hash is the M145-pinned 8-hex md5 slice via
+    conv/'0x'-cast parity; both assignment rules and the move flags
+    are pure integer arithmetic (h·9 < 2³⁵ — no overflow); moved_ppm
+    is an integer division.
+
+    Scale: one DISTINCT key projection + ONE conditional aggregate,
+    two rows out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    moves = keys.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.count_if(F.col("h") % 8 != F.col("h") % 9)
+        .cast("long")
+        .alias("moved_mod"),
+        F.count_if(
+            F.expr("h * 8 div 4294967296") != F.expr("h * 9 div 4294967296")
+        )
+        .cast("long")
+        .alias("moved_range"),
+    )
+    mod_row = moves.select(
+        F.lit("mod").alias("strategy"),
+        "n_keys",
+        F.col("moved_mod").alias("n_moved"),
+    )
+    range_row = moves.select(
+        F.lit("range").alias("strategy"),
+        "n_keys",
+        F.col("moved_range").alias("n_moved"),
+    )
+    return mod_row.unionAll(range_row).select(
+        "strategy",
+        "n_keys",
+        "n_moved",
+        F.expr("CAST(1000000 * n_moved div n_keys AS BIGINT)").alias(
+            "moved_ppm"
+        ),
+    )
