@@ -1511,17 +1511,41 @@ def churn_label_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reshard_stability_audit",
     oracle="""
     WITH keys AS (
-        SELECT DISTINCT doc_id,
+        SELECT DISTINCT
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) AS h
         FROM documents
+    ),
+    ring AS (
+        SELECT n_shards, s AS shard,
+               CAST(('0x' || substr(md5('s' || CAST(s AS VARCHAR) || 'v'
+                                        || CAST(v AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS pos
+        FROM (SELECT unnest([8, 9]) AS n_shards),
+             (SELECT unnest(range(9)) AS s),
+             (SELECT unnest(range(16)) AS v)
+        WHERE s < n_shards
+    ),
+    assign AS (
+        SELECT k.h, r.n_shards,
+               MIN(((r.pos - k.h + 4294967296) % 4294967296) * 16
+                   + r.shard) % 16 AS owner
+        FROM keys k CROSS JOIN ring r
+        GROUP BY k.h, r.n_shards
+    ),
+    pivoted AS (
+        SELECT h,
+               MAX(CASE WHEN n_shards = 8 THEN owner END) AS o8,
+               MAX(CASE WHEN n_shards = 9 THEN owner END) AS o9
+        FROM assign GROUP BY h
     ),
     moves AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
                CAST(count_if(h % 8 <> h % 9) AS BIGINT) AS moved_mod,
                CAST(count_if(h * 8 // 4294967296 <> h * 9 // 4294967296)
-                    AS BIGINT) AS moved_range
-        FROM keys
+                    AS BIGINT) AS moved_range,
+               CAST(count_if(o8 <> o9) AS BIGINT) AS moved_ring
+        FROM pivoted
     )
     SELECT strategy, n_keys, n_moved,
            CAST(1000000 * n_moved // n_keys AS BIGINT) AS moved_ppm
@@ -1530,27 +1554,40 @@ def churn_label_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'range' AS strategy, n_keys, moved_range AS n_moved
         FROM moves
+        UNION ALL
+        SELECT 'ring' AS strategy, n_keys, moved_ring AS n_moved FROM moves
     )
     """,
 )
 def reshard_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reshard stability audit (M198): when a shard count grows 8 → 9,
-    what fraction of keys MOVE under (a) mod-N hashing vs (b)
-    range/bucket hashing (floor(h·N / 2³²))?  Mod-N reshuffles ~8/9
-    of all keys — every cache entry invalidated, every co-located
-    bucket join re-shuffled, every incremental-dedup shard restated —
-    while range sharding moves only the ~1/9 that land in the new
-    shard's range.  The one-table argument for range/consistent
-    sharding in any stateful layout (`write_training_shards`, the A6b
-    bucketed join, the M125 serving index).
+    """Reshard stability audit (M198): when the shard count grows
+    8 → 9, what fraction of keys MOVE under three assignment rules —
+    (a) mod-N hashing (expectation ~8/9: nearly every cache entry
+    invalidated, every co-located bucket re-shuffled), (b) naive
+    range re-split floor(h·N/2³²) (~1/2 — better, still
+    restate-half; the measure of {x: floor(8x)=floor(9x)} is exactly
+    Σ_k (8−k)/72 = ½), and (c) RING consistent hashing with 16
+    virtual nodes per shard (~1/9 — only keys landing in the new
+    shard's arcs move, the minimum any rebalance must pay).  The
+    one-table argument for consistent sharding in every stateful
+    layout (M5 shards, A6b buckets, M125 serving index, M70's
+    incremental dedup state).
 
-    Exactness: the key hash is the M145-pinned 8-hex md5 slice via
-    conv/'0x'-cast parity; both assignment rules and the move flags
-    are pure integer arithmetic (h·9 < 2³⁵ — no overflow); moved_ppm
-    is an integer division.
+    Both engines COMPUTE the ring from the same md5 formula
+    (pos = first-8-hex of md5('s<i>v<j>')) rather than sharing
+    literals; ownership is min over ring points of the clockwise
+    distance, made total-ordered via min((delta·16 + shard)) % 16 so
+    ties (never observed — 272 distinct positions) stay
+    deterministic.  Key hashes are DISTINCT (the audit is over hash
+    points, not documents — duplicate-hash docs co-move by
+    construction).
 
-    Scale: one DISTINCT key projection + ONE conditional aggregate,
-    two rows out.
+    Exactness: every rule and flag is pure integer arithmetic
+    (delta·16 < 2³⁶); moved_ppm an integer division.
+
+    Scale: one DISTINCT-hash projection; the ring is a 272-row
+    broadcast cross join (map-side), ownership a per-key MIN — no
+    data-sized state beyond the key scan.
     """
     docs = load_table(spark, sf_dir, "documents")
     keys = docs.select(
@@ -1560,7 +1597,50 @@ def reshard_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h")
     ).distinct()
-    moves = keys.agg(
+    grid = [
+        (n, s, v)
+        for n in (8, 9)
+        for s in range(9)
+        for v in range(16)
+        if s < n
+    ]
+    ring = spark.createDataFrame(
+        grid, "n_shards int, shard int, v int"
+    ).select(
+        "n_shards",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s"),
+                        F.col("shard").cast("string"),
+                        F.lit("v"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    delta = (F.col("pos") - F.col("h") + F.lit(4294967296)) % F.lit(
+        4294967296
+    )
+    assign = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("h", "n_shards")
+        .agg((F.min(delta * 16 + F.col("shard")) % 16).alias("owner"))
+    )
+    pivoted = assign.groupBy("h").agg(
+        F.max(F.when(F.col("n_shards") == 8, F.col("owner"))).alias("o8"),
+        F.max(F.when(F.col("n_shards") == 9, F.col("owner"))).alias("o9"),
+    )
+    moves = pivoted.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.count_if(F.col("h") % 8 != F.col("h") % 9)
         .cast("long")
@@ -1570,18 +1650,24 @@ def reshard_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("moved_range"),
+        F.count_if(F.col("o8") != F.col("o9"))
+        .cast("long")
+        .alias("moved_ring"),
     )
-    mod_row = moves.select(
-        F.lit("mod").alias("strategy"),
-        "n_keys",
-        F.col("moved_mod").alias("n_moved"),
-    )
-    range_row = moves.select(
-        F.lit("range").alias("strategy"),
-        "n_keys",
-        F.col("moved_range").alias("n_moved"),
-    )
-    return mod_row.unionAll(range_row).select(
+    rows = [
+        moves.select(
+            F.lit(name).alias("strategy"),
+            "n_keys",
+            F.col(col).alias("n_moved"),
+        )
+        for name, col in (
+            ("mod", "moved_mod"),
+            ("range", "moved_range"),
+            ("ring", "moved_ring"),
+        )
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return out.select(
         "strategy",
         "n_keys",
         "n_moved",

@@ -183,3 +183,112 @@ def test_knn_label_agreement_shape(spark):
         assert r["n_neighbors"] == 3
         assert 0 <= r["n_same"] <= 3
         assert r["agree_frac"] == r["n_same"] / r["n_neighbors"]
+
+
+def test_hazard_risk_sets_telescope(spark):
+    """n_at_risk is nonincreasing and telescopes exactly: each day's
+    at-risk count drops by the previous day's conversions."""
+    rows = sorted(
+        _q("survival_hazard_table")(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["day"] for r in rows] == list(range(7))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_at_risk"] == prev["n_at_risk"] - prev["n_converted"]
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_at_risk"]
+
+
+def test_bloom_no_false_negatives_and_fpr_sane(spark):
+    """Every inserted token's positions are set by construction (no
+    false negatives is structural); the measured FPR must match
+    n_false_pos / n_tested and the load factor can't exceed 3n/m."""
+    row = _q("bloom_fpr_audit")(spark, SF_DIR).collect()[0]
+    assert row["m_bits"] == 4096 and row["k_hashes"] == 3
+    assert 0 < row["bits_set"] <= min(4096, 3 * row["n_inserted"])
+    assert row["n_tested"] > 0
+    assert abs(row["fpr"] - row["n_false_pos"] / row["n_tested"]) < 1e-15
+
+
+def test_reshard_strategy_ordering(spark):
+    """The audit's whole point, pinned to theory: mod-N moves ~8/9 of
+    keys, naive range re-split exactly-measure 1/2, ring consistent
+    hashing ~1/9 — strictly ordered, and only ring approaches the
+    1/9 lower bound any 8->9 rebalance must pay."""
+    rows = {
+        r["strategy"]: r
+        for r in _q("reshard_stability_audit")(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"mod", "range", "ring"}
+    assert len({r["n_keys"] for r in rows.values()}) == 1
+    assert rows["mod"]["moved_ppm"] > 750000       # ~889k expected
+    assert 350000 < rows["range"]["moved_ppm"] < 650000   # exactly 1/2
+    assert rows["ring"]["moved_ppm"] < 300000      # ~111k expected
+    assert (
+        rows["ring"]["n_moved"]
+        < rows["range"]["n_moved"]
+        < rows["mod"]["n_moved"]
+    )
+
+
+def test_zipf_coverage_monotone(spark):
+    """Coverage is nondecreasing in k and total_mass is constant."""
+    rows = sorted(
+        _q("zipf_coverage_curve")(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [10, 100, 1000]
+    assert len({r["total_mass"] for r in rows}) == 1
+    assert (
+        rows[0]["top_mass"] <= rows[1]["top_mass"] <= rows[2]["top_mass"]
+        <= rows[0]["total_mass"]
+    )
+
+
+def test_jaccard_sweep_nested(spark):
+    """Tighter thresholds are subsets: pair and doc counts are
+    nonincreasing in the threshold."""
+    rows = sorted(
+        _q("jaccard_threshold_sweep")(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [70, 80, 90]
+    for loose, tight in zip(rows, rows[1:]):
+        assert tight["n_pairs"] <= loose["n_pairs"]
+        assert tight["n_docs_flagged"] <= loose["n_docs_flagged"]
+
+
+def test_srm_counts_partition_users(spark):
+    """Arms partition the distinct-user universe exactly."""
+    from insight_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    row = _q("ab_srm_check")(spark, SF_DIR).collect()[0]
+    assert row["n_a"] + row["n_b"] == n_users == row["n_total"]
+
+
+def test_json_validity_matches_python_parser(spark):
+    """The audit's invalid counts agree with Python's json.loads over
+    the same deterministically corrupted payloads."""
+    import hashlib
+    import json as pyjson
+
+    from insight_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.select("event_id", "event_type", "props").collect()
+    bad = {}
+    for r in rows:
+        h = hashlib.md5(str(r["event_id"]).encode()).hexdigest()[0]
+        p = r["props"][: max(len(r["props"]) - 2, 0)] if h in "01" else r["props"]
+        try:
+            pyjson.loads(p)
+        except Exception:
+            bad[r["event_type"]] = bad.get(r["event_type"], 0) + 1
+    got = {
+        r["event_type"]: r["n_invalid"]
+        for r in _q("json_validity_audit")(spark, SF_DIR).collect()
+    }
+    for et, n in got.items():
+        assert n == bad.get(et, 0), (et, n, bad.get(et, 0))
