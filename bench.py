@@ -245,6 +245,8 @@ ITERATIVE = {
     # merge-rule collects run during build; compaction writes during build
     "bpe_apply_compression",
     "compaction_roundtrip",
+    # candidate-set localCheckpoint runs during build
+    "jaccard_threshold_sweep",
     # CC convergence loop runs during build
     "entity_resolution_golden",
     # eval-matrix collect runs during build

