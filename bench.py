@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "reshard_stability_audit",
     "json_validity_audit",
     "jaccard_threshold_sweep",
+    "normalization_dedup_delta",
+    "calibration_ece",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -2924,3 +2924,79 @@ def survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard_ppm"),
         )
     )
+
+
+@query(
+    "calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(event_type = 'purchase' AS INT) AS y,
+               1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p
+        FROM events
+    ),
+    binned AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, y,
+               CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_micro
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS pos_b,
+               CAST(SUM(p_micro) AS BIGINT) AS s_b
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(abs(s_b - 1000000 * pos_b)) AS DOUBLE)
+               / (1000000.0 * SUM(n_b)) AS ece,
+           MAX(CAST(abs(s_b - 1000000 * pos_b) AS DOUBLE)
+               / (1000000.0 * n_b)) AS mce
+    FROM bins
+    """,
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (M202): the single-number summary of
+    M142's reliability diagram — ECE = Σ_b (n_b/N)·|mean_pred_b −
+    frac_pos_b| plus MCE (the worst bin) — the accept/refit gate a
+    calibration pipeline actually thresholds on (the diagram is for
+    humans; this is for the CI check).  Same stand-in sigmoid score
+    and purchase label as M142; swap in the model's score column and
+    both queries move together.
+
+    Exactness: the weighted-gap algebra telescopes — per-bin
+    |mean_pred − frac_pos|·n_b/N = |S_b − 1e6·pos_b| / (1e6·N) with
+    S_b the exact micro-unit prediction sum — so ECE is ONE IEEE
+    division of an exact BIGINT absolute-difference sum, and MCE a
+    max over per-bin single divisions of exact integers.  No float
+    accumulation anywhere (the sigmoid's low bits are quantized away
+    before any sum, M142's discipline).
+
+    Scale: one 10-key map-side-combined aggregate then 10-row math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(25.0))
+    )
+    binned = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.floor(p * 1000000 + F.lit(0.5)).cast("long").alias("p_micro"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("pos_b"),
+        F.sum("p_micro").cast("long").alias("s_b"),
+    )
+    gap = F.abs(F.col("s_b") - F.lit(1000000) * F.col("pos_b"))
+    return bins.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        (
+            F.sum(gap).cast("double")
+            / (F.lit(1000000.0) * F.sum("n_b"))
+        ).alias("ece"),
+        F.max(gap.cast("double") / (F.lit(1000000.0) * F.col("n_b"))).alias(
+            "mce"
+        ),
+    )

@@ -1064,3 +1064,132 @@ def encoding_artifact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("clean_frac"),
     )
+
+
+@query(
+    "normalization_dedup_delta",
+    oracle=r"""
+    WITH variants AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 1000000 AS doc_id,
+               CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   WHEN '0' THEN upper(text)
+                   WHEN '1' THEN text || ' !!!'
+                   ELSE '  ' || text
+               END AS text
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '2'
+    ),
+    digests AS (
+        SELECT source, doc_id,
+               md5(text) AS raw_d,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 \t\n]', '', 'g'),
+                        '[ \t\n]+', ' ', 'g'))) AS norm_d
+        FROM variants
+    ),
+    raw_dup AS (
+        SELECT source, raw_d, COUNT(*) AS n FROM digests
+        GROUP BY source, raw_d HAVING COUNT(*) >= 2
+    ),
+    norm_dup AS (
+        SELECT source, norm_d, COUNT(*) AS n FROM digests
+        GROUP BY source, norm_d HAVING COUNT(*) >= 2
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE((SELECT SUM(n) FROM raw_dup r
+                          WHERE r.source = d.source), 0) AS BIGINT)
+               AS dup_docs_raw,
+           CAST(COALESCE((SELECT SUM(n) FROM norm_dup m
+                          WHERE m.source = d.source), 0) AS BIGINT)
+               AS dup_docs_norm,
+           CAST(COALESCE((SELECT SUM(n) FROM norm_dup m
+                          WHERE m.source = d.source), 0)
+                - COALESCE((SELECT SUM(n) FROM raw_dup r
+                            WHERE r.source = d.source), 0) AS BIGINT)
+               AS normalization_delta
+    FROM digests d GROUP BY d.source
+    """,
+)
+def normalization_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup delta (M201): how many MORE duplicate
+    documents does exact dedup find after text normalization
+    (casefold → strip non-alphanumerics → collapse whitespace → trim)
+    than on raw bytes — the knob table behind "aggressive vs
+    conservative" exact-dedup policy (C4 normalized before hashing;
+    raw-byte hashing misses every trivially-reformatted mirror).
+    Trivial crawl variants (case flips, trailing punctuation, leading
+    whitespace — the md5-keyed injection, ~3/16 of docs get one
+    variant copy each) stand in for the real mirrors a crawl
+    carries; the audit reports per-source duplicate-doc counts under
+    both digests and the delta normalization buys.
+
+    Parity: the normalization chain is shared-dialect regex
+    (explicit [^a-z0-9 \\t\\n] class — no POSIX [[:punct:]]
+    divergence); digests are md5 of identical strings; all counts
+    exact BIGINTs, no division at all.
+
+    Scale: map-only normalize + two digest-keyed aggregates (the
+    `dedup_hash` shuffle shape, run twice on 32-byte keys) + a
+    \\|sources\\|-keyed rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    perturbed = docs.where(h <= "2").select(
+        "source",
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(h == "0", F.upper("text"))
+        .when(h == "1", F.concat(F.col("text"), F.lit(" !!!")))
+        .otherwise(F.concat(F.lit("  "), F.col("text")))
+        .alias("text"),
+    )
+    variants = docs.select("source", "doc_id", "text").unionAll(perturbed)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \t\n]", ""),
+            "[ \t\n]+",
+            " ",
+        )
+    )
+    digests = variants.select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("raw_d"),
+        F.md5(norm).alias("norm_d"),
+    )
+
+    def dup_docs(col: str, out: str) -> DataFrame:
+        return (
+            digests.groupBy("source", col)
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2)
+            .groupBy("source")
+            .agg(F.sum("n").cast("long").alias(out))
+        )
+
+    raw_dup = dup_docs("raw_d", "dup_docs_raw")
+    norm_dup = dup_docs("norm_d", "dup_docs_norm")
+    return (
+        digests.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(raw_dup, "source", "left")
+        .join(norm_dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("dup_docs_raw", F.lit(0))
+            .cast("long")
+            .alias("dup_docs_raw"),
+            F.coalesce("dup_docs_norm", F.lit(0))
+            .cast("long")
+            .alias("dup_docs_norm"),
+            (
+                F.coalesce("dup_docs_norm", F.lit(0))
+                - F.coalesce("dup_docs_raw", F.lit(0))
+            )
+            .cast("long")
+            .alias("normalization_delta"),
+        )
+    )
