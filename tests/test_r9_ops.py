@@ -292,3 +292,33 @@ def test_json_validity_matches_python_parser(spark):
     }
     for et, n in got.items():
         assert n == bad.get(et, 0), (et, n, bad.get(et, 0))
+
+
+def test_normalization_delta_nonnegative_and_superset(spark):
+    """raw-equal implies norm-equal, so every raw dup cluster nests in
+    a norm cluster: dup_docs_norm >= dup_docs_raw per source, and the
+    injected variants are all recovered (total delta >= 2 per
+    injected pair is too strong under cross-collisions, but the
+    corpus-wide delta must be positive — the injection guarantees
+    norm-only pairs exist)."""
+    rows = _q("normalization_dedup_delta")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["dup_docs_norm"] >= r["dup_docs_raw"]
+        assert r["normalization_delta"] >= 0
+    assert sum(r["normalization_delta"] for r in rows) > 0
+
+
+def test_calibration_ece_consistent_with_reliability_bins(spark):
+    """ECE re-derived from the M142 reliability-diagram rows (the
+    float path) agrees with the integer-telescoped query, and
+    MCE >= ECE >= 0 structurally."""
+    bins = _q("calibration_reliability_bins")(spark, SF_DIR).collect()
+    n = sum(b["n"] for b in bins)
+    ece_ref = (
+        sum(b["n"] * abs(b["mean_pred"] - b["frac_pos"]) for b in bins) / n
+    )
+    row = _q("calibration_ece")(spark, SF_DIR).collect()[0]
+    assert row["n"] == n and row["n_bins"] == len(bins)
+    assert abs(row["ece"] - ece_ref) < 1e-9
+    assert 0.0 <= row["ece"] <= row["mce"] <= 1.0
