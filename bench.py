@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "jaccard_threshold_sweep",
     "normalization_dedup_delta",
     "calibration_ece",
+    "pass_at_k_estimator",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

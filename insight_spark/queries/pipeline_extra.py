@@ -1089,3 +1089,96 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_buckets"),
         F.sum("occurrences").cast("long").alias("occurrences"),
     )
+
+
+@query(
+    "pass_at_k_estimator",
+    oracle="""
+    WITH per_prompt AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    est AS (
+        SELECT k, user_id,
+               CASE WHEN n - c < k THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(floor(1000000 * (1.0 - list_reduce(
+                        list_prepend(CAST(1.0 AS DOUBLE),
+                            list_transform(range(k),
+                                i -> CAST(n - c - i AS DOUBLE) / (n - i))),
+                        (a, b) -> a * b)) + 0.5) AS BIGINT)
+               END AS pass_micro
+        FROM per_prompt, ks
+        WHERE n >= k
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(SUM(pass_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
+               AS mean_pass_at_k
+    FROM est GROUP BY k
+    """,
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (M203, Chen et al. 2021 "Evaluating LLMs
+    Trained on Code"): per prompt with n samples and c correct,
+    pass@k = 1 − C(n−c,k)/C(n,k), averaged over prompts — the
+    code-eval headline metric, computed with the numerically-stable
+    product form Π_{i<k} (n−c−i)/(n−i) instead of factorials (the
+    paper's own recommendation; binomials overflow fast).  user_id
+    stands in for the prompt key, events for samples, purchases for
+    "passed the tests"; swap in the real (n, c) columns and nothing
+    changes.  k ∈ {1, 5, 10}; prompts with n < k are excluded from
+    that k's average (the metric is undefined there), and n−c < k
+    forces pass@k = 1 exactly (every k-subset contains a pass).
+
+    Parity: the product is an IN-ORDER left fold over the same
+    sequence in both engines (the `vector_norms` list_reduce
+    discipline) — identical doubles — and each per-prompt estimate is
+    half-up micro-quantized BEFORE the average (the `psi_drift`
+    discipline), so the mean is ONE IEEE division of an exact BIGINT
+    sum.
+
+    Scale: one prompt-keyed conditional aggregate (map-side
+    combined), a 3-row broadcast cross join, per-row O(k) fold inside
+    codegen, and a 3-key aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_prompt = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("c"),
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.col("k") - 1),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (
+            (F.col("n") - F.col("c") - i).cast("double")
+            / (F.col("n") - i)
+        ),
+    )
+    pass_micro = F.when(
+        F.col("n") - F.col("c") < F.col("k"), F.lit(1000000).cast("long")
+    ).otherwise(
+        F.floor(F.lit(1000000) * (F.lit(1.0) - prod) + F.lit(0.5)).cast(
+            "long"
+        )
+    )
+    est = (
+        per_prompt.crossJoin(F.broadcast(ks))
+        .where(F.col("n") >= F.col("k"))
+        .select("k", pass_micro.alias("pass_micro"))
+    )
+    return est.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_prompts"),
+        (
+            F.sum("pass_micro").cast("double")
+            / (F.lit(1000000.0) * F.count("*"))
+        ).alias("mean_pass_at_k"),
+    ).select(
+        F.col("k").cast("int").alias("k"), "n_prompts", "mean_pass_at_k"
+    )
