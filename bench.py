@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "normalization_dedup_delta",
     "calibration_ece",
     "pass_at_k_estimator",
+    "conversion_wilson_ci",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

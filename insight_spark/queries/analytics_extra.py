@@ -3000,3 +3000,71 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mce"
         ),
     )
+
+
+@query(
+    "conversion_wilson_ci",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS x
+        FROM events GROUP BY 1
+    )
+    SELECT day, n, x,
+           CAST(x AS DOUBLE) / n AS rate,
+           ((CAST(x AS DOUBLE) / n) + 3.8416 / (2 * n)
+            - 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                          * (1.0 - CAST(x AS DOUBLE) / n) / n
+                          + 3.8416 / (4.0 * n * n)))
+               / (1.0 + 3.8416 / n) AS wilson_lo,
+           ((CAST(x AS DOUBLE) / n) + 3.8416 / (2 * n)
+            + 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                          * (1.0 - CAST(x AS DOUBLE) / n) / n
+                          + 3.8416 / (4.0 * n * n)))
+               / (1.0 + 3.8416 / n) AS wilson_hi
+    FROM daily
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily conversion rate with Wilson score interval (M204): the
+    error bars every conversion dashboard should draw — the Wilson
+    interval stays inside [0,1] and behaves at small n and extreme
+    rates where the naive ±1.96·√(p(1−p)/n) Wald bars are simply
+    wrong (x = 0 gives Wald width 0; Wilson correctly says "could be
+    anything under ~z²/(n+z²)").  z = 1.96 (95%).
+
+    Parity: n and x are exact BIGINTs; the interval is one shared
+    expression tree of IEEE ops (divisions, one correctly-rounded
+    sqrt) over those exact inputs with z and z² as pre-computed
+    literals (3.8416 exactly — no libm in the constant path), so both
+    engines produce bit-identical doubles.
+
+    Scale: one day-keyed map-side-combined conditional aggregate;
+    |days| rows of math after.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("x"),
+    )
+    n = F.col("n")
+    p = F.col("x").cast("double") / n
+    z2 = F.lit(3.8416)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (2 * n)
+    return daily.select(
+        "day",
+        "n",
+        "x",
+        p.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
