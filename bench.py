@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "calibration_ece",
     "pass_at_k_estimator",
     "conversion_wilson_ci",
+    "predicate_selectivity_profile",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

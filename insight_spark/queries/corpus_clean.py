@@ -1193,3 +1193,158 @@ def normalization_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("normalization_delta"),
         )
     )
+
+
+#: Stopword gate lexicon (shared verbatim with the oracle — the
+#: text_extra.STOPWORDS list, inlined to keep this module's oracle
+#: self-contained).
+_STOP_GATE = ("the", "a", "of", "and", "to", "in")
+_STOP_IN_SQL = ", ".join(f"'{s}'" for s in _STOP_GATE)
+
+
+@query(
+    "predicate_selectivity_profile",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS l,
+               text
+        FROM documents
+    ),
+    flags AS (
+        SELECT CAST(len(l) < 20 AS INT) AS d_len,
+               CAST(20 * len(list_filter(l, t -> t IN ({_STOP_IN_SQL})))
+                    < len(l) AS INT) AS d_stop,
+               CAST(5 * len(list_distinct(l)) < 3 * len(l) AS INT)
+                   AS d_dup,
+               CAST(len(text) < 80 AS INT) AS d_char
+        FROM toks
+    ),
+    rates AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d_len) AS BIGINT) AS x_len,
+               CAST(SUM(d_stop) AS BIGINT) AS x_stop,
+               CAST(SUM(d_dup) AS BIGINT) AS x_dup,
+               CAST(SUM(d_char) AS BIGINT) AS x_char
+        FROM flags
+    ),
+    gates AS (
+        SELECT 'len_lt_20' AS gate, CAST(1 AS BIGINT) AS unit_cost,
+               n, x_len AS n_dropped FROM rates
+        UNION ALL
+        SELECT 'stopword_lt_5pct', 2, n, x_stop FROM rates
+        UNION ALL
+        SELECT 'distinct_ratio_lt_60pct', 2, n, x_dup FROM rates
+        UNION ALL
+        SELECT 'chars_lt_80', 1, n, x_char FROM rates
+    ),
+    scored AS (
+        SELECT gate, unit_cost, n, n_dropped,
+               CAST(1000000 * n_dropped // n AS BIGINT) AS drop_ppm
+        FROM gates
+    )
+    SELECT a.gate, a.unit_cost, a.n_dropped, a.drop_ppm,
+           CAST(1 + (SELECT COUNT(*) FROM scored b
+                     WHERE b.drop_ppm * a.unit_cost
+                           > a.drop_ppm * b.unit_cost
+                        OR (b.drop_ppm * a.unit_cost
+                            = a.drop_ppm * b.unit_cost
+                            AND b.gate < a.gate)) AS INT) AS greedy_rank
+    FROM scored a
+    """,
+)
+def predicate_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade filter-ordering profile (M205): measured drop rate and
+    unit cost for each corpus-quality gate, plus the GREEDY execution
+    rank (highest selectivity-per-cost first — the classic
+    predicate-ordering result).  At 100 TB the order the hygiene
+    cascade runs in IS the pipeline's cost: a cheap gate that drops
+    30% first means every later, pricier gate scans 30% less — this
+    table is read before wiring `data_prep_funnel`'s stage order, the
+    same reasoning Catalyst applies to conjunctive predicates,
+    surfaced for the stages an optimizer can't see inside.
+
+    Exactness: selectivities are exact integer ppm divisions; the
+    greedy rank compares the rationals drop/cost by CROSS
+    MULTIPLICATION (b.drop·a.cost > a.drop·b.cost — no float ratio
+    anywhere) with the gate name as tie-break, computed as a 4×4
+    count-of-better self-join rather than a window.
+
+    Scale: ONE map-side-combined aggregate measures all four gates in
+    a single corpus pass (each flag a codegen'd array/string
+    expression); everything after is 4-row math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    flags = docs.select(
+        (F.size(l) < 20).cast("int").alias("d_len"),
+        (
+            20 * F.size(F.filter(l, lambda t: t.isin(*_STOP_GATE)))
+            < F.size(l)
+        )
+        .cast("int")
+        .alias("d_stop"),
+        (5 * F.size(F.array_distinct(l)) < 3 * F.size(l))
+        .cast("int")
+        .alias("d_dup"),
+        (F.length("text") < 80).cast("int").alias("d_char"),
+    )
+    rates = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d_len").cast("long").alias("x_len"),
+        F.sum("d_stop").cast("long").alias("x_stop"),
+        F.sum("d_dup").cast("long").alias("x_dup"),
+        F.sum("d_char").cast("long").alias("x_char"),
+    )
+    gate_defs = (
+        ("len_lt_20", 1, "x_len"),
+        ("stopword_lt_5pct", 2, "x_stop"),
+        ("distinct_ratio_lt_60pct", 2, "x_dup"),
+        ("chars_lt_80", 1, "x_char"),
+    )
+    parts = [
+        rates.select(
+            F.lit(name).alias("gate"),
+            F.lit(cost).cast("long").alias("unit_cost"),
+            F.col("n"),
+            F.col(col).alias("n_dropped"),
+        )
+        for name, cost, col in gate_defs
+    ]
+    gates = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
+    scored = gates.select(
+        "gate",
+        "unit_cost",
+        "n_dropped",
+        F.expr("CAST(1000000 * n_dropped div n AS BIGINT)").alias(
+            "drop_ppm"
+        ),
+    )
+    a = scored.alias("a")
+    b = scored.select(
+        F.col("gate").alias("b_gate"),
+        F.col("unit_cost").alias("b_cost"),
+        F.col("drop_ppm").alias("b_ppm"),
+    )
+    better = (
+        F.col("b_ppm") * F.col("a.unit_cost")
+        > F.col("a.drop_ppm") * F.col("b_cost")
+    ) | (
+        (
+            F.col("b_ppm") * F.col("a.unit_cost")
+            == F.col("a.drop_ppm") * F.col("b_cost")
+        )
+        & (F.col("b_gate") < F.col("a.gate"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("a.gate", "a.unit_cost", "a.n_dropped", "a.drop_ppm")
+        .agg((F.count("b_gate") + 1).cast("int").alias("greedy_rank"))
+        .select(
+            F.col("gate"),
+            F.col("unit_cost"),
+            F.col("n_dropped"),
+            F.col("drop_ppm"),
+            "greedy_rank",
+        )
+    )
