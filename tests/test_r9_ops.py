@@ -322,3 +322,67 @@ def test_calibration_ece_consistent_with_reliability_bins(spark):
     assert row["n"] == n and row["n_bins"] == len(bins)
     assert abs(row["ece"] - ece_ref) < 1e-9
     assert 0.0 <= row["ece"] <= row["mce"] <= 1.0
+
+
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    """The product form equals the exact C(n-c,k)/C(n,k) combinatorial
+    estimator, recomputed with Python bigint comb over the raw
+    (n, c) table."""
+    from math import comb
+
+    from pyspark.sql import functions as F
+
+    from insight_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    nc = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("event_type") == "purchase").alias("c"),
+        )
+        .collect()
+    )
+    got = {
+        r["k"]: r for r in _q("pass_at_k_estimator")(spark, SF_DIR).collect()
+    }
+    for k in (1, 5, 10):
+        vals = []
+        for r in nc:
+            n, c = r["n"], r["c"]
+            if n < k:
+                continue
+            exact = 1.0 - comb(n - c, k) / comb(n, k) if n - c >= k else 1.0
+            vals.append(round(exact * 1000000 + 1e-9) / 1000000)
+        if not vals:
+            assert k not in got
+            continue
+        row = got[k]
+        assert row["n_prompts"] == len(vals)
+        # per-prompt micro quantization happens on the PRODUCT form;
+        # it can differ from the comb form by 1 micro per prompt
+        assert abs(row["mean_pass_at_k"] - sum(vals) / len(vals)) < 2e-6
+
+
+def test_wilson_interval_brackets_rate(spark):
+    """Wilson bounds always bracket the point rate, stay inside
+    [0, 1], and shrink with n (no cross-day assertion — just the
+    structural laws)."""
+    rows = _q("conversion_wilson_ci")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_selectivity_profile_rank_is_greedy_order(spark):
+    """greedy_rank is a permutation of 1..4 ordered by the exact
+    drop/cost rational (cross-multiplied, name tie-break)."""
+    rows = _q("predicate_selectivity_profile")(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert sorted(r["greedy_rank"] for r in rows) == [1, 2, 3, 4]
+    ordered = sorted(rows, key=lambda r: r["greedy_rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (
+            a["drop_ppm"] * b["unit_cost"],
+            # name tie-break inverts: smaller name wins the better rank
+        ) >= (b["drop_ppm"] * a["unit_cost"],)
