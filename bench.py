@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "pass_at_k_estimator",
     "conversion_wilson_ci",
     "predicate_selectivity_profile",
+    "decision_stump_split",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -85,6 +85,8 @@ __all__ = [
 #: - trending_terms_rank_shift: rank windows on the two
 #:   TakeOrdered(20) heads (the vector_index_probe pattern).
 #: - zipf_coverage_curve: rank window on the TakeOrdered(1000) head.
+#: - decision_stump_split: running counts over score-histogram
+#:   buckets (the roc_auc_binned shape, bounded by the score range).
 #: - theil_sen_trend: row_number/count windows over the hourly series
 #:   and its |hours|² pair set — bounded by the time range.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
@@ -102,6 +104,7 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
         "revenue_lorenz_curve",
         "trending_terms_rank_shift",
         "zipf_coverage_curve",
+        "decision_stump_split",
     }
 )
 

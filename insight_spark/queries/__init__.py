@@ -172,12 +172,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # survival_hazard_table, bloom_fpr_audit, skipgram_pair_counts,
     # embedding_dim_variance, zipf_coverage_curve,
     # reshard_stability_audit, json_validity_audit,
-    # jaccard_threshold_sweep) plus M201-M205
+    # jaccard_threshold_sweep) plus M201-M206
     # (normalization_dedup_delta, calibration_ece,
     # pass_at_k_estimator, conversion_wilson_ci,
-    # predicate_selectivity_profile) head the r10 window (the 50-slot
-    # cap; they carry local three-tier oracle + suite evidence
-    # meanwhile)
+    # predicate_selectivity_profile, decision_stump_split) head the
+    # r10 window (the 50-slot cap; they carry local three-tier
+    # oracle + suite evidence meanwhile)
     "churn_label_build",            # M189
     "trending_terms_rank_shift",    # M190
     "revenue_lorenz_curve",         # M191

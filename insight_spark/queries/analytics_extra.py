@@ -3068,3 +3068,119 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+@query(
+    "decision_stump_split",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(floor(value * 10 + 0.5) AS BIGINT) AS b,
+               CAST(event_type = 'purchase' AS INT) AS y
+        FROM events
+    ),
+    buckets AS (
+        SELECT b,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS p_b
+        FROM scored GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS tn,
+               CAST(SUM(p_b) AS BIGINT) AS tp
+        FROM buckets
+    ),
+    cum AS (
+        SELECT b,
+               CAST(SUM(n_b) OVER w AS BIGINT) AS ln,
+               CAST(SUM(p_b) OVER w AS BIGINT) AS lp
+        FROM buckets
+        WINDOW w AS (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    splits AS (
+        SELECT b AS threshold_deci, ln, lp,
+               tn - ln AS rn, tp - lp AS rp,
+               CAST(floor(1000000000.0
+                   * (CAST(lp * (ln - lp) AS DOUBLE) * (tn - ln)
+                      + CAST((tp - lp) * ((tn - ln) - (tp - lp))
+                             AS DOUBLE) * ln)
+                   / (CAST(ln AS DOUBLE) * (tn - ln) * tn)
+                   + 0.5) AS BIGINT) AS cost_nano
+        FROM cum, tot
+        WHERE ln > 0 AND tn - ln > 0
+    )
+    SELECT threshold_deci, ln AS left_n, lp AS left_pos,
+           rn AS right_n, rp AS right_pos, cost_nano
+    FROM splits
+    ORDER BY cost_nano, threshold_deci
+    LIMIT 1
+    """,
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finder (M206): the best single threshold
+    on the (deci-binned) score that separates the purchase label,
+    by weighted Gini impurity — the inner loop of every tree/GBM
+    learner, run as ONE aggregate + bounded-window pass instead of
+    the per-candidate rescans a naive trainer does.  The returned
+    row is the stump: predict by `score <= threshold` with the
+    left/right class counts as leaf distributions.
+
+    Exactness: the weighted-impurity objective is normalized to the
+    common denominator Ln·Rn·N — cost(t) ∝ (Lp·(Ln−Lp)·Rn +
+    Rp·(Rn−Rp)·Ln) / (Ln·Rn·N) — whose numerator terms are exact
+    BIGINT products (≤ n³ — the doubles multiply exact integers well
+    under 2⁵³ per factor); each candidate's cost is nano-quantized
+    by the SAME single expression both engines, and the argmin runs
+    on (cost_nano, threshold) — an exact total order.  Degenerate
+    empty-side splits are excluded (the objective is undefined
+    there).
+
+    Scale: one map-side-combined histogram aggregate (the
+    `roc_auc_binned` shape), a running-count window over |buckets|
+    rows bounded by the score range (documented exemption), and a
+    TakeOrdered(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(F.col("value") * 10 + F.lit(0.5)).cast("long").alias("b"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    buckets = scored.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("p_b"),
+    )
+    tot = buckets.agg(
+        F.sum("n_b").cast("long").alias("tn"),
+        F.sum("p_b").cast("long").alias("tp"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "b",
+        F.sum("n_b").over(w).cast("long").alias("ln"),
+        F.sum("p_b").over(w).cast("long").alias("lp"),
+    )
+    ln, lp = F.col("ln"), F.col("lp")
+    rn = F.col("tn") - ln
+    rp = F.col("tp") - lp
+    cost = F.floor(
+        F.lit(1000000000.0)
+        * (
+            (lp * (ln - lp)).cast("double") * rn
+            + (rp * (rn - rp)).cast("double") * ln
+        )
+        / (ln.cast("double") * rn * F.col("tn"))
+        + F.lit(0.5)
+    ).cast("long")
+    splits = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((ln > 0) & (rn > 0))
+        .select(
+            F.col("b").alias("threshold_deci"),
+            ln.alias("left_n"),
+            lp.alias("left_pos"),
+            rn.alias("right_n"),
+            rp.alias("right_pos"),
+            cost.alias("cost_nano"),
+        )
+    )
+    return splits.orderBy("cost_nano", "threshold_deci").limit(1)
