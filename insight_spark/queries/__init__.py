@@ -105,87 +105,70 @@ _MODULES = (
 #:     then r2-era in registration order until the window is full.
 #: The remaining r2/r3-era names continue oldest-first in the r10
 #: rotation (66 r1+r2 queries cannot fit one 50-slot window).
+#: ROUND-10 rotation (VERDICT r9 tasks 1/2):
+#: (a) the 16 queries registered AFTER the r9 window closed (M188,
+#:     M192-M206) — judge-verified green in the r9 session but never
+#:     driver-signed; first-time driver evidence outranks refresh;
+#: (b) the staleness rotation, oldest-first: ALL 27 queries whose
+#:     latest driver signature is r1-era, then r2-era in registration
+#:     order until the window fills (7 fit).  After this window no
+#:     query's driver signature is older than r2, and only 32 r2-era
+#:     remain for the r11 rotation (then 39 r3-era for r12).
+#: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed in r8, judge-green only — promote to driver green
-    "observed_quality_gate",     # ratio_micro widened to BIGINT
-    "dp_noisy_release",          # keyed-PRF bucket refactor (default path)
-    "mv_rollup_rewrite",         # avg_order_value now unrounded both sides
-    "stream_mv_additive_merge",  # atomic pointer-file commit protocol
-    "bitext_margin_mining_ann",  # M133b: ANN-candidate production shape
-    # (b) round-9 additions — first-time evidence
-    "minhash_band_cardinality",  # M146: LSH band-load audit
-    "quantile_bin_features",     # M147: equi-width histogram binning
-    "stream_watermark_audit",    # M148: late-data accounting
-    "ann_recall_eval",           # M149: ANN recall vs exact ground truth
-    "tokenizer_fertility_by_lang",  # M150: per-language fertility audit
-    # (b cont.) round-9 late additions (M151-M166, registered after the
-    # window was first set) — first-time evidence outranks stale
-    # refresh (the M133b lesson: implemented-but-never-driver-checked
-    # is a flagged gap)
-    "ivf_cell_load_audit",          # M151
-    "dedup_cluster_size_histogram",  # M152
-    "packing_waste_audit",          # M153
-    "cross_source_overlap_matrix",  # M154
-    "ann_lsh_recall_eval",          # M155
-    "stream_exactly_once_audit",    # M156
-    "ann_pq_recall_eval",           # M157
-    "blocklist_filter_audit",       # M158
-    "preference_pair_build",        # M159
-    "annotator_agreement_kappa",    # M160
-    "class_centroid_outliers",      # M161
-    "sft_dialogue_assembly",        # M162
-    "matryoshka_dim_recall_eval",   # M163
-    "fim_transform",                # M164
-    "packed_attention_mask_audit",  # M165
-    "dedup_weight_consolidation",   # M166
-    "cross_source_quantile_norm",   # M167
-    "split_label_shift_chi2",       # M168
-    "lsh_candidate_precision",      # M169
-    "late_interaction_maxsim",      # M170
-    "retriever_agreement_audit",    # M171
-    "surprisal_filter_sweep",       # M172
-    "embedding_norm_audit",         # M173
-    "export_manifest_checksums",    # M174
-    # (b cont.) session-2 round-9 additions (M175-M187) — first-time
-    # evidence; the thirteen displaced stale r1-era names
-    # (self_join_order_pairs, asof_purchase_click, stats_moments,
-    # first_event_per_user, user_event_types, value_percentiles,
-    # semi_join_segments, anti_join_customers, cross_join_pairs,
-    # theta_join_acctbal, vector_norms, lang_id_heuristic,
-    # token_count_bpe) move to the r10 rotation with the rest of the
-    # r1/r2-era backlog (their latest evidence: r1-r3 driver greens
-    # plus the r7/r9 full-registry sf0.1 sweeps)
-    "benford_first_digit_audit",    # M175
-    "encoding_artifact_audit",      # M176
-    "acf_hourly_lags",              # M177
-    "cusum_changepoint",            # M178
-    "best_of_n_select",             # M179
-    "rank_biased_overlap",          # M180
-    "roc_auc_binned",               # M181
-    "vocab_novelty_curve",          # M182
-    "knn_label_agreement",          # M183
-    "theil_sen_trend",              # M184
-    "feature_hash_collision_audit",  # M185
-    "rake_keyword_extract",         # M186
-    "dau_wau_stickiness",           # M187
-    # M188 user_diversity_gini and M192-M200 (ab_srm_check,
-    # survival_hazard_table, bloom_fpr_audit, skipgram_pair_counts,
-    # embedding_dim_variance, zipf_coverage_curve,
-    # reshard_stability_audit, json_validity_audit,
-    # jaccard_threshold_sweep) plus M201-M206
-    # (normalization_dedup_delta, calibration_ece,
-    # pass_at_k_estimator, conversion_wilson_ci,
-    # predicate_selectivity_profile, decision_stump_split) head the
-    # r10 window (the 50-slot cap; they carry local three-tier
-    # oracle + suite evidence meanwhile)
-    "churn_label_build",            # M189
-    "trending_terms_rank_shift",    # M190
-    "revenue_lorenz_curve",         # M191
-    # (c) stalest signatures — the session-2 additions took the
-    # remaining slots; ALL r1-era + r2-era stale names (27 + 13, list
-    # at the r8 rotation note) now move to the r10 rotation, which
-    # should lead with them plus user_diversity_gini (M188).  The
-    # window holds exactly 50.
+    # (a) post-r9-window additions — first-time driver evidence
+    "user_diversity_gini",            # M188
+    "ab_srm_check",                   # M192
+    "survival_hazard_table",          # M193
+    "bloom_fpr_audit",                # M194
+    "skipgram_pair_counts",           # M195
+    "embedding_dim_variance",         # M196
+    "zipf_coverage_curve",            # M197
+    "reshard_stability_audit",        # M198
+    "json_validity_audit",            # M199
+    "jaccard_threshold_sweep",        # M200
+    "normalization_dedup_delta",      # M201
+    "calibration_ece",                # M202
+    "pass_at_k_estimator",            # M203
+    "conversion_wilson_ci",           # M204
+    "predicate_selectivity_profile",  # M205
+    "decision_stump_split",           # M206
+    # (b) staleness rotation: the 27 r1-era signatures, oldest first
+    "anti_join_customers",
+    "asof_purchase_click",
+    "bigrams_top",
+    "cross_join_pairs",
+    "distinct_exact",
+    "doc_freq_idf",
+    "explode_variants",
+    "first_event_per_user",
+    "lang_id_heuristic",
+    "lang_profile",
+    "pivot_status_by_priority",
+    "prefix_suggest_th",
+    "self_join_order_pairs",
+    "semi_join_segments",
+    "set_ops_users",
+    "stats_moments",
+    "stopword_top_terms",
+    "table_profile",
+    "text_stats",
+    "tfidf_top",
+    "theta_join_acctbal",
+    "token_count_bpe",
+    "unpivot_status_counts",
+    "user_event_types",
+    "value_percentiles",
+    "vector_norms",
+    "window_rank_family",
+    # (b cont.) r2-era signatures in registration order — 7 fit
+    "distinct_exact_approx",
+    "events_hourly",
+    "outer_join_order_counts",
+    "approx_value_percentiles",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "sample_events",
 )
 
 _loaded = False
@@ -260,13 +243,14 @@ def all_queries() -> dict[str, SparkQuery]:
     _load()
     missing = [n for n in _DRIVER_PRIORITY if n not in _QUERIES]
     if missing:
+        import logging
         import warnings
 
-        warnings.warn(
-            f"_DRIVER_PRIORITY names not registered (stripped): {missing}",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        msg = f"_DRIVER_PRIORITY names not registered (stripped): {missing}"
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        # Python warnings are often filtered out of driver logs; a
+        # WARNING-level log line survives there (ADVICE r9 #4).
+        logging.getLogger(__name__).warning(msg)
     return {n: _QUERIES[n] for n in _priority_order(_QUERIES)}
 
 

@@ -1065,8 +1065,9 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(d.batch AS INT) AS batch,
            CAST(d.n_docs AS BIGINT) AS n_docs,
            CAST(COALESCE(t.new_tokens, 0) AS BIGINT) AS new_tokens,
-           CAST((SELECT SUM(COALESCE(t2.new_tokens, 0))
-                 FROM tok_batches t2 WHERE t2.batch <= d.batch)
+           CAST(COALESCE((SELECT SUM(COALESCE(t2.new_tokens, 0))
+                          FROM tok_batches t2 WHERE t2.batch <= d.batch),
+                         0)
                 AS BIGINT) AS cum_vocab
     FROM doc_batches d LEFT JOIN tok_batches t ON t.batch = d.batch
     """,

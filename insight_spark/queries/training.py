@@ -1246,14 +1246,14 @@ def cross_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT CAST(floor(
-                   CAST((o_tr * n - (o_tr + o_te) * s_tr)
-                        * (o_tr * n - (o_tr + o_te) * s_tr) AS DOUBLE)
-                   / (n * (o_tr + o_te) * s_tr)
+                   (CAST(o_tr * n - (o_tr + o_te) * s_tr AS DOUBLE)
+                        * (o_tr * n - (o_tr + o_te) * s_tr))
+                   / (CAST(n AS DOUBLE) * (o_tr + o_te) * s_tr)
                    * 1000000000 + 0.5) AS BIGINT)
                + CAST(floor(
-                   CAST((o_te * n - (o_tr + o_te) * s_te)
-                        * (o_te * n - (o_tr + o_te) * s_te) AS DOUBLE)
-                   / (n * (o_tr + o_te) * s_te)
+                   (CAST(o_te * n - (o_tr + o_te) * s_te AS DOUBLE)
+                        * (o_te * n - (o_tr + o_te) * s_te))
+                   / (CAST(n AS DOUBLE) * (o_tr + o_te) * s_te)
                    * 1000000000 + 0.5) AS BIGINT) AS term_nano
         FROM cls CROSS JOIN tot
     )
@@ -1309,9 +1309,17 @@ def split_label_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(o) * F.col("n")
             - (F.col("o_tr") + F.col("o_te")) * F.col(s)
         )
-        den = F.col("n") * (F.col("o_tr") + F.col("o_te")) * F.col(s)
+        # Cast BEFORE squaring/multiplying: num can reach n*class_size
+        # (~3e9+ on a 100 TB corpus with a dominant class), so num*num
+        # in BIGINT wraps silently in non-ANSI Spark while DuckDB
+        # errors — the benford_first_digit_audit discipline.
+        den = (
+            F.col("n").cast("double")
+            * (F.col("o_tr") + F.col("o_te"))
+            * F.col(s)
+        )
         return F.floor(
-            (num * num).cast("double") / den * 1000000000 + F.lit(0.5)
+            num.cast("double") * num / den * 1000000000 + F.lit(0.5)
         ).cast("long")
 
     terms = cls.crossJoin(F.broadcast(tot)).select(

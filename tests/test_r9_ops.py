@@ -382,7 +382,13 @@ def test_selectivity_profile_rank_is_greedy_order(spark):
     assert sorted(r["greedy_rank"] for r in rows) == [1, 2, 3, 4]
     ordered = sorted(rows, key=lambda r: r["greedy_rank"])
     for a, b in zip(ordered, ordered[1:]):
+        # name tie-break inverts: on equal drop/cost rationals the
+        # smaller gate name wins the better rank, so b's name sits on
+        # a's side of the tuple comparison.
         assert (
             a["drop_ppm"] * b["unit_cost"],
-            # name tie-break inverts: smaller name wins the better rank
-        ) >= (b["drop_ppm"] * a["unit_cost"],)
+            b["gate"],
+        ) >= (
+            b["drop_ppm"] * a["unit_cost"],
+            a["gate"],
+        )
