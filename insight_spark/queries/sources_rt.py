@@ -681,6 +681,61 @@ def search_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "suggest_from_index",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term
+    )
+    SELECT term, df FROM df
+    WHERE term LIKE 'th%'
+    ORDER BY df DESC, term
+    LIMIT 10
+    """,
+)
+def suggest_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 completion suggester, serving from the WRITTEN index (closes
+    the A7 partial): ``prefix_suggest_th`` ranks candidates from an
+    in-plan term-frequency view; this twin does the write→serve round
+    trip a real search store performs — build the index sink (doc
+    store + postings + the dedicated suggest structure, ES's separate
+    completion-FST role), then answer the prefix query from the
+    persisted suggest table.
+
+    The suggest table is bucketed on the 2-char prefix key, so the
+    lookup's prefix2 EQUALITY bucket-prunes to 1 of 8 files
+    (SelectedBucketsCount plan-asserted in tests/test_plans.py) — a
+    suggester query stays O(index/n_buckets) IO however large the term
+    dictionary grows, the same serving property the term point lookup
+    has.  Ranking is document frequency (df desc, term asc): the
+    postings' df column read back from disk, so the hash also proves
+    df survived the write.
+    """
+    import re as _re
+
+    from insight_spark.sources.sinks import suggest_lookup, write_search_index
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # pin bucketed scans on for vanilla driver sessions (see
+    # search_index_probe) — required for bucket PRUNING on the lookup
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    tables = write_search_index(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        _rt_path(sf_dir, "suggest_idx"),
+        n_buckets=8,
+        table_prefix=f"suggest_idx_{tag}",
+    )
+    return suggest_lookup(spark, tables["suggest"], "th", k=10)
+
+
+@query(
     "pyds_topic_counts",
     oracle="""
     SELECT event_type,

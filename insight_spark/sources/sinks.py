@@ -53,6 +53,7 @@ def write_search_index(
     """
     doc_table = f"{table_prefix}_docs"
     post_table = f"{table_prefix}_postings"
+    suggest_table = f"{table_prefix}_suggest"
 
     # external tables (explicit path): bucketing metadata lives in the
     # catalog, data at out_dir — no static warehouse conf needed
@@ -83,13 +84,59 @@ def write_search_index(
         .format("parquet")
         .saveAsTable(post_table)
     )
-    return {"docs": doc_table, "postings": post_table}
+
+    # (3) the completion-suggester structure — ES keeps this SEPARATE
+    # from the inverted index (an FST keyed by input prefixes); the
+    # stand-in keys each term by its 2-char prefix and buckets on it,
+    # so a prefix lookup is an EQUALITY on the bucket column and
+    # bucket-prunes to 1 of n files, exactly like the term point
+    # lookup.  Derived by reading the WRITTEN posting table (one
+    # aggregated scan, no re-tokenization).
+    suggest = spark.table(post_table).select(
+        F.substring("term", 1, 2).alias("prefix2"), "term", "df"
+    )
+    (
+        suggest.write.mode("overwrite")
+        .bucketBy(n_buckets, "prefix2")
+        .sortBy("prefix2", "term")
+        .option("path", os.path.join(out_dir, suggest_table))
+        .format("parquet")
+        .saveAsTable(suggest_table)
+    )
+    return {"docs": doc_table, "postings": post_table, "suggest": suggest_table}
 
 
 def search_term_lookup(spark: SparkSession, post_table: str, term: str) -> DataFrame:
     """Serving-side read of the A7 index: posting list for one term.
     Bucket pruning keeps this a single-bucket scan."""
     return spark.table(post_table).filter(F.col("term") == term)
+
+
+def suggest_lookup(
+    spark: SparkSession, suggest_table: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """Serving-side completion suggester over the A7 suggest table:
+    top-k terms extending ``prefix``, ranked by document frequency
+    (df desc, term asc tie-break — the ES completion ordering with a
+    deterministic tie key).
+
+    ``prefix`` must be >= 2 chars: the equality on the bucketed
+    ``prefix2`` column is what bucket-prunes the scan to 1 of n files;
+    the residual ``startswith`` handles longer prefixes within the
+    pruned bucket (within-bucket rows are term-sorted, so parquet
+    row-group stats skip non-matching ranges)."""
+    if len(prefix) < 2:
+        raise ValueError("suggest_lookup needs a prefix of >= 2 chars")
+    return (
+        spark.table(suggest_table)
+        .filter(
+            (F.col("prefix2") == prefix[:2])
+            & F.col("term").startswith(prefix)
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "df")
+    )
 
 
 def write_jdbc_standin(

@@ -617,6 +617,25 @@ def test_search_index_probe_bucket_pruned(spark):
     assert "EqualTo(term,the)" in plan, plan
 
 
+def test_suggest_from_index_bucket_pruned(spark):
+    """The A7 completion suggester must serve from the written suggest
+    table with a bucket-pruned scan: the prefix2 equality selects
+    exactly 1 of the 8 bucket files, so a suggest query is
+    O(index/n_buckets) IO regardless of term-dictionary size."""
+    import re
+
+    from insight_spark.queries import all_queries
+
+    df = all_queries()["suggest_from_index"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert m.group(1) == "1" and m.group(2) == "8", plan
+    assert "EqualTo(prefix2,th)" in plan, plan
+    # top-k must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_pyds_topic_counts_partitioned_and_combined(spark):
     """The Python DataSource batch read must parallelize (8 planned
     input partitions) and the aggregate must map-side combine

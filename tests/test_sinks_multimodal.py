@@ -49,8 +49,28 @@ def test_search_index_sink_and_lookup(spark, tmp_path):
         for r in docs.filter(F.col("text").contains("the")).collect()
     }
     assert set(posting) <= docs_with_the
+    # completion suggester: top-k prefix matches ranked by df read
+    # back from the persisted suggest table
+    from insight_spark.sources.sinks import suggest_lookup
+
+    sug = suggest_lookup(spark, tables["suggest"], "th", k=5).collect()
+    assert 0 < len(sug) <= 5
+    assert all(r["term"].startswith("th") for r in sug)
+    dfs = [r["df"] for r in sug]
+    assert dfs == sorted(dfs, reverse=True)
+    # df values must match the postings table's
+    post_df = {
+        r["term"]: r["df"]
+        for r in postings.filter(F.col("term").startswith("th")).collect()
+    }
+    assert all(post_df[r["term"]] == r["df"] for r in sug)
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_lookup(spark, tables["suggest"], "t")
     spark.sql(f"DROP TABLE IF EXISTS {tables['docs']}")
     spark.sql(f"DROP TABLE IF EXISTS {tables['postings']}")
+    spark.sql(f"DROP TABLE IF EXISTS {tables['suggest']}")
 
 
 def test_jdbc_standin_writes_ddl(spark, tmp_path):
