@@ -736,6 +736,71 @@ def suggest_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_log_roundtrip",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS snapshot_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def manifest_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional manifest-log table (M208): ACID append + TIME
+    TRAVEL on plain parquet — the Delta-style commit-log primitive the
+    A6c/A6d/M24/M93 maintenance family circles around without owning
+    (M93 applies a CDC log; this IS the log).  Two appends commit
+    versions 1 and 2; the query reads BOTH snapshots back via time
+    travel and returns their union, so the value hash proves (a) v1's
+    read is byte-stable after v2 committed (snapshot isolation), (b)
+    v2 sees v1's files plus its own (append semantics), (c) nothing is
+    lost or duplicated across the commit boundary.
+
+    Commit = O_CREAT|O_EXCL create of the next version's JSON manifest
+    (the put-if-absent every object store provides): a losing
+    concurrent writer gets ConflictError and its staged files stay
+    invisible — readers only trust the manifest (torn writes
+    impossible; conflict property pinned in tests/test_manifest.py).
+    Scale: the log holds file paths, commit cost is O(1) metadata at
+    any table size; snapshot reads are explicit-file parquet scans, so
+    pruning/pushdown work unchanged.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import log_append, read_snapshot
+
+    path = _rt_path(sf_dir, "manifest_tbl")
+    shutil.rmtree(path, ignore_errors=True)  # fresh log per run
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = log_append(
+        orders.filter(F.col("o_orderkey") <= 300), path, expected_version=0
+    )
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ),
+        path,
+        expected_version=v1,
+    )
+    snap1 = read_snapshot(spark, path, 1).select(
+        F.lit(1).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    snap2 = read_snapshot(spark, path, 2).select(
+        F.lit(2).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return snap1.unionByName(snap2)
+
+
+@query(
     "pyds_topic_counts",
     oracle="""
     SELECT event_type,
