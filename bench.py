@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "decision_stump_split",
     # round-10 additions
     "suggest_from_index",
+    "manifest_log_roundtrip",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -266,6 +267,8 @@ ITERATIVE = {
     # index sink writes (saveAsTable) run during build
     "search_index_probe",
     "suggest_from_index",
+    # manifest commits (parquet writes) run during build
+    "manifest_log_roundtrip",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
     # micro-batch drain runs during build
