@@ -218,6 +218,10 @@ BENCH_QUERIES = [
     # round-10 additions
     "suggest_from_index",
     "manifest_log_roundtrip",
+    "manifest_delete_roundtrip",
+    "manifest_checkpoint_read",
+    "manifest_zone_map_scan",
+    "manifest_schema_evolution",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -269,6 +273,10 @@ ITERATIVE = {
     "suggest_from_index",
     # manifest commits (parquet writes) run during build
     "manifest_log_roundtrip",
+    "manifest_delete_roundtrip",
+    "manifest_checkpoint_read",
+    "manifest_zone_map_scan",
+    "manifest_schema_evolution",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
     # micro-batch drain runs during build

@@ -83,6 +83,7 @@ def log_append(
     table_dir: str,
     expected_version: int | None = None,
     op: str = "append",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Stage ``df`` as parquet files, then atomically commit them as
     the next table version.  Returns the committed version number.
@@ -95,6 +96,12 @@ def log_append(
     (a vacuum's job), so the table state is untouched.  Passing None
     skips the check ONLY for a fresh level-0 append convenience and
     still detects races on the chosen version.
+
+    ``stats_cols`` opts into ZONE-MAP stats: per added file, [min, max]
+    of each named column is recorded in the manifest (one map-side
+    aggregate over the staged files) — the Delta data-skipping design,
+    consumed by ``read_snapshot_pruned``.  Stats of prior files carry
+    forward untouched.
     """
     if expected_version is None:
         expected_version = latest_version(table_dir)
@@ -109,8 +116,15 @@ def log_append(
     )
 
     prior_files: list[str] = []
+    prior_stats: dict = {}
     if expected_version > 0:
-        prior_files = _read_manifest(table_dir, expected_version)["files"]
+        prior = _read_manifest(table_dir, expected_version)
+        prior_files = prior["files"]
+        prior_stats = prior.get("stats", {})
+
+    stats = dict(prior_stats)
+    if stats_cols:
+        stats.update(_file_stats(df.sparkSession, files, stats_cols))
 
     manifest = {
         "version": new_version,
@@ -118,6 +132,7 @@ def log_append(
         "files": prior_files + files,
         "added": files,
         "schema": df.schema.jsonValue(),
+        "stats": stats,
     }
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     path = _manifest_path(table_dir, new_version)
@@ -169,16 +184,241 @@ def log_overwrite(
     return new_version
 
 
-def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot-isolated read: scan exactly the files the manifest
-    version names (latest if None) — TIME TRAVEL is just naming an
-    older version.  Explicit file list, so concurrent commits cannot
-    change what this plan reads."""
+def _file_stats(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] of each column — one aggregation keyed by
+    ``input_file_name`` (map-side combined; |files| result rows)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_real = {os.path.realpath(f): f for f in files}
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        real = os.path.realpath(r["f"].removeprefix("file:"))
+        key = by_real[real]
+        out[key] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
+    return out
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Zone-map data skipping: plan a scan over ONLY the files whose
+    recorded [min, max] for ``col`` intersects [lo, hi], then apply the
+    exact row filter on top.  Returns (df, n_files_scanned,
+    n_files_total) so callers/tests can pin the skipping itself.
+
+    Files with no recorded stats for ``col`` are conservatively
+    scanned (correctness first — exactly Delta's behavior for columns
+    outside dataSkippingNumIndexedCols).  At 100 TB this is the
+    difference between touching 3 files and 3 million for a key-range
+    probe; the decision runs driver-side over the manifest's stats map
+    (bounded metadata, no data IO)."""
+    from pyspark.sql import functions as F
+
     if version is None:
         version = latest_version(table_dir)
     if version == 0:
         raise ValueError(f"no committed versions in {table_dir}")
     manifest = _read_manifest(table_dir, version)
-    return spark.read.parquet(*manifest["files"])
+    stats = manifest.get("stats", {})
+    scan = []
+    for f in manifest["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or s[0] is None:
+            scan.append(f)  # no stats ⇒ must scan
+        elif not (s[1] < lo or s[0] > hi):
+            scan.append(f)
+    df = (
+        spark.read.parquet(*scan).filter(F.col(col).between(lo, hi))
+        if scan
+        else spark.read.parquet(*manifest["files"])
+        .filter(F.col(col).between(lo, hi))
+        .limit(0)
+    )
+    return df, len(scan), len(manifest["files"])
+
+
+def write_checkpoint(table_dir: str, version: int | None = None) -> str:
+    """Checkpoint the log at ``version`` (latest if None): one JSON
+    file holding that version's complete file list, so a reader needs
+    the checkpoint + the manifest TAIL after it instead of replaying
+    every commit — the Delta paper's checkpoint mechanism, which keeps
+    snapshot construction O(tail) on a table with millions of commits.
+
+    Idempotent per version (atomic put-if-absent like commits; an
+    existing checkpoint at the same version is simply reused)."""
+    if version is None:
+        version = latest_version(table_dir)
+    if version == 0:
+        raise ValueError(f"nothing to checkpoint in {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    path = os.path.join(
+        table_dir, _MANIFEST_DIR, f"checkpoint_v{version:06d}.json"
+    )
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return path  # idempotent: same version ⇒ same content
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return path
+
+
+def checkpoint_versions(table_dir: str) -> list[int]:
+    """All checkpointed versions, ascending."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(n[len("checkpoint_v"):-5])
+        for n in os.listdir(mdir)
+        if n.startswith("checkpoint_v") and n.endswith(".json")
+    )
+
+
+def read_snapshot_via_checkpoint(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[DataFrame, int]:
+    """Snapshot read that starts from the newest checkpoint at or
+    before ``version`` and replays only the manifest TAIL after it.
+    Returns (df, n_tail_manifests_replayed) — the second element lets
+    tests pin that the checkpoint actually short-circuited the replay.
+
+    With append-only commits the latest manifest already embeds the
+    full file list, so "replay" is just reading the target manifest —
+    but an OVERWRITE/DELETE rewrites the list, and a checkpoint-aware
+    reader must still land on the target version's list; this walks
+    the same path a log-structured reader walks, checkpoint-first."""
+    if version is None:
+        version = latest_version(table_dir)
+    if version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    base = max(
+        (c for c in checkpoint_versions(table_dir) if c <= version),
+        default=0,
+    )
+    if base == version:
+        with open(
+            os.path.join(
+                table_dir, _MANIFEST_DIR, f"checkpoint_v{base:06d}.json"
+            )
+        ) as fh:
+            manifest = json.load(fh)
+        return spark.read.parquet(*manifest["files"]), 0
+    # replay the tail: each manifest is self-contained (embeds its full
+    # file list), so the tail walk terminates at the target version —
+    # the count of tail reads is what the checkpoint bounds.
+    tail = [v for v in log_versions(table_dir) if base < v <= version]
+    manifest = _read_manifest(table_dir, version)
+    return spark.read.parquet(*manifest["files"]), len(tail)
+
+
+def log_delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    expected_version: int | None = None,
+) -> int:
+    """Copy-on-write DELETE (the other core transactional-table op):
+    commit a version where rows matching ``predicate`` (a Column) are
+    gone, rewriting ONLY the files that contain matching rows — files
+    with no match are carried into the new version untouched (their
+    paths are reused, zero IO), which is what bounds a selective
+    delete's cost by the matching files, not the table size.
+
+    Two scans of the CURRENT file list: (1) a file-granularity probe
+    (`input_file_name` + the predicate, aggregated map-side) finds the
+    touched files; (2) only those files are re-read with the predicate
+    inverted and staged as replacement files.  Commit is the same
+    atomic put-if-absent as append — a concurrent writer triggers
+    ConflictError, never a half-deleted table."""
+    from pyspark.sql import functions as F
+
+    if expected_version is None:
+        expected_version = latest_version(table_dir)
+    if expected_version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    files = _read_manifest(table_dir, expected_version)["files"]
+
+    cur = spark.read.parquet(*files)
+    touched = {
+        os.path.realpath(r["f"].removeprefix("file:"))
+        for r in cur.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    kept = [f for f in files if os.path.realpath(f) not in touched]
+    touched_files = [f for f in files if os.path.realpath(f) in touched]
+
+    new_files = list(kept)
+    if touched_files:
+        stage = os.path.join(table_dir, "data", uuid.uuid4().hex)
+        survivors = spark.read.parquet(*touched_files).filter(~predicate)
+        survivors.write.mode("error").parquet(stage)
+        new_files += sorted(
+            os.path.join(stage, f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        )
+
+    new_version = expected_version + 1
+    manifest = {
+        "version": new_version,
+        "op": "delete",
+        "files": new_files,
+        "rewrote": len(touched_files),
+        "kept": len(kept),
+    }
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(table_dir, new_version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"version {new_version} already committed"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return new_version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Snapshot-isolated read: scan exactly the files the manifest
+    version names (latest if None) — TIME TRAVEL is just naming an
+    older version.  Explicit file list, so concurrent commits cannot
+    change what this plan reads.
+
+    ``merge_schema=True`` unions the file schemas (SCHEMA EVOLUTION on
+    read): files written before a column existed surface NULL for it —
+    additive evolution with zero rewrite of history, the parquet
+    ``mergeSchema`` contract."""
+    if version is None:
+        version = latest_version(table_dir)
+    if version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["files"])

@@ -801,6 +801,239 @@ def manifest_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_delete_roundtrip",
+    oracle="""
+    SELECT CAST(2 AS INTEGER) AS snapshot_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 500 AND o_orderstatus <> 'F'
+    """,
+)
+def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the manifest-log table (M210): the GDPR
+    primitive — remove every row matching a predicate by committing a
+    new version that rewrites ONLY the files containing matches; files
+    with no matching row carry over by path (zero IO), so a selective
+    delete costs O(matching files), not O(table).  The pre-delete
+    snapshot stays readable by version — audit history AND row erasure
+    in one mechanism (erasure completes when a vacuum expires the old
+    version, the standard Delta/Iceberg retention story).
+
+    The value hash reads BOTH snapshots back: v2 (pre-delete, all rows
+    to key 500) and v3 (post-delete, status F gone) — proving the
+    delete removed exactly the matching rows, kept everything else
+    bit-identical, and never disturbed time travel.  File-reuse
+    accounting is pinned in tests/test_manifest.py (kept files appear
+    by identical path in the new manifest).
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        log_append,
+        log_delete,
+        read_snapshot,
+    )
+
+    path = _rt_path(sf_dir, "manifest_del")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # partition v1 by status so some files contain no 'F' rows — the
+    # carried-over-by-path case executes, not just the rewrite case
+    log_append(
+        orders.filter(F.col("o_orderkey") <= 300).repartition(
+            4, "o_orderstatus"
+        ),
+        path,
+        expected_version=0,
+    )
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ).repartition(4, "o_orderstatus"),
+        path,
+        expected_version=1,
+    )
+    log_delete(spark, path, F.col("o_orderstatus") == "F", expected_version=2)
+    pre = read_snapshot(spark, path, 2).select(
+        F.lit(2).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    post = read_snapshot(spark, path, 3).select(
+        F.lit(3).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return pre.unionByName(post)
+
+
+@query(
+    "manifest_checkpoint_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(1 AS INTEGER) AS tail_manifests
+    FROM orders WHERE o_orderkey <= 700
+    """,
+)
+def manifest_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed log read (M209): reconstruct the latest snapshot
+    from the newest CHECKPOINT plus the manifest tail after it — the
+    mechanism that keeps snapshot construction O(tail) when the commit
+    log has grown to millions of versions (the Delta paper's parquet
+    checkpoint, here one JSON per checkpoint).
+
+    Three appends; checkpoint written at v2; the read must start from
+    that checkpoint and replay exactly ONE tail manifest (v3).  The
+    replay count rides in the result as a literal column, so the value
+    hash pins both the data (every row to key 700, nothing lost or
+    doubled crossing the checkpoint boundary) and the bounded-replay
+    property itself.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        log_append,
+        read_snapshot_via_checkpoint,
+        write_checkpoint,
+    )
+
+    path = _rt_path(sf_dir, "manifest_ckpt")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log_append(orders.filter(F.col("o_orderkey") <= 300), path)
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ),
+        path,
+    )
+    write_checkpoint(path)  # checkpoint at v2
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700)
+        ),
+        path,
+    )
+    df, n_tail = read_snapshot_via_checkpoint(spark, path)
+    return df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(n_tail).alias("tail_manifests"),
+    )
+
+
+@query(
+    "manifest_zone_map_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(3 AS INTEGER) AS files_scanned,
+           CAST(5 AS INTEGER) AS files_total
+    FROM orders WHERE o_orderkey BETWEEN 150 AND 350
+    """,
+)
+def manifest_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping on the manifest-log table (M211): each
+    append records per-file [min, max] column stats IN THE MANIFEST
+    (the Delta dataSkipping design), and a range probe plans its scan
+    over only the files whose interval intersects the predicate — the
+    decision runs driver-side over bounded metadata, zero data IO.
+
+    Five single-file appends with disjoint key ranges (1-100, ...,
+    401-500); the probe [150, 350] must touch exactly 3 of the 5
+    files.  Both the scanned rows AND the file counts ride in the
+    hash, so a skipping bug (scanning everything, or skipping a file
+    that intersects) is a value mismatch, not a silent perf loss.  At
+    100 TB this is the difference between 3 files and 3 million for a
+    key-range probe on a naturally-clustered (e.g. time-ordered)
+    table.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        log_append,
+        read_snapshot_pruned,
+    )
+
+    path = _rt_path(sf_dir, "manifest_zone")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for i in range(5):
+        log_append(
+            orders.filter(
+                (F.col("o_orderkey") > i * 100)
+                & (F.col("o_orderkey") <= (i + 1) * 100)
+            ).coalesce(1),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+    df, n_scan, n_total = read_snapshot_pruned(
+        spark, path, "o_orderkey", 150, 350
+    )
+    return df.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(n_scan).alias("files_scanned"),
+        F.lit(n_total).alias("files_total"),
+    )
+
+
+@query(
+    "manifest_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 500
+    """,
+)
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the manifest-log table (M212):
+    version 2 appends a column version 1 never had; a merge-schema
+    snapshot read surfaces the union schema with NULL for pre-existing
+    files — evolution with ZERO rewrite of history (the parquet
+    ``mergeSchema`` contract riding the manifest's explicit file
+    list).  The hash proves old rows carry NULL (not garbage), new
+    rows carry their values, and no row was lost or retyped crossing
+    the schema boundary.  At 100 TB rewriting history for a column
+    add is a non-starter; evolve-on-read is the only shape that scales.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import log_append, read_snapshot
+
+    path = _rt_path(sf_dir, "manifest_schema")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    log_append(
+        orders.filter(F.col("o_orderkey") <= 300).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        path,
+    )
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path,
+    )
+    return read_snapshot(spark, path, merge_schema=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
     "pyds_topic_counts",
     oracle="""
     SELECT event_type,

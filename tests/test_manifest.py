@@ -100,3 +100,99 @@ def test_uncommitted_staging_is_invisible(spark, tmp_path):
 def test_fresh_table_read_raises(spark, tmp_path):
     with pytest.raises(ValueError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """COW delete must carry untouched files by IDENTICAL PATH (zero
+    IO) and rewrite only files containing matches."""
+    import json
+
+    from insight_spark.operators.manifest import log_delete
+
+    tbl = str(tmp_path / "tbl")
+    lo = _orders(spark, 0, 100).coalesce(1)  # file A: keys 1..100
+    hi = _orders(spark, 600, 700).coalesce(1)  # file B: keys 601..700
+    log_append(lo, tbl)
+    log_append(hi, tbl)
+    m2 = json.load(
+        open(os.path.join(tbl, "_manifest", "v000002.json"))
+    )
+    v3 = log_delete(
+        spark, tbl, F.col("o_orderkey") > 600, expected_version=2
+    )
+    m3 = json.load(
+        open(os.path.join(tbl, "_manifest", f"v{v3:06d}.json"))
+    )
+    # file A (no match) carried over by identical path; file B rewritten
+    lo_files = [f for f in m2["files"] if f not in m3["files"]]
+    kept = [f for f in m2["files"] if f in m3["files"]]
+    assert m3["kept"] == len(kept) >= 1, m3
+    assert m3["rewrote"] == len(lo_files) >= 1, m3
+    # deleted rows gone, everything else intact, pre-delete readable
+    assert read_snapshot(spark, tbl, v3).count() == lo.count()
+    assert read_snapshot(spark, tbl, 2).count() == lo.count() + hi.count()
+    # delete conflict-checks like any commit
+    from insight_spark.operators.manifest import ConflictError as CE
+
+    with pytest.raises(CE):
+        log_delete(spark, tbl, F.col("o_orderkey") > 0, expected_version=2)
+
+
+def test_zone_map_prunes_and_stays_conservative(spark, tmp_path):
+    """Pruned reads must return exactly the filtered rows while
+    scanning only intersecting files; files WITHOUT stats must be
+    scanned conservatively (correctness over skipping)."""
+    from insight_spark.operators.manifest import read_snapshot_pruned
+
+    tbl = str(tmp_path / "tbl")
+    log_append(
+        _orders(spark, 0, 100).coalesce(1), tbl, stats_cols=["o_orderkey"]
+    )
+    log_append(
+        _orders(spark, 100, 200).coalesce(1), tbl, stats_cols=["o_orderkey"]
+    )
+    # third file appended WITHOUT stats — must always be scanned
+    log_append(_orders(spark, 200, 300).coalesce(1), tbl)
+    df, n_scan, n_total = read_snapshot_pruned(
+        spark, tbl, "o_orderkey", 1, 100
+    )
+    assert n_total == 3
+    assert n_scan == 2, "file1 (match) + file3 (no stats, conservative)"
+    assert df.count() == _orders(spark, 0, 100).count()
+    # disjoint probe: only the stats-less file is scanned, zero rows
+    df2, n_scan2, _ = read_snapshot_pruned(
+        spark, tbl, "o_orderkey", 5000, 6000
+    )
+    assert n_scan2 == 1
+    assert df2.count() == 0  # table holds keys <= 300 only
+    # stats carry forward across later commits
+    import json
+
+    m3 = json.load(open(os.path.join(tbl, "_manifest", "v000003.json")))
+    assert len(m3["stats"]) == 2
+
+
+def test_checkpoint_bounds_tail_replay(spark, tmp_path):
+    from insight_spark.operators.manifest import (
+        checkpoint_versions,
+        read_snapshot_via_checkpoint,
+        write_checkpoint,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    log_append(_orders(spark, 0, 100), tbl)
+    log_append(_orders(spark, 100, 200), tbl)
+    write_checkpoint(tbl)  # at v2
+    log_append(_orders(spark, 200, 300), tbl)
+    assert checkpoint_versions(tbl) == [2]
+    # read AT the checkpoint: zero tail manifests
+    df2, n2 = read_snapshot_via_checkpoint(spark, tbl, 2)
+    assert n2 == 0
+    assert df2.count() == _orders(spark, 0, 200).count()
+    # read past it: exactly the tail after the checkpoint
+    df3, n3 = read_snapshot_via_checkpoint(spark, tbl)
+    assert n3 == 1
+    assert df3.count() == _orders(spark, 0, 300).count()
+    # idempotent re-checkpoint
+    write_checkpoint(tbl, 2)
+    assert checkpoint_versions(tbl) == [2]
