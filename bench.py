@@ -222,6 +222,10 @@ BENCH_QUERIES = [
     "manifest_checkpoint_read",
     "manifest_zone_map_scan",
     "manifest_schema_evolution",
+    "manifest_vacuum_audit",
+    "pca_top2_closed_form",
+    "stream_dedup_within_watermark",
+    "phash_image_clusters",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -277,6 +281,9 @@ ITERATIVE = {
     "manifest_checkpoint_read",
     "manifest_zone_map_scan",
     "manifest_schema_evolution",
+    "manifest_vacuum_audit",
+    # micro-batch drain runs during build
+    "stream_dedup_within_watermark",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
     # micro-batch drain runs during build

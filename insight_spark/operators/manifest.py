@@ -253,6 +253,50 @@ def read_snapshot_pruned(
     return df, len(scan), len(manifest["files"])
 
 
+def vacuum(table_dir: str, retain_from_version: int) -> dict[str, int]:
+    """Physically delete data files no RETAINED version references:
+    files referenced only by versions < ``retain_from_version``
+    (dropped by overwrite/delete commits) plus staging orphans from
+    losing writers that never committed.  Returns counts for the audit
+    trail.  This is what completes a GDPR erasure: ``log_delete``
+    removes rows from the live table; vacuum destroys the bytes once
+    the retention window passes (the Delta VACUUM contract).
+
+    Metadata-only decision: the referenced set is the union of the
+    retained manifests' file lists — no data IO; deletion cost is
+    O(removed files).  Time travel to versions older than
+    ``retain_from_version`` becomes invalid by design."""
+    versions = log_versions(table_dir)
+    retained = [v for v in versions if v >= retain_from_version]
+    if not retained:
+        raise ValueError(
+            f"retain_from_version={retain_from_version} keeps no version"
+        )
+    referenced = set()
+    for v in retained:
+        referenced.update(
+            os.path.realpath(f) for f in _read_manifest(table_dir, v)["files"]
+        )
+    removed = kept = 0
+    data_root = os.path.join(table_dir, "data")
+    for stage in sorted(os.listdir(data_root)):
+        sdir = os.path.join(data_root, stage)
+        for name in sorted(os.listdir(sdir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(sdir, name)
+            if os.path.realpath(path) in referenced:
+                kept += 1
+            else:
+                os.remove(path)
+                removed += 1
+        if not any(n.endswith(".parquet") for n in os.listdir(sdir)):
+            import shutil
+
+            shutil.rmtree(sdir, ignore_errors=True)
+    return {"files_removed": removed, "files_kept": kept}
+
+
 def write_checkpoint(table_dir: str, version: int | None = None) -> str:
     """Checkpoint the log at ``version`` (latest if None): one JSON
     file holding that version's complete file list, so a reader needs

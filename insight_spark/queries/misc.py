@@ -1180,3 +1180,93 @@ def json_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_frac"
         ),
     )
+
+
+@query(
+    "phash_image_clusters",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                   r -> (doc_id % 17 * 29 + r * 31) % 200
+                        + (doc_id // 17) % 7) AS rl
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 8),
+                   r -> CASE WHEN 8 * rl[r + 1] > list_sum(rl)
+                             THEN 1 << r ELSE 0 END)) AS phash
+        FROM h
+    )
+    SELECT CAST(phash AS INTEGER) AS phash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM hashed GROUP BY phash
+    """,
+)
+def phash_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup clustering (M216) over the REAL
+    codec path: synthesize a row-structured BMP per doc (17 content
+    groups x 7 brightness offsets — same group = same picture, shifted
+    exposure), round-trip it through the pure-Python encoder/decoder,
+    compute an 8-band average-hash from the DECODED band means (bit r
+    = band mean above the global mean), and cluster by hash equality.
+
+    The aHash is brightness-INVARIANT (a constant offset moves every
+    band and the global mean together), so the 7 exposure variants of
+    each content group MUST collapse into one cluster — the core
+    image-dedup property (re-encoded/re-exposed crawl duplicates) that
+    byte-level dedup can never see.  The oracle replays the synthesis
+    arithmetic closed-form: a stride, orientation, or band-boundary
+    bug in the real decoder lands in the hash.
+
+    Exactness: with 8 bands on an 8-row image each band mean is one
+    integer row luma (exact in float64); the bit test is the integer
+    comparison 8·band > Σbands on both sides.  Scale: encode→decode→
+    hash is one Arrow-batched mapInPandas scan (map-only, stateless),
+    then a bounded groupBy on ≤2^8 hash keys — no pairwise anything;
+    the cluster table IS the dedup assignment.
+    """
+    from collections.abc import Iterator
+
+    from insight_spark.operators.codecs import (
+        bmp_row_band_means,
+        encode_bmp_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode_hash(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rl = [
+                    (d % 17 * 29 + r * 31) % 200 + (d // 17) % 7
+                    for r in range(8)
+                ]
+                data = encode_bmp_rows(8, 8, rl)
+                bands = bmp_row_band_means(data, 8)  # real decode
+                total = sum(bands)
+                hashes.append(
+                    sum(
+                        (1 << r)
+                        for r, m in enumerate(bands)
+                        if 8 * m > total
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": hashes}
+            )
+
+    hashed = docs.mapInPandas(
+        synth_decode_hash, "doc_id long, phash int"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

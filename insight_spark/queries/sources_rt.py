@@ -1034,6 +1034,75 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_vacuum_audit",
+    oracle="""
+    SELECT CAST(3 AS INTEGER) AS files_removed,
+           CAST(1 AS INTEGER) AS files_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 600 AND o_orderkey <= 700) AS latest_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DECIMAL(38,6)) FROM orders
+            WHERE o_orderkey > 600 AND o_orderkey <= 700) AS latest_sum
+    """,
+)
+def manifest_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the manifest-log table (M213): physically destroy the
+    bytes no retained version references — dropped-by-overwrite files
+    AND staging orphans from losing concurrent writers — completing
+    the GDPR story ``manifest_delete_roundtrip`` starts (delete hides
+    rows; vacuum erases them once retention passes).
+
+    Deterministic audit: two single-file appends, one overwrite (drops
+    both), plus a CONFLICTING writer whose staged file never joined
+    any manifest — vacuum retaining only the overwrite must remove
+    exactly 3 files and keep exactly 1, and the surviving snapshot
+    must still read byte-identically (count + DECIMAL sum in the
+    hash).  Metadata-only referenced-set computation (union of
+    retained manifests' file lists, zero data IO); deletion cost
+    O(removed) — the shape that works when a 100 TB table has years
+    of expired versions.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        ConflictError,
+        log_append,
+        log_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    path = _rt_path(sf_dir, "manifest_vac")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def rng(lo: int, hi: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+        ).coalesce(1)
+
+    log_append(rng(0, 100), path)  # v1: 1 file, dropped by overwrite
+    log_append(rng(100, 200), path)  # v2: 1 file, dropped by overwrite
+    v3 = log_overwrite(rng(600, 700), path)  # v3: the retained file
+    try:  # losing writer: stages a file, commit rejected -> orphan
+        log_append(rng(200, 300), path, expected_version=2)
+    except ConflictError:
+        pass
+    audit = vacuum(path, retain_from_version=v3)
+    latest = read_snapshot(spark, path)
+    return latest.agg(
+        F.lit(audit["files_removed"]).alias("files_removed"),
+        F.lit(audit["files_kept"]).alias("files_kept"),
+        F.count("*").alias("latest_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("latest_sum"),
+    )
+
+
+@query(
     "pyds_topic_counts",
     oracle="""
     SELECT event_type,

@@ -899,3 +899,39 @@ def stream_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_duplicates_dropped"
         ),
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 with BOUNDED dedup state (M215): the Spark-3.5+
+    ``dropDuplicatesWithinWatermark`` operator — unlike plain
+    ``dropDuplicates`` (whose key set grows forever on an unbounded
+    stream), each key's state is EVICTED once the watermark passes its
+    last-seen event time + delay, so a 100 TB/day stream holds only
+    the delay window's keys, which is the only dedup shape that
+    survives unbounded ingestion.
+
+    Same duplicated-chunk input as ``stream_dedup_counts`` (every file
+    arrives twice across 8 micro-batches); replays land well inside
+    the 24 h delay, so the deduped counts must equal the batch counts
+    over the original events — the value hash proves eviction never
+    fired EARLY (a dropped key would let a replay through and inflate
+    a count)."""
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir, dup=True))
+    deduped = (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "mem_dedup_wm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _drain(spark, deduped, name)

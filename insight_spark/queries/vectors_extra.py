@@ -2532,3 +2532,164 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_micro2"),
         )
     )
+
+
+@query(
+    "pca_top2_closed_form",
+    oracle="""
+    WITH m AS (
+        SELECT list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT d, e[d] AS x
+        FROM m CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS d)
+    ),
+    per_dim AS (
+        SELECT d, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qq
+        FROM pos GROUP BY d
+    ),
+    top2 AS (
+        SELECT d, row_number() OVER (ORDER BY n * qq - s * s DESC, d ASC)
+                   AS rk
+        FROM per_dim
+        ORDER BY rk LIMIT 2
+    ),
+    dims AS (
+        SELECT (SELECT d FROM top2 WHERE rk = 1) AS da,
+               (SELECT d FROM top2 WHERE rk = 2) AS db
+    ),
+    pair AS (
+        SELECT CAST(e[da] AS HUGEINT) AS xa, CAST(e[db] AS HUGEINT) AS xb
+        FROM m, dims
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(xa) AS sa, SUM(xb) AS sb,
+               SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb,
+               SUM(xa * xb) AS sab
+        FROM pair
+    ),
+    cov AS (
+        SELECT CAST(n * saa - sa * sa AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n) / 1000000000000.0 AS a,
+               CAST(n * sbb - sb * sb AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n) / 1000000000000.0 AS c,
+               CAST(n * sab - sa * sb AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n) / 1000000000000.0 AS b
+        FROM sums
+    )
+    SELECT CAST(dims.da AS INTEGER) AS dim_a,
+           CAST(dims.db AS INTEGER) AS dim_b,
+           cov.a AS var_a, cov.c AS var_b, cov.b AS cov_ab,
+           (cov.a + cov.c) / 2
+               + sqrt(((cov.a - cov.c) / 2) * ((cov.a - cov.c) / 2)
+                      + cov.b * cov.b) AS lambda1,
+           (cov.a + cov.c) / 2
+               - sqrt(((cov.a - cov.c) / 2) * ((cov.a - cov.c) / 2)
+                      + cov.b * cov.b) AS lambda2,
+           ((cov.a + cov.c) / 2
+               + sqrt(((cov.a - cov.c) / 2) * ((cov.a - cov.c) / 2)
+                      + cov.b * cov.b))
+           / (((cov.a + cov.c) / 2
+               + sqrt(((cov.a - cov.c) / 2) * ((cov.a - cov.c) / 2)
+                      + cov.b * cov.b))
+              + ((cov.a + cov.c) / 2
+                 - sqrt(((cov.a - cov.c) / 2) * ((cov.a - cov.c) / 2)
+                        + cov.b * cov.b))) AS top_share
+    FROM cov, dims
+    """,
+)
+def pca_top2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit via CLOSED-FORM 2-D PCA (M214): pick
+    the two highest-variance dimensions by EXACT integer score
+    (n·Σx² − (Σx)², micro-int arithmetic, dim-index tie-break — the
+    `embedding_dim_variance` selection, so both engines agree), form
+    their 2×2 covariance from exact sums, and eigendecompose it in
+    closed form: λ = (a+c)/2 ± √(((a−c)/2)² + b²).  `top_share` =
+    λ₁/(λ₁+λ₂) is the anisotropy signal — a share near 1 means the
+    embedding collapsed toward a line (a training-failure smell that
+    also degrades every cosine-based dedup/ANN op downstream).
+
+    Float parity: variances/covariance are exact BIGINT/HUGEINT
+    numerators with ONE identical division tree to double; the
+    eigenvalues add only +,−,×,/ and IEEE-correctly-rounded sqrt on
+    bit-equal inputs — no libm transcendentals, no iteration, so the
+    hash is bit-stable cross-engine (the power-iteration alternative
+    is NOT oracle-replicable; the 2-D closed form is).
+
+    Scale: pass 1 is one posexploded map-side-combined aggregate
+    (64 groups); pass 2 one 6-sum aggregate; the only driver state is
+    the two winning dim indices.  100 TB cost = two corpus scans,
+    zero joins, zero windows over data.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(quantize_micro(F.col("embedding")).alias("e"))
+    per_dim = (
+        q.select(F.posexplode("e").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("qq"),
+        )
+    )
+    score = F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    top2 = (
+        per_dim.select("d", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("d"))
+        .limit(2)
+        .collect()
+    )  # bounded driver state: the two winning dim indices
+    da, db = int(top2[0]["d"]), int(top2[1]["d"])
+
+    pair = q.select(
+        F.element_at("e", da).alias("xa"), F.element_at("e", db).alias("xb")
+    )
+    sums = pair.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").cast("decimal(38,0)").alias("sa"),
+        F.sum("xb").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sab"),
+    )
+    n_d = F.col("n").cast("double")
+    a = (
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        / (n_d * F.col("n"))
+        / 1000000000000.0
+    )
+    c = (
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+        / (n_d * F.col("n"))
+        / 1000000000000.0
+    )
+    b = (
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+        / (n_d * F.col("n"))
+        / 1000000000000.0
+    )
+    covd = sums.select(a.alias("a"), c.alias("c"), b.alias("b"))
+    mean = (F.col("a") + F.col("c")) / 2
+    half = (F.col("a") - F.col("c")) / 2
+    disc = F.sqrt(half * half + F.col("b") * F.col("b"))
+    l1, l2 = mean + disc, mean - disc
+    return covd.select(
+        F.lit(da).cast("int").alias("dim_a"),
+        F.lit(db).cast("int").alias("dim_b"),
+        F.col("a").alias("var_a"),
+        F.col("c").alias("var_b"),
+        F.col("b").alias("cov_ab"),
+        l1.alias("lambda1"),
+        l2.alias("lambda2"),
+        (l1 / (l1 + l2)).alias("top_share"),
+    )

@@ -1,0 +1,93 @@
+"""Property pins for the round-10 operators (M209-M216) beyond the
+value-oracle checks: structural laws a hash compare can't state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_spark.queries import all_queries
+from insight_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_phash_clusters_collapse_brightness_variants(spark):
+    """17 content groups x 7 brightness offsets must collapse to at
+    most 17 clusters (aHash brightness invariance), covering every doc
+    exactly once."""
+    rows = _q("phash_image_clusters")(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert 1 <= len(rows) <= 17
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # each phash fits the 8-bit band hash
+    assert all(0 <= r["phash"] < 256 for r in rows)
+
+
+def test_pca_top2_is_a_valid_eigendecomposition(spark):
+    row = _q("pca_top2_closed_form")(spark, SF_DIR).collect()[0]
+    # eigenvalues of a covariance matrix: real, ordered, non-negative
+    # (allow fp dust on lambda2)
+    assert row["lambda1"] >= row["lambda2"] >= -1e-12
+    # trace preserved: lambda1 + lambda2 == var_a + var_b (closed form)
+    assert abs(
+        (row["lambda1"] + row["lambda2"]) - (row["var_a"] + row["var_b"])
+    ) < 1e-9
+    # top_share in [1/2, 1]: lambda1 is the larger of two non-negatives
+    assert 0.5 - 1e-12 <= row["top_share"] <= 1.0 + 1e-12
+    # det law: lambda1*lambda2 == var_a*var_b - cov^2 (PSD => >= 0)
+    det = row["var_a"] * row["var_b"] - row["cov_ab"] ** 2
+    assert abs(row["lambda1"] * row["lambda2"] - det) < 1e-9
+    # the selected dims are distinct
+    assert row["dim_a"] != row["dim_b"]
+
+
+def test_vacuum_refuses_empty_retention_and_is_idempotent(spark, tmp_path):
+    from insight_spark.operators.manifest import (
+        latest_version,
+        log_append,
+        read_snapshot,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    log_append(orders.filter(F.col("o_orderkey") <= 100).coalesce(1), tbl)
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ).coalesce(1),
+        tbl,
+    )
+    with pytest.raises(ValueError):
+        vacuum(tbl, retain_from_version=latest_version(tbl) + 1)
+    # append-only log: every file still referenced by the latest
+    # version, so vacuum removes nothing and is idempotent
+    first = vacuum(tbl, retain_from_version=2)
+    assert first == {"files_removed": 0, "files_kept": 2}
+    assert vacuum(tbl, retain_from_version=2) == first
+    assert (
+        read_snapshot(spark, tbl).count()
+        == orders.filter(F.col("o_orderkey") <= 200).count()
+    )
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark):
+    """The bounded-state dedup must agree with the batch ground truth
+    (duplicated chunks fully discarded)."""
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in _q("stream_dedup_within_watermark")(spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
