@@ -226,6 +226,10 @@ BENCH_QUERIES = [
     "pca_top2_closed_form",
     "stream_dedup_within_watermark",
     "phash_image_clusters",
+    "wav_fingerprint_clusters",
+    "truncation_loss_audit",
+    "length_bucket_padding_sweep",
+    "pseudonym_consistency_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -120,6 +120,41 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int]:
     return n_channels, sample_rate, n_samples, first_sample
 
 
+def wav_frame_energies(data: bytes, n_frames: int) -> list[float]:
+    """Mean |sample| per equal-length frame of a mono PCM-16 WAV — the
+    audio analogue of ``bmp_row_band_means``: the real chunk-walking
+    decode feeding a downstream fingerprint.  n_samples must divide
+    evenly into ``n_frames`` (the synthesized fixtures guarantee it)."""
+    riff, _, wave = struct.unpack_from("<4sI4s", data, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    samples = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_format, n_channels = struct.unpack_from("<HH", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if audio_format != 1 or bits != 16 or n_channels != 1:
+                raise ValueError("wav_frame_energies needs mono PCM-16")
+        elif cid == b"data":
+            n = size // 2
+            samples = struct.unpack_from(f"<{n}h", data, body)
+        pos = body + size + size % 2
+    if samples is None:
+        raise ValueError("WAV missing data chunk")
+    if len(samples) % n_frames:
+        raise ValueError(
+            f"{len(samples)} samples not divisible into {n_frames} frames"
+        )
+    flen = len(samples) // n_frames
+    return [
+        sum(abs(s) for s in samples[i * flen : (i + 1) * flen]) / flen
+        for i in range(n_frames)
+    ]
+
+
 def resize_bmp(data: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resize of an uncompressed 24-bit BMP.
 

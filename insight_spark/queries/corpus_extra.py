@@ -1265,3 +1265,153 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_flagged"),
         )
     )
+
+
+@query(
+    "truncation_loss_audit",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ),
+    sweep AS (
+        SELECT t.source, l.max_len, t.n,
+               greatest(t.n - l.max_len, 0) AS lost
+        FROM t CROSS JOIN (SELECT CAST(unnest([32, 64, 96]) AS INTEGER)
+                               AS max_len) l
+    )
+    SELECT source, max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(n) AS BIGINT) AS tokens_total,
+           CAST(SUM(lost) AS BIGINT) AS tokens_lost,
+           CAST(1000000 * SUM(lost) // SUM(n) AS BIGINT) AS loss_ppm
+    FROM sweep GROUP BY source, max_len
+    """,
+)
+def truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation loss (M218): for each source and each
+    candidate max sequence length, how many documents get cut and what
+    fraction of their tokens falls off the end — THE table read before
+    fixing a training context length (too short burns data you paid to
+    collect and dedup; too long burns attention compute on padding;
+    the right L is a per-source judgment this sweep makes visible —
+    e.g. a code source with long files suffers 10x the loss of a chat
+    source at the same L).
+
+    One tokenize pass; the 3-length sweep is a broadcast literal cross
+    join BEFORE aggregation, so the corpus is scanned once, map-only,
+    and the shuffle carries |sources|x|lengths| groups.  Loss fraction
+    as exact integer ppm (the registry's micro-int discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(tokenize(F.col("text"))).alias("n")
+    )
+    lens = spark.range(1).select(
+        F.explode(F.array(F.lit(32), F.lit(64), F.lit(96))).alias("max_len")
+    )
+    sweep = t.crossJoin(F.broadcast(lens)).select(
+        "source",
+        "max_len",
+        "n",
+        F.greatest(F.col("n") - F.col("max_len"), F.lit(0)).alias("lost"),
+    )
+    return sweep.groupBy("source", "max_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lost") > 0).cast("long")).alias("n_truncated"),
+        F.sum("n").alias("tokens_total"),
+        F.sum("lost").alias("tokens_lost"),
+        F.expr("1000000 * sum(lost) div sum(n)").alias("loss_ppm"),
+    )
+
+
+@query(
+    "length_bucket_padding_sweep",
+    oracle=r"""
+    WITH t AS (
+        SELECT len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ),
+    bounds AS (
+        SELECT CAST(MIN(n) AS BIGINT) AS lo, CAST(MAX(n) AS BIGINT) AS hi
+        FROM t
+    ),
+    sweep AS (
+        SELECT k.k, t.n,
+               least((t.n - b.lo) * k.k // (b.hi - b.lo + 1), k.k - 1)
+                   AS bucket
+        FROM t, bounds b
+        CROSS JOIN (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS k) k
+    ),
+    per_bucket AS (
+        SELECT k, bucket, COUNT(*) AS n_docs, MAX(n) AS bucket_max,
+               SUM(n) AS real_tokens
+        FROM sweep GROUP BY k, bucket
+    )
+    SELECT k AS n_buckets,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_docs * bucket_max) AS BIGINT) AS padded_tokens,
+           CAST(1000000 * (SUM(n_docs * bucket_max) - SUM(real_tokens))
+                // SUM(n_docs * bucket_max) AS BIGINT) AS waste_ppm
+    FROM per_bucket GROUP BY k
+    """,
+)
+def length_bucket_padding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching economics (M219): if batches are formed
+    WITHIN each of k equal-width length buckets and every sequence pads
+    to its bucket's max, how much compute is padding?  The k=1 row is
+    naive global batching (pad everything to the corpus max — the
+    worst case); each doubling of k recovers waste, and the curve's
+    knee is the bucket count a trainer should configure.  Complements
+    `packing_waste_audit` (which packs multiple docs into one context;
+    this buckets docs that each keep their own sequence).
+
+    Exactness: equi-width bucket assignment is the integer expression
+    `quantile_bin_features` pinned ((n−lo)·k div (hi−lo+1), capped);
+    waste is exact integer ppm.  Scale: one tokenize scan, a broadcast
+    4-row sweep join, and a (k·buckets)-group aggregate — map-side
+    combined, no windows, no per-doc state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(tokenize(F.col("text"))).alias("n"))
+    bounds = t.agg(
+        F.min("n").cast("long").alias("lo"),
+        F.max("n").cast("long").alias("hi"),
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+        ).alias("k")
+    )
+    sweep = (
+        t.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "n",
+            F.least(
+                F.expr("(n - lo) * k div (hi - lo + 1)"),
+                F.col("k") - 1,
+            ).alias("bucket"),
+        )
+    )
+    per_bucket = sweep.groupBy("k", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n").alias("bucket_max"),
+        F.sum("n").alias("real_tokens"),
+    )
+    return per_bucket.groupBy(F.col("k").cast("int").alias("n_buckets")).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("real_tokens").alias("real_tokens"),
+        F.sum(F.col("n_docs") * F.col("bucket_max")).alias("padded_tokens"),
+        F.expr(
+            "1000000 * (sum(n_docs * bucket_max) - sum(real_tokens))"
+            " div sum(n_docs * bucket_max)"
+        ).alias("waste_ppm"),
+    )

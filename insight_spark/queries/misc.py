@@ -1270,3 +1270,95 @@ def phash_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "wav_fingerprint_clusters",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                   i -> abs(((doc_id % 13 * 31 + i * 7) % 1025) - 512)
+                        * (1 + (doc_id // 13) % 3)) AS a
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                   f -> list_sum(list_transform(range(0, 8),
+                                                j -> a[f * 8 + j + 1]))) AS fe
+        FROM p
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 8),
+                   f -> CASE WHEN 8 * fe[f + 1] > list_sum(fe)
+                             THEN 1 << f ELSE 0 END)) AS fp
+        FROM fr
+    )
+    SELECT CAST(fp AS INTEGER) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM hashed GROUP BY fp
+    """,
+)
+def wav_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup clustering (M217) — the WAV twin of
+    ``phash_image_clusters``, completing the multimodal dedup story:
+    synthesize a mono PCM-16 waveform per doc (13 content groups x 3
+    VOLUME levels — same group = same recording at different gain),
+    round-trip through the real RIFF encoder/decoder, fingerprint as
+    8 frame-energy bits (frame mean|sample| above the global mean),
+    cluster by fingerprint equality.
+
+    The energy fingerprint is GAIN-invariant (scaling every sample
+    scales all frame energies and their mean together), so the 3
+    volume variants of each recording MUST collapse — the re-encoded/
+    re-levelled audio-dup property byte hashing can't see.  The oracle
+    replays the synthesis arithmetic in exact integers (8·frame_sum >
+    Σframe_sums, equivalent to the engine's float-mean compare because
+    /8 is exact in binary floating point), so a chunk-walk, sample-
+    width, or frame-boundary bug in the decoder lands in the hash.
+
+    Scale: encode→decode→fingerprint is one Arrow-batched mapInPandas
+    scan, then a bounded groupBy on ≤256 keys — map-only, no pairs.
+    """
+    from collections.abc import Iterator
+
+    from insight_spark.operators.codecs import (
+        encode_wav,
+        wav_frame_energies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode_fp(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gain = 1 + (d // 13) % 3
+                samples = [
+                    (((d % 13) * 31 + i * 7) % 1025 - 512) * gain
+                    for i in range(64)
+                ]
+                data = encode_wav(samples, 16000)
+                fe = wav_frame_energies(data, 8)  # real decode
+                total = sum(fe)
+                fps.append(
+                    sum(
+                        (1 << f)
+                        for f, e in enumerate(fe)
+                        if 8 * e > total
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fps})
+
+    hashed = docs.mapInPandas(synth_decode_fp, "doc_id long, fp int")
+    return hashed.groupBy(F.col("fp").alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

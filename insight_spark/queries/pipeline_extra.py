@@ -1182,3 +1182,78 @@ def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("k").cast("int").alias("k"), "n_prompts", "mean_pass_at_k"
     )
+
+
+@query(
+    "pseudonym_consistency_audit",
+    oracle="""
+    WITH mapped AS (
+        SELECT user_id,
+               md5(CONCAT('v1:', CAST(user_id AS VARCHAR))) AS pseudo
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, ANY_VALUE(pseudo) AS pseudo, COUNT(*) AS n
+        FROM mapped GROUP BY user_id
+    ),
+    per_pseudo AS (
+        SELECT pseudo, COUNT(*) AS n
+        FROM mapped GROUP BY pseudo
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_pseudo)
+               AS n_pseudonyms,
+           (SELECT CAST(SUM(n * n) AS BIGINT) FROM per_user)
+               AS sum_sq_user,
+           (SELECT CAST(SUM(n * n) AS BIGINT) FROM per_pseudo)
+               AS sum_sq_pseudo,
+           (SELECT MIN(pseudo) FROM per_pseudo) AS min_pseudonym
+    """,
+)
+def pseudonym_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization audit (M220) — the privacy-family op next
+    to `k_anonymity_suppress` / `pii_scrub_audit` / `dp_noisy_release`:
+    replace user ids with a salted digest so a dataset can leave the
+    trust boundary with join structure intact, then PROVE the two
+    properties pseudonymization must preserve:
+
+    - injectivity on this corpus: n_pseudonyms == n_users (a digest
+      collision would silently MERGE two users' histories — the audit
+      catches it as a count mismatch);
+    - grouping structure: Σ count² per pseudonym == Σ count² per user
+      (the second frequency moment is invariant iff the mapping
+      neither merges nor splits groups — the same F₂ statistic
+      `join_key_skew_profile` uses, here as an equality witness).
+
+    The salt rides in the digest input ('v1:'), so rotating it
+    re-keys every pseudonym — the unlinkability lever.  Scale: two
+    word-count-shaped aggregates (map-side combined) + a 5-scalar
+    reduce; no joins, no windows, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.select(
+        "user_id",
+        F.md5(F.concat(F.lit("v1:"), F.col("user_id").cast("string"))).alias(
+            "pseudo"
+        ),
+    )
+    per_user = mapped.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.any_value("pseudo").alias("pseudo")
+    )
+    per_pseudo = mapped.groupBy("pseudo").agg(F.count("*").alias("n"))
+    u = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq_user"),
+    )
+    p = per_pseudo.agg(
+        F.count("*").alias("n_pseudonyms"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq_pseudo"),
+        F.min("pseudo").alias("min_pseudonym"),
+    )
+    return u.crossJoin(p).select(
+        "n_users",
+        "n_pseudonyms",
+        "sum_sq_user",
+        "sum_sq_pseudo",
+        "min_pseudonym",
+    )
