@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "truncation_loss_audit",
     "length_bucket_padding_sweep",
     "pseudonym_consistency_audit",
+    "window_distribution_family",
+    "stream_manifest_sink_versions",
+    "diff_in_diff_estimate",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -288,6 +291,7 @@ ITERATIVE = {
     "manifest_vacuum_audit",
     # micro-batch drain runs during build
     "stream_dedup_within_watermark",
+    "stream_manifest_sink_versions",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
     # micro-batch drain runs during build

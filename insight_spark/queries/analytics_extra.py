@@ -3184,3 +3184,80 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return splits.orderBy("cost_nano", "threshold_deci").limit(1)
+
+
+@query(
+    "diff_in_diff_estimate",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 = 1 AS INTEGER) AS treated,
+               CAST(ts >= TIMESTAMP '2024-01-16 00:00:00' AS INTEGER)
+                   AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS s
+        FROM events
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT
+            (SELECT CAST(s AS DOUBLE) / n FROM cells
+             WHERE treated = 1 AND post = 0) AS t_pre,
+            (SELECT CAST(s AS DOUBLE) / n FROM cells
+             WHERE treated = 1 AND post = 1) AS t_post,
+            (SELECT CAST(s AS DOUBLE) / n FROM cells
+             WHERE treated = 0 AND post = 0) AS c_pre,
+            (SELECT CAST(s AS DOUBLE) / n FROM cells
+             WHERE treated = 0 AND post = 1) AS c_post,
+            (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS n_events
+    )
+    SELECT t_pre, t_post, c_pre, c_post, n_events,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+    FROM means
+    """,
+)
+def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (M222) — the quasi-
+    experimental counterpart of `ab_srm_check`/`conversion_wilson_ci`
+    for when assignment wasn't randomized: treated cohort (odd user
+    ids as the deterministic fixture proxy) vs control, before vs
+    after a known intervention date; the DiD = (T_post − T_pre) −
+    (C_post − C_pre) nets out both the stable cohort gap and the
+    common time shock — the workhorse readout for staged feature
+    rollouts.
+
+    Exactness: the four cell means are exact DECIMAL sums over exact
+    counts with ONE identical division each; the estimate adds only
+    +/− on those doubles — bit-stable cross-engine.  Scale: one
+    map-side-combined aggregate over 4 cells, then scalar algebra; no
+    joins, no windows, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    treated = F.col("user_id") % 2 == 1
+    post = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def mean_of(cond) -> F.Column:
+        s = F.sum(
+            F.when(cond, F.col("value").cast("decimal(38,6)"))
+        ).cast("decimal(38,6)")
+        n = F.count_if(cond)
+        return s.cast("double") / n
+
+    agg = ev.agg(
+        mean_of(treated & ~post).alias("t_pre"),
+        mean_of(treated & post).alias("t_post"),
+        mean_of(~treated & ~post).alias("c_pre"),
+        mean_of(~treated & post).alias("c_post"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        "n_events",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )

@@ -935,3 +935,70 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = "mem_dedup_wm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return _drain(spark, deduped, name)
+
+
+@query(
+    "stream_manifest_sink_versions",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(4 AS INTEGER) AS n_versions
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_manifest_sink_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming into the TRANSACTIONAL manifest table (M221) — the
+    integration of the K surface with the M208 commit log: a
+    ``foreachBatch`` sink commits every micro-batch as one ACID
+    manifest version (append is atomic put-if-absent, so a reader
+    polling the table NEVER sees a half-written batch, and each batch
+    id maps to one auditable version — replayable history for free).
+
+    Four ts-ordered chunks → four micro-batches → exactly four
+    committed versions; the final snapshot must hold every event
+    exactly once (per-type counts equal batch truth) and the version
+    count rides in the hash.  This is how a Delta streaming sink
+    actually works: idempotent-by-construction commits per epoch.
+    """
+    from insight_spark.operators.manifest import (
+        latest_version,
+        log_append,
+        read_snapshot,
+    )
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    tbl = tempfile.mkdtemp(prefix="mani_sink_", dir=_RT_BASE)
+    shutil.rmtree(tbl, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        # one manifest version per micro-batch; expected_version derives
+        # from the current log head so a restart replaying a committed
+        # epoch conflicts instead of double-appending
+        log_append(
+            batch_df.select("event_id", "event_type"),
+            tbl,
+            op=f"stream-epoch-{batch_id}",
+        )
+
+    q = (
+        events.writeStream.foreachBatch(commit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_versions = latest_version(tbl)
+    return (
+        read_snapshot(spark, tbl)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            "n_events",
+            F.lit(n_versions).cast("int").alias("n_versions"),
+        )
+    )

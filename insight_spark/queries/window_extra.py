@@ -124,3 +124,41 @@ def range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         money_out(F.sum(F.col("value").cast(MONEY)).over(w)).alias("sum_last_hour"),
     )
+
+
+@query(
+    "window_distribution_family",
+    oracle="""
+    SELECT event_type, event_id, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WHERE event_id <= 500
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window family (E-surface completion): percent_rank,
+    cume_dist, and ntile over a per-type ordering — the three ranking
+    functions `window_rank_family` (row_number/rank/dense_rank) does
+    not cover.  Both engines share the exact definitions
+    (percent_rank=(r−1)/(n−1), cume_dist=|≤row|/n, ntile=equal-fill
+    buckets), and both are exact small-integer ratios in double, so
+    the hash is bit-stable; the ORDER BY ends in the unique event_id
+    tie-break (the registry's window discipline).
+
+    Scale: one hash partition by event_type, in-partition sort — the
+    same single-shuffle shape every partitioned window has; the
+    event_id<=500 subset bounds result transfer, not the plan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
