@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "window_distribution_family",
     "stream_manifest_sink_versions",
     "diff_in_diff_estimate",
+    "manifest_merge_upsert",
+    "zorder_zone_map_probe",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -292,6 +294,9 @@ ITERATIVE = {
     # micro-batch drain runs during build
     "stream_dedup_within_watermark",
     "stream_manifest_sink_versions",
+    "manifest_merge_upsert",
+    # 16 bucket-file manifest writes run during build
+    "zorder_zone_map_probe",
     # cell-partitioned index write + centroid collect run during build
     "vector_index_probe",
     # micro-batch drain runs during build

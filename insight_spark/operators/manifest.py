@@ -297,6 +297,53 @@ def vacuum(table_dir: str, retain_from_version: int) -> dict[str, int]:
     return {"files_removed": removed, "files_kept": kept}
 
 
+def read_snapshot_pruned_multi(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple[str, object, object]],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Multi-column zone-map skipping: scan only files whose recorded
+    [min, max] intersects EVERY (col, lo, hi) predicate — the
+    conjunctive pruning that makes Z-ORDER clustering pay off (a
+    linear sort gives tight stats on one column only; the Z-curve
+    gives moderately tight stats on all interleaved columns, so a
+    multi-dimensional tile probe prunes on each of them).  Files
+    missing stats for any predicate column are scanned conservatively.
+    Returns (df, n_files_scanned, n_files_total)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
+    if version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    stats = manifest.get("stats", {})
+
+    def intersects(f: str) -> bool:
+        for col, lo, hi in preds:
+            s = stats.get(f, {}).get(col)
+            if s is None or s[0] is None:
+                continue  # no stats for this column ⇒ can't prune on it
+            if s[1] < lo or s[0] > hi:
+                return False
+        return True
+
+    scan = [f for f in manifest["files"] if intersects(f)]
+    row_filter = reduce(
+        lambda a, b: a & b,
+        (F.col(c).between(lo, hi) for c, lo, hi in preds),
+    )
+    df = (
+        spark.read.parquet(*scan).filter(row_filter)
+        if scan
+        else spark.read.parquet(*manifest["files"]).filter(row_filter).limit(0)
+    )
+    return df, len(scan), len(manifest["files"])
+
+
 def write_checkpoint(table_dir: str, version: int | None = None) -> str:
     """Checkpoint the log at ``version`` (latest if None): one JSON
     file holding that version's complete file list, so a reader needs
@@ -425,6 +472,88 @@ def log_delete(
     manifest = {
         "version": new_version,
         "op": "delete",
+        "files": new_files,
+        "rewrote": len(touched_files),
+        "kept": len(kept),
+    }
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(table_dir, new_version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"version {new_version} already committed"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return new_version
+
+
+def log_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    key: str,
+    expected_version: int | None = None,
+) -> int:
+    """Copy-on-write MERGE (Delta's ``MERGE INTO``, upsert form): rows
+    of ``updates`` REPLACE existing rows with the same ``key`` and are
+    INSERTED otherwise, in ONE atomic commit.  Only files containing a
+    matched key are rewritten (their unmatched rows survive verbatim);
+    untouched files carry over by path — the same O(matched files)
+    cost bound as ``log_delete``, because at 100 TB a daily upsert
+    that rewrites the whole table is a non-starter.
+
+    Plan shape: (1) file-granularity probe — a broadcast-able
+    left-semi of the current scan against the update keys, aggregated
+    to ``input_file_name`` — finds the touched files; (2) only those
+    files re-read, ANTI-joined to the update keys (drop the old
+    versions of matched rows); (3) survivors + ALL update rows staged
+    as the replacement files.  Commit is the usual put-if-absent;
+    stale writers get ConflictError."""
+    from pyspark.sql import functions as F
+
+    if expected_version is None:
+        expected_version = latest_version(table_dir)
+    if expected_version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    files = _read_manifest(table_dir, expected_version)["files"]
+
+    keys = updates.select(key).distinct()
+    # input_file_name() must be projected AT the scan (Spark rejects it
+    # above a multi-source join), so tag rows with their file first
+    cur_files = spark.read.parquet(*files).select(
+        key, F.input_file_name().alias("f")
+    )
+    touched = {
+        os.path.realpath(r["f"].removeprefix("file:"))
+        for r in cur_files.join(F.broadcast(keys), key, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    }
+    kept = [f for f in files if os.path.realpath(f) not in touched]
+    touched_files = [f for f in files if os.path.realpath(f) in touched]
+
+    stage = os.path.join(table_dir, "data", uuid.uuid4().hex)
+    if touched_files:
+        survivors = spark.read.parquet(*touched_files).join(
+            F.broadcast(keys), key, "left_anti"
+        )
+        staged = survivors.unionByName(updates)
+    else:
+        staged = updates
+    staged.write.mode("error").parquet(stage)
+    new_files = list(kept) + sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+
+    new_version = expected_version + 1
+    manifest = {
+        "version": new_version,
+        "op": "merge",
         "files": new_files,
         "rewrote": len(touched_files),
         "kept": len(kept),

@@ -269,3 +269,117 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ZM_X = "(o_orderkey % 32)"
+_ZM_Y = "(o_custkey % 32)"
+
+
+@query(
+    "zorder_zone_map_probe",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST({_ZM_X} AS BIGINT) AS x,
+               CAST({_ZM_Y} AS BIGINT) AS y,
+               {z_value_sql(_ZM_X, _ZM_Y, 5)} AS zval
+        FROM orders
+    ),
+    zstats AS (
+        SELECT zval // 128 AS b, MIN(x) AS mnx, MAX(x) AS mxx,
+               MIN(y) AS mny, MAX(y) AS mxy
+        FROM pts GROUP BY 1
+    ),
+    lstats AS (
+        SELECT x // 4 AS b, MIN(x) AS mnx, MAX(x) AS mxx,
+               MIN(y) AS mny, MAX(y) AS mxy
+        FROM pts GROUP BY 1
+    ),
+    tile AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+        FROM pts WHERE y BETWEEN 8 AND 11
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS INTEGER) FROM zstats) AS z_files_total,
+        (SELECT CAST(COUNT(*) AS INTEGER) FROM zstats
+         WHERE mxy >= 8 AND mny <= 11) AS z_files_scanned,
+        (SELECT CAST(COUNT(*) AS INTEGER) FROM lstats) AS lin_files_total,
+        (SELECT CAST(COUNT(*) AS INTEGER) FROM lstats
+         WHERE mxy >= 8 AND mny <= 11) AS lin_files_scanned,
+        tile.n_rows, tile.sum_keys
+    FROM tile
+    """,
+)
+def zorder_zone_map_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering effectiveness, measured (M225): the SAME 2-D
+    data written to the manifest table twice — once clustered by
+    Morton Z-value (8 files of contiguous Z-ranges = small rectangles
+    in (x,y)), once linearly sorted on x alone — each file carrying
+    [min,max] zone-map stats on BOTH columns (M211); a y-band probe
+    (the dimension the linear layout did NOT sort by) then plans its
+    scan through the zone maps.
+
+    The x-sorted layout's files each span the FULL y range, so a
+    y-predicate prunes NOTHING (8/8 files scanned); the Z layout's
+    files are rectangles tight in BOTH dimensions, so the same probe
+    touches a fraction of them — THE reason lakehouses Z-order their
+    multi-dimensional filter columns instead of picking one sort key.  All four
+    file counts ride in the value hash (the oracle recomputes bucket
+    stats and intersections closed-form), along with the tile rows —
+    so both the pruning decisions AND the data they return are pinned.
+
+    Scale: cluster-by-Z is one write-time sort; probing is driver-side
+    metadata; at 100 TB the gap between the two layouts on a 2-D probe
+    is typically 10-100x in files touched.
+    """
+    import os
+    import shutil
+
+    from insight_spark.operators.layout import z_value_expr
+    from insight_spark.operators.manifest import (
+        log_append,
+        read_snapshot_pruned_multi,
+    )
+
+    base = os.path.join(
+        "/tmp/insight_spark_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "zorder_zone",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_ZM_X).cast("long").alias("x"),
+        F.expr(_ZM_Y).cast("long").alias("y"),
+        z_value_expr(_ZM_X, _ZM_Y, 5).alias("zval"),
+    )
+    zpts = pts.withColumn("b", F.expr("zval div 128"))
+    lpts = pts.withColumn("b", F.expr("x div 4"))
+    for name, layed in (("z", zpts), ("lin", lpts)):
+        tbl = os.path.join(base, name)
+        buckets = sorted(
+            r["b"] for r in layed.select("b").distinct().collect()
+        )  # ≤8 bucket ids — bounded layout metadata
+        for bkt in buckets:
+            log_append(
+                layed.filter(F.col("b") == bkt)
+                .drop("b")
+                .coalesce(1),
+                tbl,
+                stats_cols=["x", "y"],
+            )
+    zdf, z_scan, z_total = read_snapshot_pruned_multi(
+        spark, os.path.join(base, "z"), [("y", 8, 11)]
+    )
+    _, l_scan, l_total = read_snapshot_pruned_multi(
+        spark, os.path.join(base, "lin"), [("y", 8, 11)]
+    )
+    return zdf.agg(
+        F.lit(z_total).cast("int").alias("z_files_total"),
+        F.lit(z_scan).cast("int").alias("z_files_scanned"),
+        F.lit(l_total).cast("int").alias("lin_files_total"),
+        F.lit(l_scan).cast("int").alias("lin_files_scanned"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )

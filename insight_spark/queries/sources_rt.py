@@ -1409,3 +1409,78 @@ def export_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.expr("bit_xor(h)").alias("content_checksum"),
     )
+
+
+@query(
+    "manifest_merge_upsert",
+    oracle="""
+    SELECT CAST(2 AS INTEGER) AS snapshot_version,
+           o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), o_orderkey,
+           CASE WHEN o_orderkey > 200 AND o_orderkey <= 400
+                THEN o_totalprice * 2 ELSE o_totalprice END
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey > 700 AND o_orderkey <= 750
+    """,
+)
+def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the manifest-log table (M224) — Delta's
+    ``MERGE INTO`` upsert in one atomic commit: update rows replace
+    their key's existing row, new keys insert, and ONLY files holding
+    a matched key are rewritten (their unmatched rows survive
+    verbatim; untouched files carry over by path).  At 100 TB a daily
+    upsert must cost O(matched files), never O(table) — the same bound
+    ``manifest_delete_roundtrip`` pins for delete.
+
+    Two appends build the base; the merge doubles prices for keys
+    201-400 (spanning BOTH base commits' files) and inserts keys
+    701-750.  Both snapshots ride in the hash: v2 proves the pre-merge
+    state stayed time-travel readable; v3 proves matched rows were
+    replaced (not duplicated), unmatched rows survived the rewrite,
+    and inserts landed exactly once.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        log_append,
+        log_merge,
+        read_snapshot,
+    )
+
+    path = _rt_path(sf_dir, "manifest_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    log_append(
+        orders.filter(F.col("o_orderkey") <= 300).repartition(
+            4, "o_orderkey"
+        ),
+        path,
+    )
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ).repartition(4, "o_orderkey"),
+        path,
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 400)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    inserts = orders.filter(
+        (F.col("o_orderkey") > 700) & (F.col("o_orderkey") <= 750)
+    )
+    log_merge(
+        spark, updates.unionByName(inserts), path, key="o_orderkey"
+    )
+    pre = read_snapshot(spark, path, 2).select(
+        F.lit(2).alias("snapshot_version"), "o_orderkey", "o_totalprice"
+    )
+    post = read_snapshot(spark, path, 3).select(
+        F.lit(3).alias("snapshot_version"), "o_orderkey", "o_totalprice"
+    )
+    return pre.unionByName(post)

@@ -138,6 +138,50 @@ def test_delete_rewrites_only_touched_files(spark, tmp_path):
         log_delete(spark, tbl, F.col("o_orderkey") > 0, expected_version=2)
 
 
+def test_merge_rewrites_only_matched_files(spark, tmp_path):
+    """COW MERGE: files without a matched key carry over by path;
+    matched rows replaced (not duplicated); inserts land once."""
+    import json
+
+    from insight_spark.operators.manifest import ConflictError, log_merge
+
+    tbl = str(tmp_path / "tbl")
+    lo = _orders(spark, 0, 100).coalesce(1)
+    hi = _orders(spark, 600, 700).coalesce(1)
+    log_append(lo, tbl)
+    log_append(hi, tbl)
+    # updates touch only the hi file; inserts are brand-new keys
+    updates = _orders(spark, 600, 650).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 10
+    )
+    inserts = _orders(spark, 900, 920)
+    v3 = log_merge(
+        spark, updates.unionByName(inserts), tbl, key="o_orderkey"
+    )
+    m2 = json.load(open(os.path.join(tbl, "_manifest", "v000002.json")))
+    m3 = json.load(open(os.path.join(tbl, "_manifest", f"v{v3:06d}.json")))
+    assert m3["rewrote"] == 1 and m3["kept"] == 1, m3
+    kept = [f for f in m2["files"] if f in m3["files"]]
+    assert len(kept) == 1  # the lo file, untouched by path
+    snap = read_snapshot(spark, tbl, v3)
+    n_lo, n_hi = lo.count(), hi.count()
+    n_upd, n_ins = updates.count(), inserts.count()
+    assert snap.count() == n_lo + n_hi + n_ins  # replaced, not added
+    # matched rows carry the NEW values
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in snap.filter(
+            (F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 650)
+        ).collect()
+    }
+    want = {r["o_orderkey"]: r["o_totalprice"] for r in updates.collect()}
+    assert got == want and len(got) == n_upd
+    # pre-merge snapshot untouched; stale merge conflicts
+    assert read_snapshot(spark, tbl, 2).count() == n_lo + n_hi
+    with pytest.raises(ConflictError):
+        log_merge(spark, inserts, tbl, key="o_orderkey", expected_version=2)
+
+
 def test_zone_map_prunes_and_stays_conservative(spark, tmp_path):
     """Pruned reads must return exactly the filtered rows while
     scanning only intersecting files; files WITHOUT stats must be
