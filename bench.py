@@ -235,6 +235,10 @@ BENCH_QUERIES = [
     "diff_in_diff_estimate",
     "manifest_merge_upsert",
     "zorder_zone_map_probe",
+    "sentence_split_stats",
+    "code_like_score",
+    "kwic_windows",
+    "prf_query_expansion",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -1836,3 +1836,307 @@ def zipf_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sentence_split_stats",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x)),
+                   x -> x <> '') AS sents
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(sents) AS n_sentences,
+               list_transform(sents,
+                   x -> len(list_filter(string_split_regex(x, '\s+'),
+                                        t -> t <> ''))) AS lens
+        FROM s WHERE len(sents) > 0
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS INTEGER) AS n_sentences,
+           CAST(list_sum(lens) AS BIGINT) AS n_tokens,
+           CAST(list_max(lens) AS INTEGER) AS max_sentence_tokens,
+           CAST(1000000 * list_sum(lens) // n_sentences AS BIGINT)
+               AS mean_sentence_len_ppm
+    FROM per_doc
+    """,
+)
+def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (M226) — the I-surface stage between
+    raw text and chunking that nothing else made explicit: split on
+    terminal punctuation runs, drop empty segments, report per-doc
+    sentence count, token totals, and the longest sentence (the
+    run-on/boilerplate smell used to gate docs before chunk-window
+    extraction — `doc_chunk_windows` consumes exactly this boundary
+    structure).
+
+    Both engines share the split regex and trim semantics; the mean
+    sentence length is exact integer ppm.  One map-only scan — the
+    split, per-sentence token counts, and aggregates are all array
+    HOFs inside codegen; no explode, no shuffle beyond the result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    lens = F.transform(
+        sents, lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda t: t != ""))
+    )
+    d = docs.select("doc_id", lens.alias("lens")).filter(
+        F.size("lens") > 0
+    )
+    n_sent = F.size("lens")
+    n_tok = F.aggregate(
+        "lens", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        n_tok.alias("n_tokens"),
+        F.array_max("lens").cast("int").alias("max_sentence_tokens"),
+        F.expr(
+            "1000000 * aggregate(lens, 0L, (a, x) -> a + x)"
+            " div size(lens)"
+        ).alias("mean_sentence_len_ppm"),
+    )
+
+
+@query(
+    "code_like_score",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id, source, len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[{}();=\[\]<>]', '', 'g'))
+                   AS n_sym,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS n_tok,
+               len(list_filter(string_split_regex(text, '\s+'),
+                   t -> regexp_matches(t, '^[a-zA-Z_][a-zA-Z0-9_]*\($')
+                        OR regexp_matches(t, '^[a-zA-Z_][a-zA-Z0-9_]*\(\)$')))
+                   AS n_call
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id, source,
+           CAST(n_sym AS BIGINT) AS n_symbol_chars,
+           CAST(n_call AS BIGINT) AS n_call_tokens,
+           CAST(1000000 * n_sym // n_chars AS BIGINT) AS symbol_ppm,
+           CAST(CASE WHEN 1000000 * n_sym // n_chars >= 20000
+                       OR n_call >= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS looks_like_code
+    FROM m
+    """,
+)
+def code_like_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness heuristic (M227) — the prose/code router every
+    mixed-corpus pipeline needs BEFORE quality gates (prose metrics
+    like stopword ratio condemn perfectly good code, and code metrics
+    condemn prose; `data_prep_funnel`'s gates assume prose, so this
+    flag decides which gate family a doc enters).  Two deterministic
+    signals: density of code-punctuation characters ({}();=[]<>) per
+    char, and call-shaped tokens (identifier immediately followed by
+    an open paren).
+
+    Both engines compute symbol counts by the same
+    length-minus-stripped-length trick and the same token regexes;
+    the density is exact integer ppm and the flag a pure integer
+    predicate.  Map-only single scan, no shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace("text", r"[{}();=\[\]<>]", "")
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_call = F.size(
+        F.filter(
+            toks,
+            lambda t: t.rlike(r"^[a-zA-Z_][a-zA-Z0-9_]*\($")
+            | t.rlike(r"^[a-zA-Z_][a-zA-Z0-9_]*\(\)$"),
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_sym.cast("long").alias("n_symbol_chars"),
+        n_call.cast("long").alias("n_call_tokens"),
+        F.expr(
+            "1000000 * (length(text) - length(regexp_replace(text,"
+            " '[{}();=\\\\[\\\\]<>]', ''))) div length(text)"
+        ).alias("symbol_ppm"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_symbol_chars",
+        "n_call_tokens",
+        "symbol_ppm",
+        (
+            (F.col("symbol_ppm") >= 20000) | (F.col("n_call_tokens") >= 2)
+        )
+        .cast("int")
+        .alias("looks_like_code"),
+    )
+
+
+@query(
+    "kwic_windows",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, l, unnest(
+                   list_filter(range(1, len(l) + 1), i -> l[i] = 'the'))
+                   AS pos
+        FROM toks
+    )
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           array_to_string(l[greatest(pos - 3, 1) : least(pos + 3, len(l))],
+                           ' ') AS window
+    FROM hits
+    """,
+)
+def kwic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (M228) — the search-serving
+    feature behind snippet/highlight generation: every occurrence of
+    the query term with its ±3-token context window, one row per hit.
+    The I-surface sibling of `bm25_search` (which ranks docs; this
+    renders WHY a doc matched).
+
+    Both engines index the same whitespace token list 1-based and
+    slice with the same clamped bounds, so the window strings are
+    byte-equal.  Plan: map-only — position discovery and slicing are
+    array HOFs on the token list; the only explode is per-hit (output
+    cardinality), never per-token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty array (DuckDB's range(1, 1) is empty) — drop token-less
+    # docs before building positions so the engines agree on the edge.
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("l")).filter(
+        F.size("l") > 0
+    )
+    hits = toks.select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("l")),
+                lambda i: F.element_at("l", i) == "the",
+            )
+        ).alias("pos"),
+    )
+    start = F.greatest(F.col("pos") - 3, F.lit(1))
+    end = F.least(F.col("pos") + 3, F.size("l"))
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice("l", start, end - start + 1), " "
+        ).alias("window"),
+    )
+
+
+@query(
+    "prf_query_expansion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               len(list_filter(l, t -> t = 'join')) AS tf_seed
+        FROM toks
+    ),
+    top10 AS (
+        SELECT doc_id FROM tf WHERE tf_seed > 0
+        ORDER BY tf_seed DESC, doc_id ASC LIMIT 10
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dterm AS (
+        SELECT doc_id, unnest(list_distinct(l)) AS term FROM toks
+    ),
+    df_global AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS dfg
+        FROM dterm GROUP BY term
+    ),
+    df_top AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS dft
+        FROM dterm JOIN top10 USING (doc_id)
+        WHERE term <> 'join'
+        GROUP BY term
+    )
+    SELECT t.term, t.dft AS df_top, g.dfg AS df_global,
+           CAST(1000000 * t.dft * n.n_docs // (10 * g.dfg) AS BIGINT)
+               AS lift_ppm
+    FROM df_top t JOIN df_global g USING (term) CROSS JOIN n
+    ORDER BY df_top DESC, term ASC LIMIT 10
+    """,
+)
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (M229) — the classic
+    two-pass retrieval refinement completing the search stack
+    (`bm25_search` ranks, `kwic_windows` renders, this EXPANDS): rank
+    docs for the seed term, take the top-10 as pseudo-relevant, and
+    surface the terms whose document frequency inside that set most
+    exceeds their corpus rate (lift = df_top·N / (10·df_global)) —
+    the terms a second-pass OR-query adds.
+
+    Determinism: first-pass ranking is (tf_seed desc, doc_id asc) —
+    exact integers with a unique tie-break; lift is exact integer ppm;
+    the final top-10 orders by (df_top desc, term asc).  Scale: the
+    pseudo-relevant set is a fixed-k TakeOrdered (never a global
+    sort); expansion joins the 10-doc term set against the global df
+    table — word-count shapes, map-side combined, with the seed's
+    posting list as the only data-dependent fan-in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("l"))
+    tf = toks.select(
+        "doc_id",
+        F.size(F.filter("l", lambda t: t == "join")).alias("tf_seed"),
+    )
+    top10 = (
+        tf.filter(F.col("tf_seed") > 0)
+        .orderBy(F.desc("tf_seed"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    dterm = toks.select(
+        "doc_id", F.explode(F.array_distinct("l")).alias("term")
+    )
+    df_global = dterm.groupBy("term").agg(F.count("*").alias("df_global"))
+    df_top = (
+        dterm.join(F.broadcast(top10), "doc_id", "left_semi")
+        .filter(F.col("term") != "join")
+        .groupBy("term")
+        .agg(F.count("*").alias("df_top"))
+    )
+    n_docs = docs.count()  # one scalar for the lift denominator
+    return (
+        df_top.join(df_global, "term")
+        .select(
+            "term",
+            "df_top",
+            "df_global",
+            F.expr(
+                f"1000000 * df_top * {n_docs}L div (10 * df_global)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("df_top"), F.asc("term"))
+        .limit(10)
+    )
