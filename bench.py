@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "code_like_score",
     "kwic_windows",
     "prf_query_expansion",
+    "nearest_centroid_confusion",
+    "url_parse_stats",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

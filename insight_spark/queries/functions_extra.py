@@ -142,3 +142,57 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
     )
+
+
+@query(
+    "url_parse_stats",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+               source, lang
+        FROM documents
+    )
+    SELECT source || '.example.com' AS host,
+           lang AS lang_param,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN('/docs/' || CAST(doc_id AS VARCHAR)) AS min_path
+    FROM u
+    GROUP BY 1, 2
+    """,
+)
+def url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (M231, H-surface widening): the web-analytics
+    staple — HOST / PATH / QUERY-parameter extraction via Spark's
+    native ``parse_url``, aggregated per (host, lang parameter).
+
+    The URLs are synthesized deterministically from fixture columns,
+    so the ORACLE reconstructs every component by string arithmetic
+    while the ENGINE must recover them by actually parsing — a
+    parse_url bug (wrong part name, query-param extraction, scheme
+    handling) is a value mismatch, not a silent wrong-dashboard.
+    Map-only scan + a bounded (source x lang) aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url")
+    )
+    parsed = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
+    return parsed.groupBy("host", "lang_param").agg(
+        F.count("*").alias("n_urls"),
+        F.min("path").alias("min_path"),
+    )

@@ -2693,3 +2693,108 @@ def pca_top2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2.alias("lambda2"),
         (l1 / (l1 + l2)).alias("top_share"),
     )
+
+
+@query(
+    "nearest_centroid_confusion",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT label, d, e[d] AS x
+        FROM m CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER)
+                               AS d)
+    ),
+    sums AS (
+        SELECT label, d, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, d
+    ),
+    cent AS (
+        SELECT label, d,
+               (s - ((s % n + n) % n)) // n AS c
+        FROM sums
+    ),
+    centarr AS (
+        SELECT label AS clabel, list(c ORDER BY d) AS c
+        FROM cent GROUP BY label
+    ),
+    dist AS (
+        SELECT m.vec_id, m.label, ca.clabel,
+               list_sum(list_transform(range(1, 65),
+                   i -> (m.e[i] - ca.c[i]) * (m.e[i] - ca.c[i]))) AS dd
+        FROM m CROSS JOIN centarr ca
+    ),
+    ranked AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, clabel) AS rk
+        FROM dist
+    )
+    SELECT CAST(label AS INTEGER) AS true_label,
+           CAST(clabel AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix (M230) — the
+    label-quality readout the eval family was missing: train the
+    simplest possible classifier (per-label centroid, the model
+    `label_centroids` computes) and cross-tabulate prediction vs
+    truth.  A strong diagonal says labels are linearly separable in
+    embedding space; a hot off-diagonal cell names the confusable
+    class pair — the signal that drives relabeling or class merging.
+
+    Exactness: centroids are FLOOR-DIV of exact micro-int sums using
+    the sign-safe identity (s − ((s%n + n)%n)) div n (Spark `div`
+    truncates, DuckDB `//` floors — the identity makes both exact
+    floor); distances are exact BIGINT squared sums; argmin orders by
+    (distance, label).  Scale: centroids are a 10-row broadcast; the
+    N×10 distance fan-out is a broadcast nested loop (bounded side),
+    argmin a per-vec min(struct) — no N² anywhere.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id", "label", quantize_micro(F.col("embedding")).alias("e")
+    )
+    pos = m.select("label", F.posexplode("e").alias("d", "x"))
+    sums = pos.groupBy("label", "d").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    cent = sums.select(
+        "label",
+        "d",
+        F.expr("(s - ((s % n + n) % n)) div n").alias("c"),
+    )
+    centarr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("c")
+    )
+    dist = m.crossJoin(F.broadcast(centarr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dd"),
+    )
+    pred = dist.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dd", "clabel")).alias("best")
+    )
+    return pred.groupBy(
+        F.col("label").cast("int").alias("true_label"),
+        F.col("best.clabel").cast("int").alias("pred_label"),
+    ).agg(F.count("*").alias("n"))
