@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "prf_query_expansion",
     "nearest_centroid_confusion",
     "url_parse_stats",
+    "per_type_trend_slopes",
+    "data_contract_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -3261,3 +3261,174 @@ def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "per_type_trend_slopes",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           sy AS total_events,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_ppm
+    FROM sums
+    """,
+)
+def per_type_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend slope (M232): daily event counts per type
+    regressed on the day index, in EXACT integer arithmetic — the
+    numerator nΣxy−ΣxΣy and denominator nΣx²−(Σx)² ride in the hash
+    as BIGINTs with the ratio as integer ppm, so there is no float
+    anywhere (the per-group closed form `theil_sen_trend` trades
+    robustness for; OLS is the volume-weighted default).  A negative
+    slope on a source/type is the ingestion-decay alarm the mixing
+    stage reads before re-weighting.
+
+    Scale: one (type, day) aggregate (map-side combined), then a
+    |types|-group reduce — two shuffles of bounded key sets, no
+    windows, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.expr(
+            "1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+        ).alias("slope_ppm"),
+    )
+
+
+@query(
+    "data_contract_audit",
+    oracle="""
+    SELECT 'orders.custkey_not_null' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders.orderkey_unique',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM orders
+                  GROUP BY o_orderkey) WHERE n > 1)
+    UNION ALL
+    SELECT 'orders.custkey_fk_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    """,
+)
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation table (M233) — the dbt-style test
+    suite as ONE query: not-null, range, uniqueness, and referential-
+    integrity checks each reporting (checked, violations), so a
+    single value hash certifies the whole contract and any violation
+    count > 0 names its failed check.  This is the gate a 100 TB
+    ingest runs BEFORE publishing a manifest version — the counts are
+    cheap aggregates; the FK legs are anti-join shapes (broadcast the
+    dimension side), never row-by-row lookups.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_orders = orders.count()
+    n_lineitem = lineitem.count()
+
+    not_null = orders.agg(
+        F.lit("orders.custkey_not_null").alias("check_name"),
+        F.lit(n_orders).alias("n_checked"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_violations"),
+    )
+    rng = orders.agg(
+        F.lit("orders.totalprice_positive").alias("check_name"),
+        F.lit(n_orders).alias("n_checked"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_violations"),
+    )
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.lit("orders.orderkey_unique").alias("check_name"),
+            F.lit(n_orders).alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    fk_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(
+            F.lit("orders.custkey_fk_customer").alias("check_name"),
+            F.lit(n_orders).alias("n_checked"),
+            F.count("*").alias("n_violations"),
+        )
+    )
+    fk_ord = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey")),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(
+            F.lit("lineitem.orderkey_fk_orders").alias("check_name"),
+            F.lit(n_lineitem).alias("n_checked"),
+            F.count("*").alias("n_violations"),
+        )
+    )
+    return (
+        not_null.unionByName(rng)
+        .unionByName(uniq)
+        .unionByName(fk_cust)
+        .unionByName(fk_ord)
+    )
