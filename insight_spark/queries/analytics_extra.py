@@ -3432,3 +3432,88 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk_cust)
         .unionByName(fk_ord)
     )
+
+
+@query(
+    "event_runlength_islands",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM (SELECT user_id, event_type, chg, ts, event_id
+                    FROM (SELECT user_id, event_type, ts, event_id,
+                                 CASE WHEN lag(event_type) OVER
+                                          (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                                      IS DISTINCT FROM event_type
+                                      THEN 1 ELSE 0 END AS chg
+                          FROM events)))
+    ),
+    per_run AS (
+        SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(1000000 * COUNT(*) // SUM(run_len) AS BIGINT)
+               AS rle_ratio_ppm
+    FROM per_run GROUP BY user_id
+    """,
+)
+def event_runlength_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length islands per user stream (M235) — the classic
+    gaps-and-islands decomposition the registry's window surface
+    lacked: consecutive same-type events collapse into runs (change
+    flag via lag, run id via the change flag's running sum), then
+    per-user run statistics.  The RLE ratio is the session-replay
+    compressibility signal (a user whose stream is one long run is a
+    bot/retry smell; `top_ngram_repetition` is the text-side twin).
+
+    Both engines share the ordering (ts, event_id — unique tie-break)
+    and the lag/cumsum island construction; the ratio is exact
+    integer ppm.  One partitioned-window shuffle + one bounded
+    aggregate — the sessionize plan shape.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_events"),
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.expr("1000000 * count(*) div sum(run_len)").alias(
+            "rle_ratio_ppm"
+        ),
+    )

@@ -1484,3 +1484,80 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("snapshot_version"), "o_orderkey", "o_totalprice"
     )
     return pre.unionByName(post)
+
+
+@query(
+    "delta_index_merge_read",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), t -> t <> ''))) AS term
+        FROM documents
+    )
+    SELECT 'join' AS term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS df_delta,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM tok WHERE term = 'join'
+    """,
+)
+def delta_index_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (M234) — the refresh model every
+    real search store uses (ES segments, Lucene): the BASE inverted
+    index is built once over the stable corpus; newly-arrived docs go
+    into a small DELTA segment; a term lookup serves from the UNION of
+    both (posting concat, df sum) so new documents are searchable
+    without rebuilding the base — at 100 TB rebuilding on every
+    ingest batch is a non-starter; segment merge happens offline.
+
+    Docs with doc_id % 10 == 0 play the new arrivals.  Both segments
+    are written through the A7 bucketed sink, the lookup bucket-prunes
+    each side, and the merged posting's df / id-range ride in the
+    value hash — a lost or double-counted posting in EITHER segment
+    breaks it.
+    """
+    import re as _re
+
+    from insight_spark.sources.sinks import (
+        search_term_lookup,
+        write_search_index,
+    )
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    base_tables = write_search_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 != 0),
+        _rt_path(sf_dir, "delta_idx_base"),
+        n_buckets=8,
+        table_prefix=f"delta_idx_base_{tag}",
+    )
+    delta_tables = write_search_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        _rt_path(sf_dir, "delta_idx_delta"),
+        n_buckets=8,
+        table_prefix=f"delta_idx_delta_{tag}",
+    )
+    base = search_term_lookup(spark, base_tables["postings"], "join")
+    delta = search_term_lookup(spark, delta_tables["postings"], "join")
+    merged = base.select(
+        "term", F.explode("posting").alias("doc_id"), F.lit(0).alias("is_delta")
+    ).unionByName(
+        delta.select(
+            "term",
+            F.explode("posting").alias("doc_id"),
+            F.lit(1).alias("is_delta"),
+        )
+    )
+    return merged.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("is_delta").cast("long").alias("df_delta"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
