@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "data_contract_audit",
     "delta_index_merge_read",
     "event_runlength_islands",
+    "bootstrap_mean_ci",
+    "trimmed_mean_robust",
+    "interarrival_median_gap",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

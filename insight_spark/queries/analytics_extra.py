@@ -3517,3 +3517,219 @@ def event_runlength_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rle_ratio_ppm"
         ),
     )
+
+
+#: Cumulative Poisson(1) thresholds for hash-bootstrap weights
+#: (truncated at 4), as shared literals so both engines compare the
+#: same doubles: P(W=0)=e^-1, +P(1), +P(2), +P(3).
+_BOOT_C0 = "0.36787944117144233"
+_BOOT_C1 = "0.7357588823428847"
+_BOOT_C2 = "0.9196986029286058"
+_BOOT_C3 = "0.9810118431238462"
+_BOOT_B = 32
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_id, e.value, b.b,
+               CAST((e.event_id * 2654435761 + b.b * 40503)
+                    % 4294967296 AS DOUBLE) / 4294967296 AS u
+        FROM events e
+        CROSS JOIN (SELECT CAST(unnest(range({_BOOT_B})) AS BIGINT) AS b) b
+    ),
+    weighted AS (
+        SELECT b, value,
+               CASE WHEN u < {_BOOT_C0} THEN 0
+                    WHEN u < {_BOOT_C1} THEN 1
+                    WHEN u < {_BOOT_C2} THEN 2
+                    WHEN u < {_BOOT_C3} THEN 3
+                    ELSE 4 END AS w
+        FROM reps
+    ),
+    means AS (
+        SELECT b,
+               CAST(CAST(SUM(w * CAST(value AS DECIMAL(38,6)))
+                         AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(SUM(w) AS BIGINT) AS m
+        FROM weighted GROUP BY b
+    ),
+    ordered AS (SELECT list(m ORDER BY m) AS ms FROM means),
+    point AS (
+        SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                         AS DECIMAL(38,6)) AS DOUBLE)
+                   / COUNT(*) AS mean_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+    )
+    SELECT point.mean_value, point.n,
+           CAST({_BOOT_B} AS INTEGER) AS n_resamples,
+           ordered.ms[2] AS ci_lo, ordered.ms[{_BOOT_B} - 1] AS ci_hi
+    FROM point, ordered
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval (M236): the
+    assumption-free uncertainty readout for ANY metric — 32 resamples
+    whose per-row multiplicity is a Poisson(1) draw taken from a
+    KEYED HASH of (event_id, resample), not an RNG, so both engines
+    (and every re-run) materialize the identical resamples; the CI is
+    the 2nd/31st order statistic of the resample means (~94% interval
+    by the order-statistic rule).  This is how 100 TB pipelines
+    bootstrap: Poisson weights stream map-side (no resampling
+    shuffle), B means aggregate in one pass.
+
+    Exactness: the uniform is the Knuth multiplicative hash over
+    exact BIGINTs; Poisson thresholds are shared literals; each
+    resample mean is a DECIMAL sum with one division; the order
+    statistics come from a 32-element sorted array, not a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bs = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    reps = ev.select("event_id", "value").crossJoin(F.broadcast(bs))
+    u = (
+        (F.col("event_id") * F.lit(2654435761) + F.col("b") * F.lit(40503))
+        % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296)
+    w = (
+        F.when(u < float(_BOOT_C0), 0)
+        .when(u < float(_BOOT_C1), 1)
+        .when(u < float(_BOOT_C2), 2)
+        .when(u < float(_BOOT_C3), 3)
+        .otherwise(4)
+    )
+    means = (
+        reps.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("value").cast("decimal(38,6)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.sum("w").cast("long")
+            ).alias("m")
+        )
+    )
+    ordered = means.agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    point = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            / F.count("*")
+        ).alias("mean_value"),
+        F.count("*").alias("n"),
+    )
+    return point.crossJoin(ordered).select(
+        "mean_value",
+        "n",
+        F.lit(_BOOT_B).cast("int").alias("n_resamples"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
+    )
+
+
+@query(
+    "trimmed_mean_robust",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,6)))
+                     AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*)
+               AS trimmed_mean,
+           th.p05, th.p95
+    FROM events e JOIN th USING (event_type)
+    WHERE e.value >= th.p05 AND e.value <= th.p95
+    GROUP BY e.event_type, th.p05, th.p95
+    """,
+)
+def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 5% trimmed mean (M237) — the robust central-tendency
+    readout between mean (outlier-hostage) and median (throws away
+    90% of the data): drop everything outside the exact [p05, p95]
+    interpolated percentiles, average the rest.  The metric dashboards
+    move to when `mad_outliers` says the tails are polluting the mean.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the linear-interpolation definition (pinned by
+    `value_percentiles`), so the thresholds are bit-equal doubles and
+    the kept row set identical; the trimmed mean is a DECIMAL sum
+    with one division.  Scale: one percentile aggregate per group
+    (broadcast back), one filtered aggregate — two passes, no
+    windows, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    kept = ev.join(F.broadcast(th), "event_type").filter(
+        (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    )
+    return kept.groupBy("event_type", "p05", "p95").agg(
+        F.count("*").alias("n_kept"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            / F.count("*")
+        ).alias("trimmed_mean"),
+    ).select("event_type", "n_kept", "trimmed_mean", "p05", "p95")
+
+
+@query(
+    "interarrival_median_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def interarrival_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence (M238): the median gap between a
+    user's consecutive events in exact epoch-microseconds — the
+    behavioral-rhythm feature `sessionize` thresholds SHOULD be tuned
+    from (a session gap below the population's typical inter-arrival
+    median merges everything; far above it splits nothing), and the
+    bot detector's favorite input (machine traffic has a near-zero,
+    near-constant median gap).
+
+    Exactness: gaps are BIGINT microsecond differences over the
+    unique (ts, event_id) ordering; the median is the shared
+    interpolated-percentile definition on those exact integers.
+    Scale: one partitioned-window shuffle (the sessionize shape) +
+    one per-user aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
