@@ -3534,8 +3534,10 @@ _BOOT_B = 32
     oracle=f"""
     WITH reps AS (
         SELECT e.event_id, e.value, b.b,
-               CAST((e.event_id * 2654435761 + b.b * 40503)
-                    % 4294967296 AS DOUBLE) / 4294967296 AS u
+               CAST(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                             || ':' || CAST(b.b AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS DOUBLE)
+                   / 4294967296 AS u
         FROM events e
         CROSS JOIN (SELECT CAST(unnest(range({_BOOT_B})) AS BIGINT) AS b) b
     ),
@@ -3580,18 +3582,35 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap: Poisson weights stream map-side (no resampling
     shuffle), B means aggregate in one pass.
 
-    Exactness: the uniform is the Knuth multiplicative hash over
-    exact BIGINTs; Poisson thresholds are shared literals; each
+    Exactness: the uniform is the first 8 md5 hex digits of
+    "(event_id):(resample)" — keyed, decorrelated across resamples
+    (a shifted multiplicative hash is NOT: the shared shift moves
+    every row's draw together and biases the order statistics);
+    Poisson thresholds are shared literals; each
     resample mean is a DECIMAL sum with one division; the order
     statistics come from a 32-element sorted array, not a window.
     """
     ev = load_table(spark, sf_dir, "events")
     bs = spark.range(_BOOT_B).select(F.col("id").alias("b"))
     reps = ev.select("event_id", "value").crossJoin(F.broadcast(bs))
-    u = (
-        (F.col("event_id") * F.lit(2654435761) + F.col("b") * F.lit(40503))
-        % F.lit(4294967296)
-    ).cast("double") / F.lit(4294967296)
+    # md5-keyed uniform (NOT a shifted multiplicative hash: a shared
+    # shift per resample correlates the B draws and biases the order
+    # statistics — caught by the bracket property test)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long").cast("double") / F.lit(4294967296)
     w = (
         F.when(u < float(_BOOT_C0), 0)
         .when(u < float(_BOOT_C1), 1)

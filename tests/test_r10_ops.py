@@ -91,3 +91,46 @@ def test_stream_dedup_within_watermark_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_wav_fingerprint_collapses_gain_variants(spark):
+    rows = _q("wav_fingerprint_clusters")(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert 1 <= len(rows) <= 13  # 13 content groups x 3 gains collapse
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["fingerprint"] < 256 for r in rows)
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    row = _q("bootstrap_mean_ci")(spark, SF_DIR).collect()[0]
+    assert row["n_resamples"] == 32
+    assert row["ci_lo"] < row["ci_hi"]
+    assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
+
+
+def test_trimmed_mean_sits_inside_the_trim_window(spark):
+    for r in _q("trimmed_mean_robust")(spark, SF_DIR).collect():
+        assert r["p05"] <= r["trimmed_mean"] <= r["p95"]
+        assert r["n_kept"] >= 1
+
+
+def test_data_contract_holds_on_fixture(spark):
+    rows = _q("data_contract_audit")(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r["n_violations"] == 0 for r in rows), rows
+
+
+def test_runlength_islands_invariants(spark):
+    rows = _q("event_runlength_islands")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_runs"] <= r["n_events"]
+        assert 1 <= r["longest_run"] <= r["n_events"]
+        assert 0 < r["rle_ratio_ppm"] <= 1000000
+
+
+def test_zorder_beats_linear_on_the_offsort_dimension(spark):
+    row = _q("zorder_zone_map_probe")(spark, SF_DIR).collect()[0]
+    # the x-sorted layout cannot prune a y-predicate; Z-order must
+    assert row["lin_files_scanned"] == row["lin_files_total"]
+    assert row["z_files_scanned"] < row["z_files_total"]
