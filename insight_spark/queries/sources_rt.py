@@ -1040,8 +1040,9 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INTEGER) AS files_kept,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
             WHERE o_orderkey > 600 AND o_orderkey <= 700) AS latest_rows,
-           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                        AS DECIMAL(38,6)) FROM orders
+           (SELECT ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                   AS DECIMAL(38,6)) AS DOUBLE), 6)
+            FROM orders
             WHERE o_orderkey > 600 AND o_orderkey <= 700) AS latest_sum
     """,
 )
@@ -1096,9 +1097,12 @@ def manifest_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(audit["files_removed"]).alias("files_removed"),
         F.lit(audit["files_kept"]).alias("files_kept"),
         F.count("*").alias("latest_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("latest_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double"),
+            6,
+        ).alias("latest_sum"),
     )
 
 
