@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "bootstrap_mean_ci",
     "trimmed_mean_robust",
     "interarrival_median_gap",
+    "manifest_clone_diverge",
+    "manifest_compact_optimize",
+    "cuped_adjusted_lift",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -309,6 +312,9 @@ ITERATIVE = {
     "manifest_vacuum_audit",
     # two index sink writes run during build
     "delta_index_merge_read",
+    # manifest writes run during build
+    "manifest_clone_diverge",
+    "manifest_compact_optimize",
     # micro-batch drain runs during build
     "stream_manifest_sink_versions",
     "manifest_merge_upsert",

@@ -571,6 +571,85 @@ def log_merge(
     return new_version
 
 
+def log_clone(src_table_dir: str, dst_table_dir: str) -> int:
+    """SHALLOW CLONE (Delta's zero-copy clone): create a new table
+    whose v1 manifest references the SOURCE table's current data files
+    by path — no data is copied, so cloning a 100 TB table is one
+    metadata write.  The clone then evolves independently: its appends
+    stage under its own directory, and the source never sees them.
+    (A vacuum on the source can break a clone's history — the
+    documented Delta caveat; production either retains or deep-copies
+    before vacuuming a cloned table.)"""
+    src_version = latest_version(src_table_dir)
+    if src_version == 0:
+        raise ValueError(f"nothing to clone in {src_table_dir}")
+    src_manifest = _read_manifest(src_table_dir, src_version)
+    manifest = {
+        "version": 1,
+        "op": f"clone:{os.path.abspath(src_table_dir)}@v{src_version}",
+        "files": src_manifest["files"],
+        "added": [],
+        "stats": src_manifest.get("stats", {}),
+    }
+    os.makedirs(os.path.join(dst_table_dir, _MANIFEST_DIR), exist_ok=True)
+    os.makedirs(os.path.join(dst_table_dir, "data"), exist_ok=True)
+    path = _manifest_path(dst_table_dir, 1)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(f"{dst_table_dir} already has a v1") from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return 1
+
+
+def log_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    expected_version: int | None = None,
+) -> int:
+    """OPTIMIZE (small-file compaction): commit a version whose data
+    is byte-identical but laid out in ``target_files`` files — the
+    table-maintenance job that undoes streaming/append fragmentation
+    (a 100 TB table fed by per-epoch commits accretes millions of
+    small files; scan cost is dominated by file-open overhead until
+    compaction).  Old versions keep reading the small files via time
+    travel until vacuum; conflict detection as usual."""
+    if expected_version is None:
+        expected_version = latest_version(table_dir)
+    if expected_version == 0:
+        raise ValueError(f"no committed versions in {table_dir}")
+    files = _read_manifest(table_dir, expected_version)["files"]
+    stage = os.path.join(table_dir, "data", uuid.uuid4().hex)
+    spark.read.parquet(*files).coalesce(target_files).write.mode(
+        "error"
+    ).parquet(stage)
+    new_files = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    new_version = expected_version + 1
+    manifest = {
+        "version": new_version,
+        "op": "compact",
+        "files": new_files,
+        "added": new_files,
+        "compacted_from": len(files),
+    }
+    path = _manifest_path(table_dir, new_version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"version {new_version} already committed"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return new_version
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,

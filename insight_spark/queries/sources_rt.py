@@ -1565,3 +1565,129 @@ def delta_index_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "manifest_clone_diverge",
+    oracle="""
+    SELECT 'source' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey <= 300) AS n_rows,
+           CAST(1 AS INTEGER) AS version
+    UNION ALL
+    SELECT 'clone',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey <= 300
+               OR (o_orderkey > 800 AND o_orderkey <= 900)),
+           CAST(2 AS INTEGER)
+    """,
+)
+def manifest_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (M239): a new table whose v1 manifest
+    references the source's files BY PATH — cloning a 100 TB table is
+    one metadata write — after which the two evolve independently: an
+    append to the clone must never appear in the source, and the
+    clone's v1 must read the source's bytes without having copied
+    them.  The dev/test-against-production-data primitive (and the
+    cheap experiment branch for data-pipeline what-ifs).
+
+    The hash pins both sides after divergence: source still exactly
+    its own rows at its own latest version, clone = source + its
+    private append at version 2.  Zero-copy itself is pinned in
+    tests/test_manifest.py (the clone's v1 file list is identical,
+    path for path, to the source's).
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        latest_version,
+        log_append,
+        log_clone,
+        read_snapshot,
+    )
+
+    src_tbl = _rt_path(sf_dir, "clone_src")
+    dst_tbl = _rt_path(sf_dir, "clone_dst")
+    shutil.rmtree(src_tbl, ignore_errors=True)
+    shutil.rmtree(dst_tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    log_append(orders.filter(F.col("o_orderkey") <= 300), src_tbl)
+    log_clone(src_tbl, dst_tbl)
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 900)
+        ),
+        dst_tbl,
+    )
+    src_df = read_snapshot(spark, src_tbl).agg(
+        F.lit("source").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.lit(latest_version(src_tbl)).cast("int").alias("version"),
+    )
+    dst_df = read_snapshot(spark, dst_tbl).agg(
+        F.lit("clone").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.lit(latest_version(dst_tbl)).cast("int").alias("version"),
+    )
+    return src_df.unionByName(dst_df)
+
+
+@query(
+    "manifest_compact_optimize",
+    oracle="""
+    SELECT CAST(5 AS INTEGER) AS files_before,
+           CAST(1 AS INTEGER) AS files_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 0 AND o_orderkey <= 500) AS n_rows,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderkey > 0 AND o_orderkey <= 500) AS sum_keys
+    """,
+)
+def manifest_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE small-file compaction (M240): five per-epoch commits
+    fragment the table into five files (the streaming-sink accretion
+    pattern M221 creates); one compaction commit rewrites them as ONE
+    byte-identical file — at 100 TB scan cost is dominated by
+    file-open overhead until this job runs, and because it's just
+    another atomic version, readers never block and time travel still
+    serves the fragmented history until vacuum.
+
+    The hash pins the before/after file counts AND the data (count +
+    key checksum read from the compacted version), so a compaction
+    that lost, doubled, or reordered rows into corruption fails the
+    value check, not just a size check.
+    """
+    import json as _json
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        _manifest_path,
+        log_append,
+        log_compact,
+        read_snapshot,
+    )
+
+    path = _rt_path(sf_dir, "manifest_compact")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    for i in range(5):
+        log_append(
+            orders.filter(
+                (F.col("o_orderkey") > i * 100)
+                & (F.col("o_orderkey") <= (i + 1) * 100)
+            ).coalesce(1),
+            path,
+        )
+    before = len(
+        _json.load(open(_manifest_path(path, 5)))["files"]
+    )
+    v6 = log_compact(spark, path, target_files=1)
+    after = len(_json.load(open(_manifest_path(path, v6)))["files"])
+    return read_snapshot(spark, path).agg(
+        F.lit(before).cast("int").alias("files_before"),
+        F.lit(after).cast("int").alias("files_after"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )

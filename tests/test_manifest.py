@@ -240,3 +240,56 @@ def test_checkpoint_bounds_tail_replay(spark, tmp_path):
     # idempotent re-checkpoint
     write_checkpoint(tbl, 2)
     assert checkpoint_versions(tbl) == [2]
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    import json
+
+    from insight_spark.operators.manifest import log_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    log_append(_orders(spark, 0, 100).coalesce(1), src)
+    log_clone(src, dst)
+    m_src = json.load(open(os.path.join(src, "_manifest", "v000001.json")))
+    m_dst = json.load(open(os.path.join(dst, "_manifest", "v000001.json")))
+    # zero-copy: identical file list, path for path; nothing staged
+    assert m_dst["files"] == m_src["files"]
+    assert os.listdir(os.path.join(dst, "data")) == []
+    # divergence: clone appends never reach the source
+    log_append(_orders(spark, 600, 650).coalesce(1), dst)
+    n_src = _orders(spark, 0, 100).count()
+    assert read_snapshot(spark, src).count() == n_src
+    assert (
+        read_snapshot(spark, dst).count()
+        == n_src + _orders(spark, 600, 650).count()
+    )
+    # a second clone into the same destination conflicts
+    from insight_spark.operators.manifest import ConflictError as CE
+
+    with pytest.raises(CE):
+        log_clone(src, dst)
+
+
+def test_compact_preserves_bytes_and_history(spark, tmp_path):
+    from insight_spark.operators.manifest import log_compact
+
+    tbl = str(tmp_path / "tbl")
+    log_append(_orders(spark, 0, 100).coalesce(1), tbl)
+    log_append(_orders(spark, 100, 200).coalesce(1), tbl)
+    before = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in read_snapshot(spark, tbl).collect()
+    }
+    v3 = log_compact(spark, tbl, target_files=1)
+    after = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in read_snapshot(spark, tbl, v3).collect()
+    }
+    assert after == before  # byte-identical data, new layout
+    import json
+
+    m3 = json.load(open(os.path.join(tbl, "_manifest", f"v{v3:06d}.json")))
+    assert len(m3["files"]) == 1 and m3["compacted_from"] == 2
+    # fragmented history still time-travels
+    assert read_snapshot(spark, tbl, 2).count() == len(before)
