@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "manifest_clone_diverge",
     "manifest_compact_optimize",
     "cuped_adjusted_lift",
+    "manifest_version_cdc",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -315,6 +316,7 @@ ITERATIVE = {
     # manifest writes run during build
     "manifest_clone_diverge",
     "manifest_compact_optimize",
+    "manifest_version_cdc",
     # micro-batch drain runs during build
     "stream_manifest_sink_versions",
     "manifest_merge_upsert",

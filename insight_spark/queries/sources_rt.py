@@ -1691,3 +1691,70 @@ def manifest_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").alias("sum_keys"),
     )
+
+
+@query(
+    "manifest_version_cdc",
+    oracle="""
+    SELECT CAST(2 AS INTEGER) AS version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 300 AND o_orderkey <= 500) AS rows_added,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderkey > 300 AND o_orderkey <= 500) AS added_key_sum
+    UNION ALL
+    SELECT CAST(3 AS INTEGER),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 500 AND o_orderkey <= 650),
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderkey > 500 AND o_orderkey <= 650)
+    """,
+)
+def manifest_version_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between table versions (M242) — Delta's
+    ``table_changes()`` readout: for each version the rows it ADDED,
+    computed as the multiset difference ``read(v) exceptAll
+    read(v−1)`` over the time-travel snapshots (the G-surface set op
+    doing lakehouse work).  This is how a downstream consumer
+    incrementally syncs from a versioned table without replaying it —
+    at 100 TB the per-version delta is what ships, never the
+    snapshot.
+
+    The hash pins each version's delta count AND an added-key
+    checksum, so a CDC leak (rows attributed to the wrong version, a
+    snapshot bleeding into a delta) is a value failure.  Cost: the
+    diff reads exactly the two snapshots' file lists; in production
+    the manifest's per-version `added` file list serves this without
+    ANY diff — the exceptAll leg is the independent cross-check.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import log_append, read_snapshot
+
+    path = _rt_path(sf_dir, "manifest_cdc")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    log_append(orders.filter(F.col("o_orderkey") <= 300), path)
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+        ),
+        path,
+    )
+    log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 650)
+        ),
+        path,
+    )
+    out = None
+    for v in (2, 3):
+        delta = read_snapshot(spark, path, v).exceptAll(
+            read_snapshot(spark, path, v - 1)
+        )
+        row = delta.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("rows_added"),
+            F.sum("o_orderkey").alias("added_key_sum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
