@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "manifest_compact_optimize",
     "cuped_adjusted_lift",
     "manifest_version_cdc",
+    "geo_nearest_hub",
+    "geo_bbox_containment",
+    "geo_grid_density",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

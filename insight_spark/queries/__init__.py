@@ -60,6 +60,7 @@ _MODULES = (
     "insight_spark.queries.corpus_clean",
     "insight_spark.queries.mixing",
     "insight_spark.queries.langtok",
+    "insight_spark.queries.geo",
 )
 
 #: Driver-facing registration order.  The external correctness driver

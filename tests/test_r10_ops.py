@@ -134,3 +134,104 @@ def test_zorder_beats_linear_on_the_offsort_dimension(spark):
     # the x-sorted layout cannot prune a y-predicate; Z-order must
     assert row["lin_files_scanned"] == row["lin_files_total"]
     assert row["z_files_scanned"] < row["z_files_total"]
+
+
+def _geo_points(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("user_id"),
+        ((F.col("c_custkey") * 134435747 + 11) % 180000001 - 90000000).alias(
+            "lat_u"
+        ),
+        ((F.col("c_custkey") * 134435754 + 7) % 360000001 - 180000000).alias(
+            "lon_u"
+        ),
+    )
+
+
+def _geo_hubs(spark):
+    sup = load_table(spark, SF_DIR, "supplier")
+    return sup.select(
+        F.col("s_suppkey").alias("hub_id"),
+        ((F.col("s_suppkey") * 86822507 + 3) % 180000001 - 90000000).alias(
+            "lat_h"
+        ),
+        ((F.col("s_suppkey") * 86822513 + 5) % 360000001 - 180000000).alias(
+            "lon_h"
+        ),
+    )
+
+
+def test_geo_nearest_hub_grid_prune_is_lossless(spark):
+    """The 3x3 cell-neighborhood join must return EXACTLY the brute
+    force cross-join arg-min within radius — completeness of cell ==
+    radius pruning, the property the 100 TB design rests on."""
+    got = {
+        (r["user_id"], r["hub_id"], r["dist2_udeg"])
+        for r in _q("geo_nearest_hub")(spark, SF_DIR).collect()
+    }
+    d2 = (F.col("lat_u") - F.col("lat_h")) ** 2 + (
+        F.col("lon_u") - F.col("lon_h")
+    ) ** 2
+    brute = (
+        _geo_points(spark)
+        .crossJoin(_geo_hubs(spark))
+        .select("user_id", "hub_id", d2.cast("long").alias("d2"))
+        .filter(F.col("d2") <= 2_000_000**2)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("d2", "hub_id")).alias("b"))
+        .select("user_id", "b.hub_id", "b.d2")
+    )
+    want = {(r["user_id"], r["hub_id"], r["d2"]) for r in brute.collect()}
+    assert got == want and got
+
+
+def test_geo_nearest_hub_join_is_broadcast_not_cartesian(spark):
+    plan = (
+        _q("geo_nearest_hub")(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_bbox_containment_matches_bruteforce(spark):
+    got = {
+        (r["hub_id"], r["n_inside"], r["key_checksum"])
+        for r in _q("geo_bbox_containment")(spark, SF_DIR).collect()
+    }
+    hubs = _geo_hubs(spark).select(
+        "*",
+        (F.lit(1000000) + (F.col("hub_id") % 7) * 500000).alias("w_lat"),
+        (F.lit(1000000) + (F.col("hub_id") % 11) * 400000).alias("w_lon"),
+    )
+    brute = (
+        _geo_points(spark)
+        .crossJoin(hubs)
+        .filter(
+            (F.abs(F.col("lat_u") - F.col("lat_h")) <= F.col("w_lat"))
+            & (F.abs(F.col("lon_u") - F.col("lon_h")) <= F.col("w_lon"))
+        )
+        .groupBy("hub_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("user_id") % 1000003).cast("long").alias("ck"),
+        )
+    )
+    want = {(r["hub_id"], r["n"], r["ck"]) for r in brute.collect()}
+    assert got == want and got
+
+
+def test_geo_grid_density_invariants(spark):
+    rows = _q("geo_grid_density")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] <= r["n_events"]
+        assert r["n_fine_cells"] <= r["n_events"]
+        # 8-degree coarse tiles hold at most 4x4 fine cells
+        assert 1 <= r["n_fine_cells"] <= 16
+        assert 0 <= r["zcoarse"] < (1 << 12)
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
