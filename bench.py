@@ -258,6 +258,9 @@ BENCH_QUERIES = [
     "geo_nearest_hub",
     "geo_bbox_containment",
     "geo_grid_density",
+    "beta_posterior_arms",
+    "pr_curve_thresholds",
+    "xcorr_hourly_lags",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

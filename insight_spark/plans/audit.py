@@ -89,8 +89,11 @@ __all__ = [
 #:   buckets (the roc_auc_binned shape, bounded by the score range).
 #: - theil_sen_trend: row_number/count windows over the hourly series
 #:   and its |hours|² pair set — bounded by the time range.
+#: - xcorr_hourly_lags: row_number index over the HOURLY two-signal
+#:   series (the acf_hourly_lags pattern — |hours| rows post-aggregate).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
+        "xcorr_hourly_lags",
         "ks_distribution_shift",
         "hybrid_search_rrf",
         "histogram_quantile",

@@ -3916,3 +3916,300 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_reduction_ppm"),
     )
+
+
+@query(
+    "beta_posterior_arms",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_success
+        FROM per_user GROUP BY arm
+    ),
+    post AS (
+        SELECT arm, n_users, n_success,
+               1 + n_success AS a,
+               1 + n_users - n_success AS b
+        FROM arms
+    )
+    SELECT arm, n_users, n_success,
+           a AS post_alpha, b AS post_beta,
+           CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) AS post_mean,
+           sqrt(CAST(a * b AS DOUBLE)
+                / (CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE)
+                   * CAST(a + b + 1 AS DOUBLE))) AS post_sd,
+           CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+             - 1.96 * sqrt(CAST(a * b AS DOUBLE)
+                / (CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE)
+                   * CAST(a + b + 1 AS DOUBLE))) AS ci_lo,
+           CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+             + 1.96 * sqrt(CAST(a * b AS DOUBLE)
+                / (CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE)
+                   * CAST(a + b + 1 AS DOUBLE))) AS ci_hi
+    FROM post
+    """,
+)
+def beta_posterior_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout (M246): per-arm Beta(1+s, 1+n-s) posterior
+    over the user-level conversion rate — mean, sd, and normal-approx
+    95% credible interval; the Bayesian leg completing the experiment
+    family (M192 SRM, M204 Wilson, M222 DiD, M241 CUPED).  With a
+    uniform prior the posterior mean is the Laplace-smoothed rate, and
+    the interval is what a Thompson sampler thresholds on.
+
+    Exactness: n/s/alpha/beta are exact BIGINTs from a per-user
+    dedup-then-count; mean and sd are identical double expression
+    trees over those integers (sqrt is IEEE correctly-rounded, unlike
+    libm log/exp which stay banned from hashed paths); alpha*beta
+    stays inside int64 for any realistic user count (~5.6e13 at 15M
+    users/arm).  Scale: one user-keyed aggregate + a 2-row arm
+    aggregate — the cuped_adjusted_lift shape, no windows, no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("converted"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_success"),
+    )
+    post = arms.select(
+        "*",
+        (F.lit(1) + F.col("n_success")).alias("a"),
+        (F.lit(1) + F.col("n_users") - F.col("n_success")).alias("b"),
+    )
+    ab = F.col("a") + F.col("b")
+    mean = F.col("a").cast("double") / ab.cast("double")
+    sd = F.sqrt(
+        (F.col("a") * F.col("b")).cast("double")
+        / (
+            ab.cast("double")
+            * ab.cast("double")
+            * (ab + 1).cast("double")
+        )
+    )
+    return post.select(
+        "arm",
+        "n_users",
+        "n_success",
+        F.col("a").alias("post_alpha"),
+        F.col("b").alias("post_beta"),
+        mean.alias("post_mean"),
+        sd.alias("post_sd"),
+        (mean - 1.96 * sd).alias("ci_lo"),
+        (mean + 1.96 * sd).alias("ci_hi"),
+    )
+
+
+@query(
+    "pr_curve_thresholds",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(floor(value * 10 + 0.5) AS BIGINT) AS b,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    buckets AS (
+        SELECT b,
+               CAST(SUM(y) AS BIGINT) AS np,
+               CAST(SUM(1 - y) AS BIGINT) AS nn
+        FROM scored GROUP BY b
+    ),
+    th AS (SELECT unnest([50, 100, 200, 400, 800, 1600]) AS threshold),
+    cm AS (
+        SELECT th.threshold,
+               CAST(SUM(CASE WHEN b >= th.threshold THEN np ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN b >= th.threshold THEN nn ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN b < th.threshold THEN np ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM buckets CROSS JOIN th GROUP BY th.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE (2000000 * tp + (tp + fp)) // (2 * (tp + fp))
+           END AS precision_ppm,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE (2000000 * tp + (tp + fn)) // (2 * (tp + fn))
+           END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE (2000000 * 2 * tp + (2 * tp + fp + fn))
+                     // (2 * (2 * tp + fp + fn))
+           END AS f1_ppm
+    FROM cm
+    """,
+)
+def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at fixed decision thresholds (M247): the
+    classifier-eval twin of roc_auc_binned (M181) — same deci-quantized
+    score histogram and purchase labels, but reporting the operating
+    points (TP/FP/FN, precision, recall, F1) a deploy gate actually
+    picks from, where AUC alone hides the threshold choice.
+
+    Exactness: confusion cells are exact BIGINT sums over the bounded
+    score histogram; precision/recall/F1 are engine-neutral half-up
+    integer ppm ((2e6*num + den) div (2*den)), NULL-guarded where the
+    denominator can vanish (an above-max threshold).  Scale: one
+    map-side-combined histogram aggregate, then a |buckets| x 6
+    broadcast cross join — bounded by the score range, never data
+    size; no windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(F.col("value") * 10 + F.lit(0.5)).cast("long").alias("b"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    buckets = scored.groupBy("b").agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (50, 100, 200, 400, 800, 1600)], "threshold long"
+    )
+    cm = (
+        buckets.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("b") >= F.col("threshold"), F.col("np"))
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(F.col("b") >= F.col("threshold"), F.col("nn"))
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(F.col("b") < F.col("threshold"), F.col("np"))
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+
+    def _ppm(num, den):
+        return F.when(
+            F.expr(f"({den}) = 0"), F.lit(None).cast("long")
+        ).otherwise(
+            F.expr(f"(2000000 * ({num}) + ({den})) div (2 * ({den}))")
+        )
+
+    return cm.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        _ppm("tp", "tp + fp").alias("precision_ppm"),
+        _ppm("tp", "tp + fn").alias("recall_ppm"),
+        _ppm("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"),
+    )
+
+
+@query(
+    "xcorr_hourly_lags",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000
+                    AS BIGINT) AS y
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    idx AS (
+        SELECT x, y,
+               CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i
+        FROM hourly
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS k),
+    pairs AS (
+        SELECT k, a.x AS xt, b.y AS yl
+        FROM idx a CROSS JOIN lags
+        JOIN idx b ON b.i = a.i - k
+    ),
+    m AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xt) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(yl AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(xt AS HUGEINT) * xt) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(xt AS HUGEINT) * yl) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS syy
+        FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+    FROM m
+    """,
+)
+def xcorr_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (M248) between the hourly event-count
+    series and the hourly value-sum series at lags -3..+3 — the
+    two-signal twin of acf_hourly_lags (M177): does volume LEAD value
+    (marketing spend before revenue), LAG it, or move with it?  The
+    argmax lag is the offset an attribution or forecast model should
+    shift its regressor by.
+
+    Exactness: hourly y is a DECIMAL->micro BIGINT sum; all six moment
+    sums are DECIMAL(38,0)/HUGEINT products of exact integers (y² per
+    hour passes int64 at scale); each correlation is the exact integer
+    Pearson numerator over the product of two IEEE sqrts of exact
+    factors — identical trees, bit-equal.  Scale: the per-hour
+    pre-aggregate is the only data-sized shuffle; the index window and
+    7-lag join run on |hours| rows (BOUNDED_GLOBAL_WINDOW_OK, the
+    acf_hourly_lags pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("x"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("h")
+    idx = hourly.select(
+        "x", "y", F.row_number().over(w).cast("long").alias("i")
+    )
+    lags = spark.createDataFrame([(k,) for k in range(-3, 4)], "k long")
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("y").alias("yl"), F.col("i").alias("ib")
+    ).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.ib") == F.col("a.i") - F.col("k"))
+        .select("k", F.col("a.x").alias("xt"), "yl")
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xt").cast(dec).alias("sx"),
+        F.sum(F.col("yl").cast(dec)).alias("sy"),
+        F.sum(F.col("xt").cast(dec) * F.col("xt")).alias("sxx"),
+        F.sum(F.col("xt").cast(dec) * F.col("yl")).alias("sxy"),
+        F.sum(F.col("yl").cast(dec) * F.col("yl")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("k").alias("lag"),
+        "n",
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("xcorr"),
+    )

@@ -235,3 +235,45 @@ def test_geo_grid_density_invariants(spark):
         assert 0 <= r["zcoarse"] < (1 << 12)
     counts = [r["n_events"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_beta_posterior_is_coherent(spark):
+    rows = {r["arm"]: r for r in _q("beta_posterior_arms")(
+        spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["post_alpha"] == 1 + r["n_success"]
+        assert r["post_beta"] == 1 + r["n_users"] - r["n_success"]
+        assert 0.0 < r["post_mean"] < 1.0
+        assert r["ci_lo"] < r["post_mean"] < r["ci_hi"]
+        # posterior sd can never exceed the uniform prior's sd
+        assert 0.0 < r["post_sd"] <= 0.2886751345948129
+
+
+def test_pr_curve_is_monotone_in_threshold(spark):
+    rows = sorted(
+        _q("pr_curve_thresholds")(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert len(rows) == 6
+    n_pos = rows[0]["tp"] + rows[0]["fn"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == n_pos  # positives are fixed
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"]  # raising the threshold...
+        assert b["fp"] <= a["fp"]  # ...only removes predictions
+        if a["recall_ppm"] is not None and b["recall_ppm"] is not None:
+            assert b["recall_ppm"] <= a["recall_ppm"]
+
+
+def test_xcorr_symmetric_window_and_bounds(spark):
+    rows = {r["lag"]: r for r in _q("xcorr_hourly_lags")(
+        spark, SF_DIR).collect()}
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        assert -1.0 - 1e-12 <= r["xcorr"] <= 1.0 + 1e-12
+    # lag k and lag -k correlate the same number of aligned pairs
+    for k in (1, 2, 3):
+        assert rows[k]["n"] == rows[-k]["n"]
+    # lag 0 pairs every hour with itself
+    assert rows[0]["n"] == max(r["n"] for r in rows.values())
