@@ -261,6 +261,10 @@ BENCH_QUERIES = [
     "beta_posterior_arms",
     "pr_curve_thresholds",
     "xcorr_hourly_lags",
+    "silhouette_simplified",
+    "term_proximity_rank",
+    "markov_next_event_accuracy",
+    "kmv_set_cardinality",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

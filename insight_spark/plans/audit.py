@@ -91,9 +91,12 @@ __all__ = [
 #:   and its |hours|² pair set — bounded by the time range.
 #: - xcorr_hourly_lags: row_number index over the HOURLY two-signal
 #:   series (the acf_hourly_lags pattern — |hours| rows post-aggregate).
+#: - term_proximity_rank: rank window on the TakeOrdered(2) term head
+#:   (the vector_index_probe pattern).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "xcorr_hourly_lags",
+        "term_proximity_rank",
         "ks_distribution_shift",
         "hybrid_search_rrf",
         "histogram_quantile",

@@ -4213,3 +4213,121 @@ def xcorr_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("xcorr"),
     )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    train AS (
+        SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs
+        WHERE nxt IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type, nxt
+    ),
+    pred AS (
+        SELECT event_type, nxt AS pred_next
+        FROM (SELECT event_type, nxt,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, nxt) AS rk
+              FROM train)
+        WHERE rk = 1
+    ),
+    ev AS (
+        SELECT p.event_type, p.nxt, pr.pred_next
+        FROM pairs p LEFT JOIN pred pr ON p.event_type = pr.event_type
+        WHERE p.nxt IS NOT NULL
+          AND p.ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_pairs,
+               CAST(SUM(CASE WHEN pred_next IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN pred_next = nxt
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM ev
+    )
+    SELECT n_eval_pairs, n_covered, n_correct,
+           CASE WHEN n_covered = 0 THEN NULL
+                ELSE (2000000 * n_correct + n_covered) // (2 * n_covered)
+           END AS accuracy_ppm,
+           CASE WHEN n_eval_pairs = 0 THEN NULL
+                ELSE (2000000 * n_covered + n_eval_pairs)
+                     // (2 * n_eval_pairs)
+           END AS coverage_ppm
+    FROM agg
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction eval (M251): train the argmax first-order
+    Markov predictor (markov_transitions M106's model) on transitions
+    whose first event precedes the time cutoff, then score top-1
+    accuracy on post-cutoff transitions — the proper TEMPORAL
+    train/eval split (leakage_safe_split's lesson applied to sequence
+    models): a random split would let the model memorize each user's
+    future.
+
+    Exactness: transition counts over the unique (ts, event_id)
+    per-user ordering; argmax tie-breaks (count DESC, next ASC);
+    accuracy/coverage as engine-neutral half-up integer ppm with
+    NULL-guarded denominators.  Scale: one sessionize-shaped window
+    shuffle builds the pairs; the model is a |types|² aggregate that
+    broadcasts; eval is one map-side join + a 1-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        pairs.filter(F.col("ts") < cutoff)
+        .groupBy("event_type", "nxt")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pred = (
+        train.groupBy("event_type")
+        .agg(F.min(F.struct((-F.col("n")).alias("neg"),
+                            F.col("nxt").alias("p"))).alias("b"))
+        .select("event_type", F.col("b.p").alias("pred_next"))
+    )
+    ev_pairs = pairs.filter(F.col("ts") >= cutoff).join(
+        F.broadcast(pred), "event_type", "left"
+    )
+    agg = ev_pairs.agg(
+        F.count("*").cast("long").alias("n_eval_pairs"),
+        F.sum(F.col("pred_next").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_covered"),
+        F.sum((F.col("pred_next") == F.col("nxt")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return agg.select(
+        "n_eval_pairs",
+        "n_covered",
+        "n_correct",
+        F.when(F.col("n_covered") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "(2000000 * n_correct + n_covered) div (2 * n_covered)"
+            )
+        )
+        .alias("accuracy_ppm"),
+        F.when(F.col("n_eval_pairs") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "(2000000 * n_covered + n_eval_pairs)"
+                " div (2 * n_eval_pairs)"
+            )
+        )
+        .alias("coverage_ppm"),
+    )

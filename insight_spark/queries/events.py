@@ -358,3 +358,137 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delta_s").cast("long").alias("min_s"),
         F.max("delta_s").cast("long").alias("max_s"),
     )
+
+
+@query(
+    "kmv_set_cardinality",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    ),
+    hashed AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))
+                    AS BIGINT) AS h,
+               in_a, in_b
+        FROM per_user
+    ),
+    head AS (
+        SELECT h, in_a, in_b FROM hashed
+        ORDER BY h, in_a DESC, in_b DESC LIMIT 64
+    ),
+    sk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(h) AS BIGINT) AS h_k,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS j_num
+        FROM head
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+        FROM per_user
+    ),
+    est AS (
+        SELECT sk.k_used, sk.h_k,
+               CASE WHEN sk.k_used < 64 THEN exact.exact_union
+                    ELSE ((sk.k_used - 1) * 17592186044416) // sk.h_k
+               END AS est_union,
+               sk.j_num, exact.exact_union, exact.exact_inter
+        FROM sk, exact
+    )
+    SELECT k_used, h_k, est_union, exact_union,
+           (2000000 * abs(est_union - exact_union) + exact_union)
+               // (2 * exact_union) AS union_err_ppm,
+           (j_num * est_union) // k_used AS est_inter,
+           exact_inter,
+           (2000000 * j_num + k_used) // (2 * k_used) AS jaccard_ppm
+    FROM est
+    """,
+)
+def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch (M252): distinct-count and intersection
+    estimation over the view-user and purchase-user sets — the
+    mergeable theta-sketch-style alternative to HLL (D6/M41's family)
+    that also estimates SET OPERATIONS: union cardinality from the
+    k-th smallest hash, Jaccard from the membership flags carried by
+    the k smallest, intersection = jaccard x union.  The exact counts
+    ride along so the result IS its own error report.
+
+    Exactness: the keyed hash is 44 bits of md5 (conv/strtol parity,
+    the bootstrap_mean_ci idiom) so (k-1)*2^44 stays deep inside
+    int64 and every estimate is integer division — identical on both
+    engines; below k distinct users the sketch degrades to exact by
+    construction.  Scale: one user-keyed aggregate, then a global
+    top-64-by-hash (TakeOrdered with map-side partial top-k — the
+    batch equivalent of the streaming bounded sketch) and two 1-row
+    reduces; the production form keeps one 64-value state per set and
+    merges by min-merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int"))
+            .cast("long")
+            .alias("in_a"),
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("in_b"),
+        )
+    )
+    hashed = per_user.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 11),
+               16, 10)
+        .cast("long")
+        .alias("h"),
+        "in_a",
+        "in_b",
+    )
+    head = hashed.orderBy(
+        "h", F.desc("in_a"), F.desc("in_b")
+    ).limit(64)
+    sk = head.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").cast("long").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("j_num"),
+    )
+    exact = per_user.agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+            "exact_inter"
+        ),
+    )
+    est = sk.crossJoin(exact).select(
+        "k_used",
+        "h_k",
+        F.when(F.col("k_used") < 64, F.col("exact_union"))
+        .otherwise(
+            F.expr("((k_used - 1) * 17592186044416) div h_k")
+        )
+        .alias("est_union"),
+        "j_num",
+        "exact_union",
+        "exact_inter",
+    )
+    return est.select(
+        "k_used",
+        "h_k",
+        "est_union",
+        "exact_union",
+        F.expr(
+            "(2000000 * abs(est_union - exact_union) + exact_union)"
+            " div (2 * exact_union)"
+        ).alias("union_err_ppm"),
+        F.expr("(j_num * est_union) div k_used").alias("est_inter"),
+        "exact_inter",
+        F.expr("(2000000 * j_num + k_used) div (2 * k_used)").alias(
+            "jaccard_ppm"
+        ),
+    )

@@ -2140,3 +2140,113 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df_top"), F.asc("term"))
         .limit(10)
     )
+
+
+@query(
+    "term_proximity_rank",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, unnest(l) AS token FROM toks
+    ),
+    top2 AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+                   AS rk
+        FROM (SELECT token, COUNT(*) AS n FROM flat GROUP BY token
+              ORDER BY n DESC, token LIMIT 2)
+    ),
+    pos AS (
+        SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM toks
+    ),
+    pt AS (SELECT doc_id, p, l[p] AS token FROM pos),
+    p1 AS (SELECT doc_id, p FROM pt JOIN top2 USING (token) WHERE rk = 1),
+    p2 AS (SELECT doc_id, p FROM pt JOIN top2 USING (token) WHERE rk = 2),
+    gaps AS (
+        SELECT p1.doc_id, abs(p1.p - p2.p) AS gap
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    ),
+    best AS (
+        SELECT doc_id, CAST(MIN(gap) AS BIGINT) AS min_gap
+        FROM gaps GROUP BY doc_id
+    ),
+    c1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_t1
+           FROM p1 GROUP BY doc_id),
+    c2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_t2
+           FROM p2 GROUP BY doc_id)
+    SELECT b.doc_id,
+           (SELECT token FROM top2 WHERE rk = 1) AS term_1,
+           (SELECT token FROM top2 WHERE rk = 2) AS term_2,
+           b.min_gap, c1.n_t1, c2.n_t2
+    FROM best b
+    JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+    ORDER BY b.min_gap, b.doc_id LIMIT 25
+    """,
+)
+def term_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware term-proximity ranking (M250): for the corpus's
+    two most frequent terms, rank documents by the MINIMUM token
+    distance between an occurrence of each — the proximity signal a
+    phrase/near-phrase search layer adds on top of bm25_search (I8)
+    and kwic_windows (M228), which only see term presence.  Documents
+    where the pair is adjacent outrank documents where the terms are
+    far apart.
+
+    Exactness: positions, gaps, and occurrence counts are exact
+    integers from the shared whitespace tokenizer; top-2 term
+    selection tie-breaks (count DESC, token ASC); final order
+    (min_gap, doc_id).  Scale: term selection is a map-side TF
+    aggregate + global top-2 (TakeOrdered); the position lists for
+    JUST the two selected terms survive (broadcast semi-join), so the
+    per-doc pair fan-out is bounded by per-doc occurrence counts —
+    never doc_len²; the rank window runs on the 2-row head
+    (vector_index_probe exemption pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("n"))
+    head = tf.orderBy(F.desc("n"), "token").limit(2)
+    ranked = head.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "token"))
+        .cast("int")
+        .alias("rk"),
+    )
+    p1 = toks.join(
+        F.broadcast(ranked.filter(F.col("rk") == 1).select("token")),
+        "token",
+    ).select("doc_id", F.col("p").alias("pa"))
+    p2 = toks.join(
+        F.broadcast(ranked.filter(F.col("rk") == 2).select("token")),
+        "token",
+    ).select("doc_id", F.col("p").alias("pb"))
+    gaps = p1.join(p2, "doc_id").select(
+        "doc_id", F.abs(F.col("pa") - F.col("pb")).alias("gap")
+    )
+    best = gaps.groupBy("doc_id").agg(
+        F.min("gap").cast("long").alias("min_gap")
+    )
+    c1 = p1.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_t1"))
+    c2 = p2.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_t2"))
+    t1 = ranked.filter(F.col("rk") == 1).select(
+        F.col("token").alias("term_1")
+    )
+    t2 = ranked.filter(F.col("rk") == 2).select(
+        F.col("token").alias("term_2")
+    )
+    return (
+        best.join(c1, "doc_id")
+        .join(c2, "doc_id")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select("doc_id", "term_1", "term_2", "min_gap", "n_t1", "n_t2")
+        .orderBy("min_gap", "doc_id")
+        .limit(25)
+    )

@@ -2798,3 +2798,149 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("true_label"),
         F.col("best.clabel").cast("int").alias("pred_label"),
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "silhouette_simplified",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT label, d, e[d] AS x
+        FROM m CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER)
+                               AS d)
+    ),
+    sums AS (
+        SELECT label, d, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, d
+    ),
+    cent AS (
+        SELECT label, d, (s - ((s % n + n) % n)) // n AS c
+        FROM sums
+    ),
+    centarr AS (
+        SELECT label AS clabel, list(c ORDER BY d) AS c
+        FROM cent GROUP BY label
+    ),
+    dist AS (
+        SELECT m.vec_id, m.label, ca.clabel,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (m.e[i] - ca.c[i]) * (m.e[i] - ca.c[i])))
+                    AS BIGINT) AS dd
+        FROM m CROSS JOIN centarr ca
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN dd END) AS a2,
+               MIN(CASE WHEN clabel <> label THEN dd END) AS b2
+        FROM dist GROUP BY vec_id, label
+    ),
+    sil AS (
+        SELECT vec_id, label,
+               CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE))) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(1000000
+                         * ((sqrt(CAST(b2 AS DOUBLE))
+                             - sqrt(CAST(a2 AS DOUBLE)))
+                            / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                       sqrt(CAST(b2 AS DOUBLE))))
+                         + 0.5) AS BIGINT)
+               END AS sil_ppm
+        FROM ab
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(sil_ppm) AS BIGINT) AS sum_sil_ppm,
+           CAST(SUM(sil_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_sil_ppm,
+           CAST(SUM(CASE WHEN sil_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sil GROUP BY label
+    """,
+)
+def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label (M249):
+    a = distance to the OWN label centroid, b = distance to the
+    nearest OTHER centroid, s = (b-a)/max(a,b) — the clustering/label
+    coherence metric that completes the centroid eval family
+    (nearest_centroid_confusion M230 says WHERE labels confuse;
+    silhouette says HOW SEPARABLE each class is, and n_negative counts
+    vectors sitting closer to a foreign centroid).  The simplified
+    form is the 100 TB version: true silhouette needs all-pairs
+    distances (N² — impossible); against K centroids it is one
+    broadcast fan-out.
+
+    Exactness: micro-int embeddings, floor-div centroids (sign-safe
+    identity), exact BIGINT squared distances; per-vector s uses only
+    IEEE sqrt / division / greatest on identical trees, then quantizes
+    to ppm BIGINT so the per-label SUM is exact-integer
+    (order-independent); the mean is ONE division of exact integers.
+    Scale: K-row centroid broadcast, N×K map-side fan-out, one keyed
+    aggregate — the nearest_centroid_confusion shape.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id", "label", quantize_micro(F.col("embedding")).alias("e")
+    )
+    pos = m.select("label", F.posexplode("e").alias("d", "x"))
+    sums = pos.groupBy("label", "d").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    cent = sums.select(
+        "label", "d", F.expr("(s - ((s % n + n) % n)) div n").alias("c")
+    )
+    centarr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("c")
+    )
+    dist = m.crossJoin(F.broadcast(centarr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dd"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dd"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dd"))).alias(
+            "b2"
+        ),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    den = F.greatest(sa, sb)
+    sil = ab.select(
+        "label",
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(1000000 * ((sb - sa) / den) + F.lit(0.5)).cast("long")
+        )
+        .alias("sil_ppm"),
+    )
+    return sil.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("sil_ppm").cast("long").alias("sum_sil_ppm"),
+        (
+            F.sum("sil_ppm").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_sil_ppm"),
+        F.sum((F.col("sil_ppm") < 0).cast("int")).cast("long").alias(
+            "n_negative"
+        ),
+    )

@@ -277,3 +277,51 @@ def test_xcorr_symmetric_window_and_bounds(spark):
         assert rows[k]["n"] == rows[-k]["n"]
     # lag 0 pairs every hour with itself
     assert rows[0]["n"] == max(r["n"] for r in rows.values())
+
+
+def test_silhouette_bounds_and_negative_consistency(spark):
+    rows = _q("silhouette_simplified")(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    assert total == n_emb  # every vector scored exactly once
+    for r in rows:
+        assert -1_000_000 <= r["mean_sil_ppm"] <= 1_000_000
+        assert 0 <= r["n_negative"] <= r["n_vecs"]
+        # mean is exactly sum/n
+        assert r["mean_sil_ppm"] == r["sum_sil_ppm"] / r["n_vecs"]
+
+
+def test_term_proximity_gap_is_positive_and_sorted(spark):
+    rows = _q("term_proximity_rank")(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 25
+    t1, t2 = rows[0]["term_1"], rows[0]["term_2"]
+    assert t1 != t2
+    gaps = [(r["min_gap"], r["doc_id"]) for r in rows]
+    assert gaps == sorted(gaps)
+    for r in rows:
+        assert r["min_gap"] >= 1
+        assert r["n_t1"] >= 1 and r["n_t2"] >= 1
+        assert (r["term_1"], r["term_2"]) == (t1, t2)
+
+
+def test_markov_accuracy_beats_nothing_and_is_bounded(spark):
+    row = _q("markov_next_event_accuracy")(spark, SF_DIR).collect()[0]
+    assert row["n_covered"] <= row["n_eval_pairs"]
+    assert row["n_correct"] <= row["n_covered"]
+    if row["accuracy_ppm"] is not None:
+        assert 0 <= row["accuracy_ppm"] <= 1_000_000
+    if row["coverage_ppm"] is not None:
+        assert 0 <= row["coverage_ppm"] <= 1_000_000
+
+
+def test_kmv_sketch_exact_regime_and_estimates(spark):
+    row = _q("kmv_set_cardinality")(spark, SF_DIR).collect()[0]
+    assert 1 <= row["k_used"] <= 64
+    assert row["exact_inter"] <= row["exact_union"]
+    assert row["est_inter"] <= row["est_union"]
+    if row["k_used"] < 64:
+        # degenerate-to-exact regime: sketch saw every distinct user
+        assert row["est_union"] == row["exact_union"]
+        assert row["union_err_ppm"] == 0
+    assert 0 <= row["jaccard_ppm"] <= 1_000_000
