@@ -265,6 +265,9 @@ BENCH_QUERIES = [
     "term_proximity_rank",
     "markov_next_event_accuracy",
     "kmv_set_cardinality",
+    "hamming_binary_rerank",
+    "anova_f_groups",
+    "manifest_constraint_gate",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

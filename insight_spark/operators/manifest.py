@@ -43,6 +43,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifest"
 
@@ -674,3 +675,60 @@ def read_snapshot(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*manifest["files"])
+
+
+class ConstraintViolation(RuntimeError):
+    """An append batch violated a table CHECK constraint.
+
+    Nothing was staged and no version committed — the table is
+    untouched (validation runs BEFORE any file is written)."""
+
+
+def log_append_checked(
+    df: DataFrame,
+    table_dir: str,
+    constraints: dict[str, str],
+    expected_version: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """CHECK-constraint-enforcing append — the Delta ``ALTER TABLE ADD
+    CONSTRAINT`` write path: ``constraints`` maps a constraint name to
+    a SQL predicate every row MUST evaluate TRUE (a NULL predicate
+    value counts as a violation — data-quality semantics: the gate
+    admits only rows it can PROVE conform).  The whole batch is
+    validated with ONE map-side aggregate (per-constraint violator
+    counts) BEFORE anything is staged, so a rejected batch leaves no
+    orphan data files and the table version unchanged; a clean batch
+    proceeds through the normal atomic ``log_append`` commit.
+
+    At 100 TB the check is a single pass over the incoming batch only
+    (never the table), and the violator-count row collected to the
+    driver is |constraints| integers — bounded model-free state.
+    """
+    if constraints:
+        counts = (
+            df.agg(
+                *[
+                    F.sum(F.when(F.expr(pred), 0).otherwise(1))
+                    .cast("long")
+                    .alias(name)
+                    for name, pred in constraints.items()
+                ]
+            ).collect()[0]
+        )
+        bad = {
+            name: int(counts[name] or 0)
+            for name in constraints
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolation(
+                "append rejected, table unchanged — violated constraints "
+                f"(name: violator rows): {bad}"
+            )
+    return log_append(
+        df,
+        table_dir,
+        expected_version=expected_version,
+        stats_cols=stats_cols,
+    )

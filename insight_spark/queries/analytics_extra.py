@@ -4331,3 +4331,126 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("coverage_ppm"),
     )
+
+
+@query(
+    "anova_f_groups",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS xu
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(xu) AS BIGINT) AS s_g,
+               CAST(SUM(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS q_g
+        FROM x GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    terms AS (
+        SELECT
+            CAST(floor(1000 * (CAST(n_g AS DOUBLE)
+                 * ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 1000000)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000))
+                 * ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 1000000)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000)))
+                 + 0.5) AS BIGINT) AS ssb_milli,
+            CAST(floor(1000 * (CAST(q_g AS DOUBLE) / 1000000000000
+                 - CAST(n_g AS DOUBLE)
+                   * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 1000000)
+                   * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 1000000))
+                 + 0.5) AS BIGINT) AS ssw_milli
+        FROM g CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT CAST(SUM(ssb_milli) AS BIGINT) AS ssb_milli,
+               CAST(SUM(ssw_milli) AS BIGINT) AS ssw_milli
+        FROM terms
+    )
+    SELECT tot.k AS k_groups, tot.n AS n_total,
+           agg.ssb_milli, agg.ssw_milli,
+           (CAST(agg.ssb_milli AS DOUBLE) * CAST(tot.n - tot.k AS DOUBLE))
+           / (CAST(agg.ssw_milli AS DOUBLE)
+              * CAST(tot.k - 1 AS DOUBLE)) AS f_stat
+    FROM agg CROSS JOIN tot
+    """,
+)
+def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (M255): does mean event value differ
+    across event types?  F = [SSB/(k-1)] / [SSW/(n-k)] — the k-group
+    generalization the experiment family lacked (SRM/Wilson/CUPED are
+    two-arm; chi2 M168 is categorical): one number that says whether
+    ANY group's mean departs, read against the F critical value before
+    pairwise digging.
+
+    Exactness: per-row micro BIGINTs; per-group (n, s, q) with q as
+    DECIMAL(38,0)/HUGEINT (micro² passes int64); each group's SSB/SSW
+    term is an identical double tree over those exact integers,
+    quantized to milli BIGINT BEFORE the cross-group sum (the
+    split_label_shift_chi2 / psi_drift discipline — sum order cannot
+    move the result); F is one division of exact-integer-anchored
+    doubles, cast-before-multiply (the benford overflow discipline).
+    Scale: one map-side-combined group aggregate (k groups), a 1-row
+    totals reduce, term math on k rows — no windows, no data joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("xu"),
+    )
+    dec = "decimal(38,0)"
+    g = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("xu").cast("long").alias("s_g"),
+        F.sum(F.col("xu").cast(dec) * F.col("xu")).alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    m_g = F.col("s_g").cast("double") / F.col("n_g").cast("double") / 1000000
+    m = F.col("s").cast("double") / F.col("n").cast("double") / 1000000
+    ssb_term = F.floor(
+        1000 * (F.col("n_g").cast("double") * (m_g - m) * (m_g - m))
+        + F.lit(0.5)
+    ).cast("long")
+    ssw_term = F.floor(
+        1000
+        * (
+            F.col("q_g").cast("double") / 1000000000000
+            - F.col("n_g").cast("double") * m_g * m_g
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        ssb_term.alias("ssb_milli"), ssw_term.alias("ssw_milli")
+    )
+    agg = terms.agg(
+        F.sum("ssb_milli").cast("long").alias("ssb_milli"),
+        F.sum("ssw_milli").cast("long").alias("ssw_milli"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        "ssb_milli",
+        "ssw_milli",
+        (
+            F.col("ssb_milli").cast("double")
+            * (F.col("n") - F.col("k")).cast("double")
+            / (
+                F.col("ssw_milli").cast("double")
+                * (F.col("k") - 1).cast("double")
+            )
+        ).alias("f_stat"),
+    )

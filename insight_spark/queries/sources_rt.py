@@ -1758,3 +1758,91 @@ def manifest_version_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "manifest_constraint_gate",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS snapshot_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 300
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 500
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def manifest_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement on the manifest-log write path
+    (M254): the table declares constraints (key NOT NULL, positive
+    price, status in the legal domain); a conforming batch commits v1;
+    a batch containing poisoned rows (negated prices) is REJECTED
+    atomically — no version, no orphan files, table still at v1; the
+    cleaned batch then commits as v2.  This is the ingest gate
+    data_contract_audit (M233) only OBSERVES — here the contract is
+    enforced at commit time, the Delta ``ADD CONSTRAINT`` semantics.
+
+    The value hash reads v1 and v2 back: v2 exists as version TWO
+    (had the poisoned batch committed it would be v2 with negative
+    prices and the clean batch v3 — both the version literals and the
+    prices would mismatch), proving rejection left no partial state.
+    Rejection-with-no-orphans and the NULL-fails semantics are pinned
+    in tests/test_manifest.py.
+
+    Scale: validation is ONE map-side aggregate over the incoming
+    batch only (never the table); the driver sees |constraints|
+    violator counts — bounded state.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        ConstraintViolation,
+        log_append_checked,
+        read_snapshot,
+    )
+
+    checks = {
+        "key_not_null": "o_orderkey IS NOT NULL",
+        "price_positive": "o_totalprice > 0",
+        "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+    }
+    path = _rt_path(sf_dir, "manifest_gate")
+    shutil.rmtree(path, ignore_errors=True)  # fresh log per run
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = log_append_checked(
+        orders.filter(F.col("o_orderkey") <= 300),
+        path,
+        checks,
+        expected_version=0,
+    )
+    second = orders.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 500)
+    )
+    poisoned = second.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")),
+    )
+    try:
+        log_append_checked(poisoned, path, checks, expected_version=v1)
+        raise AssertionError("poisoned batch must be rejected")
+    except ConstraintViolation:
+        pass
+    v2 = log_append_checked(second, path, checks, expected_version=v1)
+    snap1 = read_snapshot(spark, path, v1).select(
+        F.lit(1).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    snap2 = read_snapshot(spark, path, v2).select(
+        F.lit(2).alias("snapshot_version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return snap1.unionByName(snap2)

@@ -325,3 +325,82 @@ def test_kmv_sketch_exact_regime_and_estimates(spark):
         assert row["est_union"] == row["exact_union"]
         assert row["union_err_ppm"] == 0
     assert 0 <= row["jaccard_ppm"] <= 1_000_000
+
+
+def test_constraint_gate_rejects_without_partial_state(spark, tmp_path):
+    from insight_spark.operators.manifest import (
+        ConstraintViolation,
+        latest_version,
+        log_append_checked,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "gate_tbl")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = log_append_checked(
+        orders.limit(0), path, {}, expected_version=0
+    )  # empty v1, no constraints
+    bad = orders.withColumn("o_totalprice", -F.abs(F.col("o_totalprice")))
+    with pytest.raises(ConstraintViolation):
+        log_append_checked(
+            bad, path, {"pos": "o_totalprice > 0"}, expected_version=v1
+        )
+    # rejection committed nothing and staged nothing the log references
+    assert latest_version(path) == v1
+    assert read_snapshot(spark, path, v1).count() == 0
+    # NULL fails the check (prove-conformance semantics)
+    nullish = orders.withColumn(
+        "o_totalprice", F.lit(None).cast("double")
+    ).limit(5)
+    with pytest.raises(ConstraintViolation):
+        log_append_checked(
+            nullish, path, {"pos": "o_totalprice > 0"},
+            expected_version=v1,
+        )
+
+
+def test_anova_f_is_nonnegative_and_decomposes(spark):
+    row = _q("anova_f_groups")(spark, SF_DIR).collect()[0]
+    assert row["k_groups"] >= 2
+    assert row["ssb_milli"] >= 0
+    assert row["ssw_milli"] > 0
+    assert row["f_stat"] >= 0.0
+    # SSB + SSW must equal total sum of squares (milli tolerance:
+    # k_groups+1 half-up roundings)
+    ev = load_table(spark, SF_DIR, "events").select(
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("xu")
+    )
+    import math
+
+    stats = ev.agg(
+        F.count("*").alias("n"),
+        F.sum("xu").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("xu").cast("decimal(38,0)") * F.col("xu")
+        ).alias("q"),
+    ).collect()[0]
+    n, s, q = int(stats["n"]), int(stats["s"]), int(stats["q"])
+    sst = q / 1e12 - n * (s / n / 1e6) ** 2
+    got = (row["ssb_milli"] + row["ssw_milli"]) / 1000.0
+    assert math.isclose(got, sst, rel_tol=1e-6, abs_tol=0.01 * (
+        row["k_groups"] + 1))
+
+
+def test_hamming_rerank_orders_and_bounds(spark):
+    rows = _q("hamming_binary_rerank")(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 5
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [r["d2"] for r in rs]
+        assert d2s == sorted(d2s)
+        for r in rs:
+            assert 0 <= r["hamming"] <= 64
+            assert r["vec_id"] != q_id
