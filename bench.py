@@ -268,6 +268,9 @@ BENCH_QUERIES = [
     "hamming_binary_rerank",
     "anova_f_groups",
     "manifest_constraint_gate",
+    "stream_topk_hitters",
+    "dataset_card_profile",
+    "lag_feature_matrix",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

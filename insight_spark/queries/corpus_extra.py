@@ -1415,3 +1415,114 @@ def length_bucket_padding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n_docs * bucket_max)"
         ).alias("waste_ppm"),
     )
+
+
+@query(
+    "dataset_card_profile",
+    oracle=r"""
+    WITH base AS (
+        SELECT source, lang, n_chars, md5(text) AS digest,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS n_toks
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS distinct_texts,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ),
+    lang_counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang AS top_lang, nl FROM (
+            SELECT source, lang, nl,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY nl DESC, lang) AS rk
+            FROM lang_counts
+        ) WHERE rk = 1
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.total_chars,
+           p.distinct_texts,
+           (2000000 * (p.n_docs - p.distinct_texts) + p.n_docs)
+               // (2 * p.n_docs) AS dup_ppm,
+           (2 * p.total_chars + p.n_docs) // (2 * p.n_docs)
+               AS mean_chars,
+           p.n_langs, t.top_lang,
+           (2000000 * t.nl + p.n_docs) // (2 * p.n_docs)
+               AS top_lang_share_ppm
+    FROM per_source p JOIN top_lang t ON p.source = t.source
+    """,
+)
+def dataset_card_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (M257): the datasheet table a training
+    mix is negotiated over — docs, tokens, chars, exact-dup rate,
+    language spread, and dominant language per source, in ONE pass.
+    Composes the signals the corpus family computes separately
+    (source_token_budget M4, line_dedup M17, lang profiles I12) into
+    the artifact a data-governance review actually reads.
+
+    Exactness: token counts from the shared whitespace tokenizer;
+    dup/share/mean as engine-neutral half-up integer ppm over exact
+    BIGINT counts; top-language tie-breaks (count DESC, lang ASC).
+    Scale: one map-side projection feeding two source-keyed aggregates
+    (the distincts expand to standard two-level partials) and a
+    |sources|-row argmax join — no windows on data, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("digest").cast("long").alias("distinct_texts"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("nl")
+    )
+    top_lang = (
+        lang_counts.groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("nl")).alias("neg"), F.col("lang").alias("lg")
+                )
+            ).alias("b")
+        )
+        .select(
+            "source",
+            F.col("b.lg").alias("top_lang"),
+            (-F.col("b.neg")).alias("nl"),
+        )
+    )
+    return per_source.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "total_chars",
+        "distinct_texts",
+        F.expr(
+            "(2000000 * (n_docs - distinct_texts) + n_docs)"
+            " div (2 * n_docs)"
+        ).alias("dup_ppm"),
+        F.expr("(2 * total_chars + n_docs) div (2 * n_docs)").alias(
+            "mean_chars"
+        ),
+        "n_langs",
+        "top_lang",
+        F.expr("(2000000 * nl + n_docs) div (2 * n_docs)").alias(
+            "top_lang_share_ppm"
+        ),
+    )

@@ -1002,3 +1002,54 @@ def stream_manifest_sink_versions(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(n_versions).cast("int").alias("n_versions"),
         )
     )
+
+
+@query(
+    "stream_topk_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n, rk FROM (
+        SELECT event_type, user_id, n,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, user_id) AS INTEGER) AS rk
+        FROM counts
+    ) WHERE rk <= 5
+    """,
+)
+def stream_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters (M256): per-(event_type, user_id) counts
+    accumulated as keyed streaming state across 4 micro-batches, then
+    the drained complete-mode table is ranked to the top-5 hitters per
+    type — the realtime abuse/hot-key dashboard (join_key_skew_profile
+    M66's streaming twin: the same skewed keys surface WHILE the
+    stream runs, not in the post-mortem).
+
+    The oracle is the identical batch aggregation + rank: the value
+    hash proves keyed state merged correctly across micro-batch
+    boundaries (stream-batch unification, §5.3.4).  Exactness: counts
+    are exact BIGINTs; ranks tie-break user_id.  Scale: streaming
+    state is one counter per live (type, user) key — the production
+    form bounds it with a space-saving sketch or TTL eviction; the
+    post-drain rank runs on the aggregate, partitioned per type.
+    """
+    from pyspark.sql.window import Window
+
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    name = "mem_topk_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = _drain(spark, agg, name)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return out.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.row_number().over(w).cast("int").alias("rk"),
+    ).filter(F.col("rk") <= 5)

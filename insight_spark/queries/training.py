@@ -1683,3 +1683,94 @@ def reshard_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved_ppm"
         ),
     )
+
+
+@query(
+    "lag_feature_matrix",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000
+                    AS BIGINT) AS v
+        FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '2'
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    spans AS (
+        SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id,
+               CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))
+                    AS TIMESTAMP) AS d
+        FROM spans s
+    ),
+    dense AS (
+        SELECT g.user_id, g.d, COALESCE(dy.v, 0) AS v
+        FROM grid g LEFT JOIN daily dy
+          ON g.user_id = dy.user_id AND g.d = dy.d
+    )
+    SELECT user_id, d AS day, v,
+           CAST(COALESCE(lag(v, 1) OVER w, 0) AS BIGINT) AS lag1,
+           CAST(COALESCE(lag(v, 7) OVER w, 0) AS BIGINT) AS lag7,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll7
+    FROM dense
+    WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    """,
+)
+def lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lag-feature builder (M258): per sampled user, the
+    dense daily grid of value sums with lag-1, lag-7, and rolling-7-day
+    features — the feature-store table a churn/forecast model trains
+    on, built leak-free (every feature at day d uses data strictly at
+    or before d — the point_in_time_join M105 discipline applied to
+    autoregressive features).  The GRID is the correctness subtlety:
+    lags over present-days-only silently skip gaps, so the series is
+    gap-filled to calendar days first (zero-activity days are real
+    observations), making row-lags equal time-lags.
+
+    Exactness: micro BIGINT daily sums; grid bounds per user from
+    exact min/max; the md5 3/16 user sample shares the predicate with
+    the oracle.  Scale: one user-day aggregate, a per-user bounded
+    sequence explode (span days), and windows partitioned per user —
+    the sessionize shuffle shape; nothing global.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "2"
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("v")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    dense = grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    wr = w.rowsBetween(-6, 0)
+    return dense.select(
+        "user_id",
+        F.col("d").alias("day"),
+        "v",
+        F.coalesce(F.lag("v", 1).over(w), F.lit(0))
+        .cast("long")
+        .alias("lag1"),
+        F.coalesce(F.lag("v", 7).over(w), F.lit(0))
+        .cast("long")
+        .alias("lag7"),
+        F.sum("v").over(wr).cast("long").alias("roll7"),
+    )

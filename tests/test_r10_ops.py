@@ -404,3 +404,58 @@ def test_hamming_rerank_orders_and_bounds(spark):
         for r in rs:
             assert 0 <= r["hamming"] <= 64
             assert r["vec_id"] != q_id
+
+
+def test_stream_topk_matches_batch_topk(spark):
+    got = {
+        (r["event_type"], r["user_id"], r["n"], r["rk"])
+        for r in _q("stream_topk_hitters")(spark, SF_DIR).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, SF_DIR, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    want = {
+        (r["event_type"], r["user_id"], r["n"], r["rk"])
+        for r in counts.select(
+            "*", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_dataset_card_accounts_every_doc(spark):
+    rows = _q("dataset_card_profile")(spark, SF_DIR).collect()
+    assert rows
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["distinct_texts"] <= r["n_docs"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        assert 0 < r["top_lang_share_ppm"] <= 1_000_000
+        assert r["n_langs"] >= 1 and r["top_lang"]
+        assert r["mean_chars"] >= 1
+
+
+def test_lag_features_are_point_in_time_consistent(spark):
+    rows = _q("lag_feature_matrix")(spark, SF_DIR).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        # dense grid: consecutive calendar days, no gaps
+        days = [r["day"] for r in rs]
+        for a, b in zip(days, days[1:]):
+            assert (b - a).days == 1 or (b - a).total_seconds() == 86400
+        vs = [r["v"] for r in rs]
+        for i, r in enumerate(rs):
+            assert r["lag1"] == (vs[i - 1] if i >= 1 else 0)
+            assert r["lag7"] == (vs[i - 7] if i >= 7 else 0)
+            assert r["roll7"] == sum(vs[max(0, i - 6) : i + 1])
