@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "stream_topk_hitters",
     "dataset_card_profile",
     "lag_feature_matrix",
+    "l_diversity_audit",
+    "cohort_ltv_curve",
+    "embedding_mean_shift_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -4454,3 +4454,99 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f_stat"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sized AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY cohort_week
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                    AS BIGINT) AS age_week,
+               CAST(SUM(CAST(e.value AS DECIMAL(38,6))) * 1000000
+                    AS BIGINT) AS rev_u
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT cohort_week, age_week,
+               CAST(SUM(rev_u) OVER (PARTITION BY cohort_week
+                                     ORDER BY age_week) AS BIGINT)
+                   AS cum_rev_u
+        FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, s.cohort_users, c.cum_rev_u,
+           (2 * c.cum_rev_u + s.cohort_users) // (2 * s.cohort_users)
+               AS ltv_micro_per_user
+    FROM curve c JOIN sized s ON c.cohort_week = s.cohort_week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (M260): cumulative purchase revenue per user by
+    cohort age in weeks — the money-side twin of retention_cohorts
+    (M102): retention says who CAME BACK, LTV says what they were
+    WORTH, and the curve's flattening point is where acquisition spend
+    must be recouped.  Cohort = first-event week; age = whole weeks
+    between the purchase's week and the cohort week.
+
+    Exactness: DECIMAL->micro BIGINT revenue; week truncation shared
+    (DuckDB date_trunc('week') returns DATE -> CAST TIMESTAMP, the
+    SCALE.md day-grain gotcha); LTV is half-up integer micro per
+    cohort user.  Scale: one user-keyed first-event aggregate, one
+    (cohort, age) revenue aggregate, and the cumulative window runs
+    per cohort over |ages| rows — bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), cohort_week)"
+                " div 7 AS BIGINT)"
+            ).alias("age_week"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+            .cast("long")
+            .alias("rev_u")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = rev.select(
+        "cohort_week",
+        "age_week",
+        F.sum("rev_u").over(w).cast("long").alias("cum_rev_u"),
+    )
+    return curve.join(F.broadcast(sized), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "cohort_users",
+        "cum_rev_u",
+        F.expr(
+            "(2 * cum_rev_u + cohort_users) div (2 * cohort_users)"
+        ).alias("ltv_micro_per_user"),
+    )

@@ -804,3 +804,71 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("event_type", "day", noisy)
         .filter(F.col("noisy_n") >= _DP_RELEASE_MIN)
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH rows_ AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens
+        FROM customer
+    ),
+    sv AS (
+        SELECT nation, segment, sens, CAST(COUNT(*) AS BIGINT) AS ns
+        FROM rows_ GROUP BY nation, segment, sens
+    ),
+    cells AS (
+        SELECT nation, segment,
+               CAST(SUM(ns) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               CAST(MAX(ns) AS BIGINT) AS top_sens_n
+        FROM sv GROUP BY nation, segment
+    )
+    SELECT CAST(nation AS INTEGER) AS nation, segment, n_rows,
+           l_distinct,
+           CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS meets_l3,
+           (2000000 * top_sens_n + n_rows) // (2 * n_rows)
+               AS top_sens_share_ppm
+    FROM cells
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (M259): k-anonymity's (M121) necessary
+    companion — a cell can hold >= k individuals yet leak everything
+    if they all share the SAME sensitive value (the homogeneity
+    attack).  Per (nation, segment) quasi-identifier cell: row count,
+    number of DISTINCT sensitive values (account-balance bands), an
+    l>=3 flag, and the dominant sensitive value's share — the
+    recursive-(c,l) early-warning number (a share near 1e6 means the
+    cell is as good as homogeneous even when l is technically met).
+
+    Exactness: all counts exact BIGINTs; the share is half-up integer
+    ppm; the sensitive banding (floor(acctbal/1000)) is shared with
+    the oracle.  Scale: two nested bounded-key aggregates (QI x band,
+    then QI), both map-side combined — the k_anonymity_suppress shape.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    rows_ = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+    )
+    sv = rows_.groupBy("nation", "segment", "sens").agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    cells = sv.groupBy("nation", "segment").agg(
+        F.sum("ns").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("ns").cast("long").alias("top_sens_n"),
+    )
+    return cells.select(
+        F.col("nation").cast("int").alias("nation"),
+        "segment",
+        "n_rows",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).cast("int").alias("meets_l3"),
+        F.expr(
+            "(2000000 * top_sens_n + n_rows) div (2 * n_rows)"
+        ).alias("top_sens_share_ppm"),
+    )

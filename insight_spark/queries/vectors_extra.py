@@ -3085,3 +3085,147 @@ def hamming_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 5).select(
         "q_id", "vec_id", "rank", "hamming", "d2"
     )
+
+
+@query(
+    "embedding_mean_shift_audit",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                         <= '7' THEN 0 ELSE 1 END AS half,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT half, d, e[d] AS x
+        FROM m CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER)
+                               AS d)
+    ),
+    g AS (
+        SELECT d,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN half = 0 THEN x ELSE 0 END)
+                    AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN half = 0
+                    THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+                    AS HUGEINT) AS q_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN half = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN half = 1
+                    THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+                    AS HUGEINT) AS q_b
+        FROM pos GROUP BY d
+    ),
+    smd AS (
+        SELECT d, n_a, n_b,
+               ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / sqrt(((CAST(CAST(n_a AS HUGEINT) * q_a
+                              - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+                         / CAST(n_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      + (CAST(CAST(n_b AS HUGEINT) * q_b
+                              - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+                         / CAST(n_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                       / 2)) AS z
+        FROM g
+    ),
+    ranked AS (
+        SELECT d AS dim, n_a, n_b,
+               CAST(floor(1000000 * z + 0.5) AS BIGINT) AS smd_ppm,
+               CAST(floor(1000000 * abs(z) + 0.5) AS BIGINT)
+                   AS smd_abs_ppm
+        FROM smd
+    )
+    SELECT dim, n_a, n_b, smd_ppm FROM ranked
+    ORDER BY smd_abs_ppm DESC, dim LIMIT 16
+    """,
+)
+def embedding_mean_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift monitor (M261): split the corpus
+    into two keyed halves (production: last week vs history) and rank
+    dimensions by standardized mean difference — the embedding-space
+    twin of psi_drift (M107): a re-trained encoder, a data-source
+    shift, or a silent preprocessing change shows up as a few
+    high-|SMD| dimensions long before downstream recall moves.
+
+    Exactness: per-dim (n, s, q) moments as exact micro BIGINTs with
+    DECIMAL(38,0)/HUGEINT squares; SMD = identical double tree over
+    those integers (IEEE sqrt/divisions), quantized to ppm BIGINT, and
+    the top-16 ORDER is on the quantized value (rank-on-rounded, the
+    float-ordering discipline) with dim tie-break.  Scale: one
+    posexplode + one 64-group aggregate (map-side combined) — no
+    joins, no windows on data.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+            <= "7",
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        quantize_micro(F.col("embedding")).alias("e"),
+    )
+    pos = m.select("half", F.posexplode("e").alias("d0", "x")).select(
+        (F.col("d0") + 1).cast("int").alias("d"), "half", "x"
+    )
+    dec = "decimal(38,0)"
+    half0 = F.col("half") == 0
+    g = pos.groupBy("d").agg(
+        F.sum(F.when(half0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(half0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(
+            F.when(half0, F.col("x").cast(dec) * F.col("x")).otherwise(0)
+        ).alias("q_a"),
+        F.sum(F.when(~half0, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~half0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+        F.sum(
+            F.when(~half0, F.col("x").cast(dec) * F.col("x")).otherwise(0)
+        ).alias("q_b"),
+    )
+    mean_gap = F.col("s_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    var_a = (
+        (
+            F.col("n_a").cast(dec) * F.col("q_a")
+            - F.col("s_a").cast(dec) * F.col("s_a")
+        ).cast("double")
+        / F.col("n_a").cast("double")
+        / F.col("n_a").cast("double")
+    )
+    var_b = (
+        (
+            F.col("n_b").cast(dec) * F.col("q_b")
+            - F.col("s_b").cast(dec) * F.col("s_b")
+        ).cast("double")
+        / F.col("n_b").cast("double")
+        / F.col("n_b").cast("double")
+    )
+    z = mean_gap / F.sqrt((var_a + var_b) / 2)
+    ranked = g.select(
+        F.col("d").alias("dim"),
+        "n_a",
+        "n_b",
+        F.floor(1000000 * z + F.lit(0.5)).cast("long").alias("smd_ppm"),
+        F.floor(1000000 * F.abs(z) + F.lit(0.5))
+        .cast("long")
+        .alias("smd_abs_ppm"),
+    )
+    return (
+        ranked.orderBy(F.desc("smd_abs_ppm"), "dim")
+        .limit(16)
+        .select("dim", "n_a", "n_b", "smd_ppm")
+    )

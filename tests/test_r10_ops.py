@@ -459,3 +459,43 @@ def test_lag_features_are_point_in_time_consistent(spark):
             assert r["lag1"] == (vs[i - 1] if i >= 1 else 0)
             assert r["lag7"] == (vs[i - 7] if i >= 7 else 0)
             assert r["roll7"] == sum(vs[max(0, i - 6) : i + 1])
+
+
+def test_l_diversity_flags_match_counts(spark):
+    rows = _q("l_diversity_audit")(spark, SF_DIR).collect()
+    assert rows
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= r["n_rows"]
+        assert r["meets_l3"] == (1 if r["l_distinct"] >= 3 else 0)
+        # dominant share can never be below 1/l
+        assert r["top_sens_share_ppm"] * r["l_distinct"] >= 1_000_000 - r[
+            "l_distinct"
+        ]
+
+
+def test_cohort_ltv_is_monotone_in_age(spark):
+    rows = _q("cohort_ltv_curve")(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_week"])
+        cums = [r["cum_rev_u"] for r in rs]
+        assert cums == sorted(cums)  # cumulative revenue never drops
+        assert all(r["age_week"] >= 0 for r in rs)
+        users = {r["cohort_users"] for r in rs}
+        assert len(users) == 1
+
+
+def test_embedding_drift_halves_split_everything(spark):
+    rows = _q("embedding_mean_shift_audit")(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == n_emb
+        assert 1 <= r["dim"] <= 64
+    dims = [r["dim"] for r in rows]
+    assert len(set(dims)) == 16
