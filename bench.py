@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     "l_diversity_audit",
     "cohort_ltv_curve",
     "embedding_mean_shift_audit",
+    "quantile_treatment_effect",
+    "conformal_interval_coverage",
+    "experiment_cumulative_lift",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -4550,3 +4550,368 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * cum_rev_u + cohort_users) div (2 * cohort_users)"
         ).alias("ltv_micro_per_user"),
     )
+
+
+@query(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000
+                    AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               quantile_cont(v, 0.1) AS q10,
+               quantile_cont(v, 0.25) AS q25,
+               quantile_cont(v, 0.5) AS q50,
+               quantile_cont(v, 0.75) AS q75,
+               quantile_cont(v, 0.9) AS q90
+        FROM per_user GROUP BY arm
+    ),
+    t AS (SELECT * FROM arms WHERE arm = 1),
+    c AS (SELECT * FROM arms WHERE arm = 0)
+    SELECT p, q_treat, q_control, q_treat - q_control AS qte
+    FROM (
+        SELECT CAST(0.10 AS DOUBLE) AS p, t.q10 AS q_treat, c.q10 AS q_control FROM t, c
+        UNION ALL
+        SELECT CAST(0.25 AS DOUBLE), t.q25, c.q25 FROM t, c
+        UNION ALL
+        SELECT CAST(0.50 AS DOUBLE), t.q50, c.q50 FROM t, c
+        UNION ALL
+        SELECT CAST(0.75 AS DOUBLE), t.q75, c.q75 FROM t, c
+        UNION ALL
+        SELECT CAST(0.90 AS DOUBLE), t.q90, c.q90 FROM t, c
+    )
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (M262): the per-quantile lift between
+    arms at p10/p25/p50/p75/p90 of per-user value — the
+    DISTRIBUTIONAL experiment readout the mean-based family (CUPED
+    M241, DiD M222) hides: a treatment that helps the median user but
+    hurts the tail shows a zero mean lift and a loud QTE curve.
+
+    Exactness: per-user outcomes are exact micro BIGINTs; both engines
+    share the linear-interpolation percentile definition (the
+    value_percentiles pin), so each quantile is a bit-equal double
+    over exact integers and the QTE is one subtraction of identical
+    trees.  Scale: one user-keyed aggregate + a 2-row per-arm
+    percentile aggregate + constant-size reshaping.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("v"),
+    )
+    probes = [0.10, 0.25, 0.50, 0.75, 0.90]
+    arms = per_user.groupBy("arm").agg(
+        *[
+            F.percentile("v", F.lit(p)).alias(f"q{int(p * 100)}")
+            for p in probes
+        ]
+    )
+    t = arms.filter(F.col("arm") == 1).select(
+        *[F.col(f"q{int(p * 100)}").alias(f"t{int(p * 100)}") for p in probes]
+    )
+    c = arms.filter(F.col("arm") == 0).select(
+        *[F.col(f"q{int(p * 100)}").alias(f"c{int(p * 100)}") for p in probes]
+    )
+    wide = t.crossJoin(c)
+    rows = [
+        wide.select(
+            F.lit(p).alias("p"),
+            F.col(f"t{int(p * 100)}").alias("q_treat"),
+            F.col(f"c{int(p * 100)}").alias("q_control"),
+        )
+        for p in probes
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "p",
+        "q_treat",
+        "q_control",
+        (F.col("q_treat") - F.col("q_control")).alias("qte"),
+    )
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS v,
+               CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         <= '7' THEN 0
+                    WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         <= 'b' THEN 1
+                    ELSE 2 END AS split
+        FROM events
+    ),
+    model AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS pred
+        FROM tagged WHERE split = 0 GROUP BY event_type
+    ),
+    cal AS (
+        SELECT t.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_cal,
+               quantile_cont(abs(CAST(t.v AS DOUBLE) - m.pred), 0.9)
+                   AS qhat
+        FROM tagged t JOIN model m ON t.event_type = m.event_type
+        WHERE t.split = 1 GROUP BY t.event_type
+    ),
+    ev AS (
+        SELECT t.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN abs(CAST(t.v AS DOUBLE) - m.pred)
+                                  <= c.qhat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        FROM tagged t
+        JOIN model m ON t.event_type = m.event_type
+        JOIN cal c ON t.event_type = c.event_type
+        WHERE t.split = 2 GROUP BY t.event_type
+    )
+    SELECT m.event_type, m.n_train, c.n_cal, ev.n_eval, m.pred, c.qhat,
+           (2000000 * ev.n_inside + ev.n_eval) // (2 * ev.n_eval)
+               AS coverage_ppm
+    FROM model m
+    JOIN cal c ON m.event_type = c.event_type
+    JOIN ev ON m.event_type = ev.event_type
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (M263): train a naive
+    per-type mean predictor on the train split, take the 90th
+    percentile of absolute residuals on a held-out CALIBRATION split
+    (qhat), and measure on the EVAL split how often the true value
+    lands inside pred ± qhat — the distribution-free uncertainty
+    wrapper modern ML serving puts around ANY point model; coverage
+    near 900 000 ppm certifies the calibration regardless of the
+    predictor's quality.
+
+    Exactness: the 8/4/4 md5 split and micro BIGINT values are shared
+    predicates; pred is one division of exact integers; residuals and
+    qhat are identical double trees (shared interpolated-percentile
+    definition); coverage is half-up integer ppm over exact counts.
+    Scale: three passes over the scan with a broadcast |types|-row
+    model — no windows, no data-sized joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hexc = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    tagged = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("v"),
+        F.when(hexc <= "7", 0).when(hexc <= "b", 1).otherwise(2).alias(
+            "split"
+        ),
+    )
+    model = (
+        tagged.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            (F.sum("v").cast("double") / F.count("*").cast("double")).alias(
+                "pred"
+            ),
+        )
+    )
+    resid = F.abs(F.col("v").cast("double") - F.col("pred"))
+    cal = (
+        tagged.filter(F.col("split") == 1)
+        .join(F.broadcast(model), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cal"),
+            F.percentile(resid, F.lit(0.9)).alias("qhat"),
+        )
+    )
+    evl = (
+        tagged.filter(F.col("split") == 2)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(cal.select("event_type", "qhat")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum((resid <= F.col("qhat")).cast("int"))
+            .cast("long")
+            .alias("n_inside"),
+        )
+    )
+    return (
+        model.join(cal, "event_type")
+        .join(evl, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_eval",
+            "pred",
+            "qhat",
+            F.expr(
+                "(2000000 * n_inside + n_eval) div (2 * n_eval)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+@query(
+    "experiment_cumulative_lift",
+    oracle="""
+    WITH seen AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    bounds AS (
+        SELECT MIN(d) AS d0, MAX(d) AS d1 FROM seen
+    ),
+    grid AS (
+        SELECT a.arm,
+               CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                    AS TIMESTAMP) AS day
+        FROM bounds b CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+    ),
+    seen_d AS (
+        SELECT arm, d AS day, CAST(COUNT(*) AS BIGINT) AS nu
+        FROM seen GROUP BY arm, d
+    ),
+    conv_d AS (
+        SELECT arm, d AS day, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM conv GROUP BY arm, d
+    ),
+    cum AS (
+        SELECT g.arm, g.day,
+               CAST(SUM(COALESCE(s.nu, 0)) OVER w AS BIGINT) AS users,
+               CAST(SUM(COALESCE(c.nc, 0)) OVER w AS BIGINT) AS convs
+        FROM grid g
+        LEFT JOIN seen_d s ON g.arm = s.arm AND g.day = s.day
+        LEFT JOIN conv_d c ON g.arm = c.arm AND g.day = c.day
+        WINDOW w AS (PARTITION BY g.arm ORDER BY g.day)
+    ),
+    t AS (SELECT day, users AS users_t, convs AS convs_t
+          FROM cum WHERE arm = 1),
+    c AS (SELECT day, users AS users_c, convs AS convs_c
+          FROM cum WHERE arm = 0)
+    SELECT t.day, t.users_t, t.convs_t, c.users_c, c.convs_c,
+           CASE WHEN t.users_t = 0 OR c.users_c = 0 THEN NULL
+                ELSE (2000000 * t.convs_t + t.users_t)
+                         // (2 * t.users_t)
+                   - (2000000 * c.convs_c + c.users_c)
+                         // (2 * c.users_c)
+           END AS lift_ppm
+    FROM t JOIN c ON t.day = c.day
+    """,
+)
+def experiment_cumulative_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative experiment monitor (M264): per calendar day, the
+    RUNNING per-arm user and converter counts and the running
+    conversion-rate lift — the "peeking dashboard" every experiment
+    platform renders (and the reason sequential corrections exist:
+    early days swing wildly on small cumulative denominators; this
+    table is the exhibit).  Users enter at their first event, convert
+    at their first purchase — both monotone, so every day's row is a
+    valid photograph of the experiment so far.
+
+    Exactness: first-seen/first-converted days from exact MIN(ts)
+    day-truncation (DATE->TIMESTAMP gotcha handled); cumulative sums
+    over the dense day grid; lift is a difference of half-up integer
+    ppms, NULL-guarded zero denominators.  Scale: two user-keyed
+    aggregates, a bounded |days|x2 grid, and cumulative windows per
+    arm over |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.date_trunc("day", F.min("ts")).alias("d"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("arm"),
+            F.date_trunc("day", F.min("ts")).alias("d"),
+        )
+    )
+    bounds = seen.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    arms = spark.createDataFrame([(0,), (1,)], "arm long")
+    grid = (
+        bounds.crossJoin(arms)
+        .select(
+            "arm",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    seen_d = seen.groupBy("arm", F.col("d").alias("day")).agg(
+        F.count("*").cast("long").alias("nu")
+    )
+    conv_d = conv.groupBy("arm", F.col("d").alias("day")).agg(
+        F.count("*").cast("long").alias("nc")
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(seen_d, ["arm", "day"], "left")
+        .join(conv_d, ["arm", "day"], "left")
+        .select(
+            "arm",
+            "day",
+            F.sum(F.coalesce(F.col("nu"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("users"),
+            F.sum(F.coalesce(F.col("nc"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("convs"),
+        )
+    )
+    t = cum.filter(F.col("arm") == 1).select(
+        "day",
+        F.col("users").alias("users_t"),
+        F.col("convs").alias("convs_t"),
+    )
+    c = cum.filter(F.col("arm") == 0).select(
+        "day",
+        F.col("users").alias("users_c"),
+        F.col("convs").alias("convs_c"),
+    )
+    joined = t.join(c, "day")
+    return joined.select(
+        "day",
+        "users_t",
+        "convs_t",
+        "users_c",
+        "convs_c",
+        F.when(
+            (F.col("users_t") == 0) | (F.col("users_c") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "(2000000 * convs_t + users_t) div (2 * users_t)"
+                " - (2000000 * convs_c + users_c) div (2 * users_c)"
+            )
+        )
+        .alias("lift_ppm"),
+    )

@@ -499,3 +499,42 @@ def test_embedding_drift_halves_split_everything(spark):
         assert 1 <= r["dim"] <= 64
     dims = [r["dim"] for r in rows]
     assert len(set(dims)) == 16
+
+
+def test_qte_probes_are_monotone_within_arm(spark):
+    rows = sorted(
+        _q("quantile_treatment_effect")(spark, SF_DIR).collect(),
+        key=lambda r: r["p"],
+    )
+    assert [r["p"] for r in rows] == [0.10, 0.25, 0.50, 0.75, 0.90]
+    qt = [r["q_treat"] for r in rows]
+    qc = [r["q_control"] for r in rows]
+    assert qt == sorted(qt) and qc == sorted(qc)  # quantiles monotone
+    for r in rows:
+        assert abs(r["qte"] - (r["q_treat"] - r["q_control"])) < 1e-6
+
+
+def test_conformal_coverage_is_near_nominal(spark):
+    rows = _q("conformal_interval_coverage")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["qhat"] >= 0.0
+        # conformal guarantee is approximate on finite samples; at
+        # sf0.001 per-type eval splits are small, so allow wide slack
+        # while still catching a broken qhat (coverage ~0 or ~1e6 with
+        # a degenerate interval would fail)
+        assert 600_000 <= r["coverage_ppm"] <= 1_000_000
+
+
+def test_cumulative_lift_counts_are_monotone(spark):
+    rows = sorted(
+        _q("experiment_cumulative_lift")(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for col in ("users_t", "convs_t", "users_c", "convs_c"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
+    last = rows[-1]
+    assert last["convs_t"] <= last["users_t"]
+    assert last["convs_c"] <= last["users_c"]
