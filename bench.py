@@ -277,6 +277,9 @@ BENCH_QUERIES = [
     "quantile_treatment_effect",
     "conformal_interval_coverage",
     "experiment_cumulative_lift",
+    "mann_whitney_u",
+    "spearman_nation_segment",
+    "t_closeness_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -93,8 +93,15 @@ __all__ = [
 #:   series (the acf_hourly_lags pattern — |hours| rows post-aggregate).
 #: - term_proximity_rank: rank window on the TakeOrdered(2) term head
 #:   (the vector_index_probe pattern).
+#: - mann_whitney_u: cumulative rank window over the DISTINCT-value
+#:   histogram — bounded by the value domain (2-dp money → ≤5·10⁴
+#:   keys), the roc_auc_binned shape, never over rows.
+#: - spearman_nation_segment: rank windows on the (nation, segment)
+#:   group table — ≤125 rows post-aggregate at any data size.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
+        "mann_whitney_u",
+        "spearman_nation_segment",
         "xcorr_hourly_lags",
         "term_proximity_rank",
         "ks_distribution_shift",

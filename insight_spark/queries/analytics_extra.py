@@ -4915,3 +4915,253 @@ def experiment_cumulative_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("lift_ppm"),
     )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS xu,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    h AS (
+        SELECT xu, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(g1) AS BIGINT) AS t1
+        FROM x GROUP BY xu
+    ),
+    r AS (
+        SELECT t, t1,
+               2 * CAST(COALESCE(SUM(t) OVER (
+                       ORDER BY xu
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) + t + 1 AS rank2
+        FROM h
+    ),
+    a AS (
+        SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+               CAST(SUM(t) - SUM(t1) AS BIGINT) AS n2,
+               CAST(SUM(CAST(t1 AS HUGEINT) * rank2) AS HUGEINT) AS r2x1,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+                   AS tie_t
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(r2x1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+               AS u1,
+           CAST(r2x1 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+           / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_t AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 - 1 AS DOUBLE)))))
+               AS z_tie
+    FROM a
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (M265): do `purchase` values come
+    from a stochastically larger distribution than `click` values?
+    The nonparametric two-sample complement of the experiment family
+    (Wilson/CUPED assume means behave; ANOVA M255 assumes normal-ish
+    residuals): U depends only on ranks, so heavy tails and outliers
+    — the norm for revenue-like metrics — cannot distort it.  Emits
+    exact U plus the tie-corrected normal z.
+
+    Exactness: values micro-quantized via DECIMAL(38,6) (the anova
+    discipline — integral, so truncate==round); ranks of a tied group
+    enter as DOUBLED average ranks (2·cum_less + t + 1, an exact
+    integer — no .5 ever materializes); rank-sum and the tie term
+    Σ(t³−t) accumulate in DECIMAL(38,0)/HUGEINT; u1 and z are ONE
+    shared IEEE tree over those exact integers (divisions, one
+    correctly-rounded sqrt) — bit-identical doubles both engines.
+
+    Scale: ranking needs value order, but only over the DISTINCT
+    value histogram — one map-side-combined groupBy(xu) whose
+    cardinality is bounded by the value domain (2-dp money in
+    [0, 500) → ≤5·10⁴ keys at ANY corpus size, the roc_auc_binned
+    argument), then the cumulative window runs on that bounded
+    histogram (documented BOUNDED_GLOBAL_WINDOW_OK entry), never on
+    rows.  Final reduce is a 1-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("xu"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    h = x.groupBy("xu").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    w = Window.orderBy("xu").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "t",
+        "t1",
+        (
+            2 * F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+            + F.col("t")
+            + 1
+        ).alias("rank2"),
+    )
+    dec = "decimal(38,0)"
+    a = r.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        (F.sum("t") - F.sum("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1").cast(dec) * F.col("rank2")).alias("r2x1"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u2x = F.col("r2x1") - F.col("n1").cast(dec) * (F.col("n1") + 1)
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie_t").cast("double")
+            / (nd * (F.col("n1") + F.col("n2") - 1).cast("double"))
+        )
+    )
+    return a.select(
+        "n1",
+        "n2",
+        (u2x.cast("double") / F.lit(2.0)).alias("u1"),
+        (
+            (u2x - F.col("n1").cast(dec) * F.col("n2")).cast("double")
+            / (F.lit(2.0) * F.sqrt(var))
+        ).alias("z_tie"),
+    )
+
+
+@query(
+    "spearman_nation_segment",
+    oracle="""
+    WITH bal AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)) * 1000000)
+                    AS BIGINT) AS x
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    rev AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)) * 1000000)
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_mktsegment
+    ),
+    g AS (
+        SELECT b.x, CAST(COALESCE(r.y, 0) AS BIGINT) AS y
+        FROM bal b LEFT JOIN rev r
+          ON b.c_nationkey = r.c_nationkey
+         AND b.c_mktsegment = r.c_mktsegment
+    ),
+    rk AS (
+        SELECT 2 * CAST(RANK() OVER (ORDER BY x) AS BIGINT)
+                 + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1
+                   AS rx,
+               2 * CAST(RANK() OVER (ORDER BY y) AS BIGINT)
+                 + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1
+                   AS ry
+        FROM g
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+        FROM rk
+    )
+    SELECT n AS n_groups,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+    FROM m
+    """,
+)
+def spearman_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation across (nation, segment) groups
+    (M266): do groups whose customers hold more account balance also
+    generate more order revenue?  Rank correlation — monotone
+    association free of the linearity/outlier assumptions Pearson
+    (`corr_matrix`) carries, the right default when group totals span
+    orders of magnitude.
+
+    Exactness: both group measures are exact micro BIGINTs (DECIMAL
+    money sums), so rank order is integer order — no float compare
+    anywhere in the ranking; tied groups enter as DOUBLED average
+    ranks (2·RANK() + t − 1, exact integers — the mann_whitney_u
+    device); all five Pearson moments over those integer ranks are
+    exact BIGINTs (≤125·250² — nowhere near overflow); rho is ONE
+    shared IEEE tree (a division and a correctly-rounded sqrt of
+    exact-integer products) — bit-identical doubles.
+
+    Scale: two map-side-combined aggregates sharing the (nation,
+    segment) key (≤ 25·5 = 125 groups at ANY data size), a 125-row
+    join, rank windows on the 125-row group table (documented
+    BOUNDED_GLOBAL_WINDOW_OK entry — metadata-scale, not data-scale),
+    one 1-row reduce.  The fact tables are each scanned once.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("x")
+    )
+    rev = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey", "c_mktsegment"),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)") * 1000000)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    g = bal.join(rev, ["c_nationkey", "c_mktsegment"], "left").select(
+        "x", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    rk = g.select(
+        (
+            2 * F.rank().over(Window.orderBy("x")).cast("long")
+            + F.count("*").over(Window.partitionBy("x")).cast("long")
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(Window.orderBy("y")).cast("long")
+            + F.count("*").over(Window.partitionBy("y")).cast("long")
+            - 1
+        ).alias("ry"),
+    )
+    m = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_groups"),
+        (
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        ).alias("rho"),
+    )

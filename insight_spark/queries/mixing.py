@@ -872,3 +872,182 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2000000 * top_sens_n + n_rows) div (2 * n_rows)"
         ).alias("top_sens_share_ppm"),
     )
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH a AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS au
+        FROM customer
+    ),
+    bounds AS (
+        SELECT CAST(MIN(au) AS BIGINT) AS lo,
+               CAST(MAX(au) AS BIGINT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM a
+    ),
+    binned AS (
+        SELECT c_nationkey, c_mktsegment,
+               least((au - lo) * 10 // (hi - lo + 1), 9) AS bin
+        FROM a, bounds
+    ),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM binned GROUP BY c_nationkey, c_mktsegment
+    ),
+    gb AS (
+        SELECT c_nationkey, c_mktsegment, bin,
+               CAST(COUNT(*) AS BIGINT) AS c_gb
+        FROM binned GROUP BY c_nationkey, c_mktsegment, bin
+    ),
+    gtot AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS c_b
+        FROM binned GROUP BY bin
+    ),
+    dense AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+               CAST(r.range AS BIGINT) AS bin,
+               CAST(COALESCE(gb.c_gb, 0) AS BIGINT) AS c_gb,
+               CAST(COALESCE(gl.c_b, 0) AS BIGINT) AS c_b
+        FROM grp g
+        CROSS JOIN range(10) r
+        LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+                    AND gb.c_mktsegment = g.c_mktsegment
+                    AND gb.bin = r.range
+        LEFT JOIN gtot gl ON gl.bin = r.range
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, n_g,
+               SUM(CAST(c_gb AS HUGEINT) * (SELECT n_total FROM bounds)
+                   - CAST(c_b AS HUGEINT) * n_g) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_d
+        FROM dense
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, n_g,
+               CAST(SUM(ABS(cum_d)) AS HUGEINT) AS emd_num
+        FROM cum GROUP BY c_nationkey, c_mktsegment, n_g
+    )
+    SELECT e.c_nationkey, e.c_mktsegment, e.n_g,
+           CAST(e.emd_num AS DOUBLE)
+           / (CAST(e.n_g AS DOUBLE) * CAST(b.n_total AS DOUBLE) * 9.0)
+               AS t_emd,
+           CAST(CAST(e.emd_num AS DOUBLE)
+                / (CAST(e.n_g AS DOUBLE) * CAST(b.n_total AS DOUBLE)
+                   * 9.0) <= 0.2 AS INT) AS within_t02
+    FROM emd e CROSS JOIN bounds b
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (M267): completes the privacy trio
+    (`k_anonymity_suppress` M91, `l_diversity_audit` M256).  k-anon
+    bounds group SIZE, l-diversity bounds sensitive-value VARIETY —
+    both are blind to a group whose sensitive DISTRIBUTION leans
+    (1 of 3 distinct values at 98% still leaks).  t-closeness bounds
+    the distance between each quasi-identifier group's sensitive
+    distribution and the global one; for an ORDERED attribute
+    (account balance) the canonical distance is the 1-D Earth Mover's
+    Distance = mean |cumulative difference| over the value bins
+    (Li et al., ICDE 2007 — public formulation).
+
+    Exactness: acctbal micro-quantized; equi-width decile bins by the
+    exact integer expression least((a−lo)·10 div (hi−lo+1), 9) (the
+    M147 discipline) against broadcast exact global bounds; the
+    per-bin mass gap uses the common denominator n_g·N, so
+    d_b = c_gb·N − c_b·n_g is an EXACT integer (HUGEINT/DECIMAL —
+    n_g·N overflows int64 at 100 TB); the EMD numerator Σ|cum d_b| is
+    exact, and t_emd is ONE IEEE division tree both engines share.
+    The within_t02 flag compares those identical doubles.
+
+    Scale: three map-side-combined histogram aggregates off one scan
+    shape (group sizes, group×bin, global×bin — the last is 10 rows,
+    broadcast), densified against a literal 10-bin grid (≤125·10
+    rows), cumulated by a window PARTITIONED per group over 10 rows.
+    Nothing global, nothing driver-side; output ≤125 rows of
+    metadata.
+    """
+    dec = "decimal(38,0)"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("au"),
+    )
+    bounds = cust.agg(
+        F.min("au").cast("long").alias("lo"),
+        F.max("au").cast("long").alias("hi"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_total",
+        F.expr("least(((au - lo) * 10) div (hi - lo + 1), 9)").alias(
+            "bin"
+        ),
+    )
+    grp = binned.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.max("n_total").alias("n_total"),
+    )
+    gb = binned.groupBy("c_nationkey", "c_mktsegment", "bin").agg(
+        F.count("*").cast("long").alias("c_gb")
+    )
+    glob = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("c_b")
+    )
+    grid = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    dense = (
+        grp.crossJoin(F.broadcast(grid))
+        .join(gb, ["c_nationkey", "c_mktsegment", "bin"], "left")
+        .join(F.broadcast(glob), ["bin"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "n_total",
+            "bin",
+            F.coalesce(F.col("c_gb"), F.lit(0)).cast("long").alias("c_gb"),
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "n_total",
+        F.sum(
+            F.col("c_gb").cast(dec) * F.col("n_total")
+            - F.col("c_b").cast(dec) * F.col("n_g")
+        )
+        .over(w)
+        .alias("cum_d"),
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "n_g", "n_total").agg(
+        F.sum(F.abs(F.col("cum_d"))).alias("emd_num")
+    )
+    t_emd = F.col("emd_num").cast("double") / (
+        F.col("n_g").cast("double")
+        * F.col("n_total").cast("double")
+        * F.lit(9.0)
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        t_emd.alias("t_emd"),
+        (t_emd <= F.lit(0.2)).cast("int").alias("within_t02"),
+    )

@@ -538,3 +538,40 @@ def test_cumulative_lift_counts_are_monotone(spark):
     last = rows[-1]
     assert last["convs_t"] <= last["users_t"]
     assert last["convs_c"] <= last["users_c"]
+
+
+def test_mann_whitney_u_bounds_and_sign(spark):
+    """0 <= U1 <= n1*n2; z's sign must agree with U1 vs its null mean
+    n1*n2/2 (the z numerator IS 2*U1 - n1*n2); group sizes must add up
+    to the pooled filter count."""
+    row = _q("mann_whitney_u")(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    pooled = ev.filter(F.col("event_type").isin("purchase", "click")).count()
+    assert row["n1"] + row["n2"] == pooled
+    assert 0 <= row["u1"] <= row["n1"] * row["n2"]
+    mid = row["n1"] * row["n2"] / 2.0
+    if row["u1"] > mid:
+        assert row["z_tie"] > 0
+    elif row["u1"] < mid:
+        assert row["z_tie"] < 0
+    else:
+        assert row["z_tie"] == 0
+
+
+def test_spearman_is_bounded_and_counts_groups(spark):
+    row = _q("spearman_nation_segment")(spark, SF_DIR).collect()[0]
+    cust = load_table(spark, SF_DIR, "customer")
+    n_groups = cust.select("c_nationkey", "c_mktsegment").distinct().count()
+    assert row["n_groups"] == n_groups
+    assert -1.0 - 1e-12 <= row["rho"] <= 1.0 + 1e-12
+
+
+def test_t_closeness_emd_in_unit_interval_and_covers_all(spark):
+    """1-D EMD normalized by (m-1) lies in [0,1]; group sizes must
+    partition the customer table; the flag must restate t_emd <= 0.2."""
+    rows = _q("t_closeness_audit")(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["n_g"] for r in rows) == n
+    for r in rows:
+        assert -1e-12 <= r["t_emd"] <= 1.0 + 1e-12
+        assert r["within_t02"] == int(r["t_emd"] <= 0.2)
