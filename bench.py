@@ -280,6 +280,10 @@ BENCH_QUERIES = [
     "mann_whitney_u",
     "spearman_nation_segment",
     "t_closeness_audit",
+    "mips_dot_topk",
+    "largest_remainder_allocation",
+    "special_token_contamination",
+    "file_metadata_rowcount_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -368,6 +372,8 @@ ITERATIVE = {
     "pmi_collocations",
     "vocab_coverage_curve",
     "rfm_segmentation",
+    # partitioned parquet write runs during build
+    "file_metadata_rowcount_audit",
 }
 
 

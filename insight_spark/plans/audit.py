@@ -98,8 +98,11 @@ __all__ = [
 #:   keys), the roc_auc_binned shape, never over rows.
 #: - spearman_nation_segment: rank windows on the (nation, segment)
 #:   group table — ≤125 rows post-aggregate at any data size.
+#: - largest_remainder_allocation: remainder ranking over the
+#:   |sources|-row quota table — post-aggregate metadata scale.
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
+        "largest_remainder_allocation",
         "mann_whitney_u",
         "spearman_nation_segment",
         "xcorr_hourly_lags",

@@ -1369,3 +1369,104 @@ def predicate_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             "greedy_rank",
         )
     )
+
+
+#: Special-token literals audited by ``special_token_contamination``.
+#: Chosen with NO substring collisions (e.g. '<s>' would also match
+#: inside '</s>' and corrupt the counts).
+_SPECIAL_TOKENS = (
+    "<|endoftext|>",
+    "[INST]",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<pad>",
+)
+
+
+@query(
+    "special_token_contamination",
+    oracle="""
+    WITH inj AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2')
+                 THEN text || ' ' ||
+                      (['<|endoftext|>', '[INST]', '<|im_start|>',
+                        '<|im_end|>', '<pad>'])[
+                          1 + (instr('0123456789abcdef',
+                                     substr(md5(CAST(doc_id AS VARCHAR)),
+                                            2, 1)) - 1) % 5]
+                 ELSE text
+               END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT unnest(['<|endoftext|>', '[INST]', '<|im_start|>',
+                       '<|im_end|>', '<pad>']) AS token
+    )
+    SELECT tk.token,
+           CAST(count_if(contains(t, token)) AS BIGINT) AS n_docs,
+           CAST(SUM((len(t) - len(replace(t, token, ''))) // len(token))
+                AS BIGINT) AS n_occurrences
+    FROM inj CROSS JOIN tk
+    GROUP BY tk.token
+    """,
+)
+def special_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special-token contamination audit (M270): per tokenizer control
+    token, how many corpus documents contain the LITERAL string and how
+    often — the hygiene gate run before pretraining, because a crawl
+    that quotes chat transcripts or model cards carries '<|endoftext|>'
+    / '[INST]'-style literals that (a) fragment documents at encode
+    time and (b) teach the model to emit control tokens mid-text.
+    Production pipelines strip or escape them; this table is the
+    evidence for how much stripping will touch.  Fixture text is clean,
+    so a deterministic md5-keyed injection (~3/16 of docs get one
+    token appended, token chosen by the next md5 hex char — the M199
+    stand-in pattern) provides ground truth on both sides.
+
+    Parity: the audited literals share no substring (house rule in
+    ``_SPECIAL_TOKENS``); occurrence counting is the exact integer
+    (len − len(replace))/len(token) identity — no regex, so no
+    engine-dialect divergence; all counts exact BIGINTs.
+
+    Scale: ONE corpus scan; the 5-token table is a broadcast literal
+    cross join (scan×5 codegen'd string ops, still map-only), then a
+    5-key map-side-combined aggregate.  Nothing shuffles but 5 rows.
+    """
+    toks = list(_SPECIAL_TOKENS)
+    arr = ", ".join(f"'{t}'" for t in toks)
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        F.expr(
+            f"""
+            CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 1)
+                      IN ('0', '1', '2')
+                 THEN concat(text, ' ',
+                      element_at(array({arr}),
+                          1 + (instr('0123456789abcdef',
+                                     substr(md5(CAST(doc_id AS STRING)),
+                                            2, 1)) - 1) % 5))
+                 ELSE text
+            END
+            """
+        ).alias("t")
+    )
+    tk = spark.createDataFrame([(t,) for t in toks], ["token"])
+    return (
+        inj.crossJoin(F.broadcast(tk))
+        .groupBy("token")
+        .agg(
+            F.count_if(F.expr("contains(t, token)"))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(
+                F.expr(
+                    "(length(t) - length(replace(t, token, '')))"
+                    " div length(token)"
+                )
+            )
+            .cast("long")
+            .alias("n_occurrences"),
+        )
+    )

@@ -1051,3 +1051,98 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_emd.alias("t_emd"),
         (t_emd <= F.lit(0.2)).cast("int").alias("within_t02"),
     )
+
+
+@query(
+    "largest_remainder_allocation",
+    oracle="""
+    WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS wt
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot FROM w),
+    quota AS (
+        SELECT source, wt,
+               CAST(wt AS HUGEINT) * 997 // wtot AS base,
+               CAST(wt AS HUGEINT) * 997 % wtot AS rem
+        FROM w CROSS JOIN tot
+    ),
+    short AS (
+        SELECT CAST(997 - SUM(base) AS BIGINT) AS n_extra FROM quota
+    ),
+    ranked AS (
+        SELECT source, wt, CAST(base AS BIGINT) AS base,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rr
+        FROM quota
+    )
+    SELECT source, wt, base,
+           CAST(CASE WHEN rr <= (SELECT n_extra FROM short)
+                     THEN 1 ELSE 0 END AS INT) AS got_extra,
+           base + CASE WHEN rr <= (SELECT n_extra FROM short)
+                       THEN 1 ELSE 0 END AS final_alloc
+    FROM ranked
+    """,
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder quota allocation (M269): split a FIXED budget
+    of 997 sample slots across sources proportional to token mass
+    (n_chars) so the allocations are integers that sum EXACTLY to the
+    budget — the missing arithmetic under every quota surface here
+    (`stratified_sample` rounds per-stratum independently and can be
+    off by ±|strata|; `token_budget_sampler` caps but doesn't
+    apportion).  Hamilton's method: floor the exact quotas, then hand
+    the leftover slots to the largest fractional remainders
+    (deterministic source-name tie-break).
+
+    Exactness: quota = wt·997 div W and remainder wt·997 mod W are
+    exact integer arithmetic (HUGEINT/DECIMAL — wt·budget overflows
+    int64 when source mass exceeds ~9e15 chars at 100 TB); the
+    remainder ranking is an integer sort with a name tie-break; no
+    division to float anywhere.  Σ final_alloc == 997 is pinned as a
+    property test.
+
+    Scale: one map-side-combined groupBy(source) (≤|sources| rows at
+    any corpus size), a 1-row total broadcast, then ranking over the
+    |sources|-row table (documented BOUNDED_GLOBAL_WINDOW_OK entry) —
+    metadata-scale everywhere after the single corpus scan.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("wt")
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("wtot"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "wt",
+        F.expr(
+            "CAST((CAST(wt AS decimal(38,0)) * 997) div wtot AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((CAST(wt AS decimal(38,0)) * 997) % wtot AS BIGINT)"
+        ).alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(997) - F.sum("base")).cast("long").alias("n_extra")
+    )
+    ranked = quota.withColumn(
+        "rr",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("source")))
+        .cast("long"),
+    )
+    out = ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "wt",
+        "base",
+        F.when(F.col("rr") <= F.col("n_extra"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("got_extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("n_extra"), 1).otherwise(0)
+        ).alias("final_alloc"),
+    )
+    return out

@@ -1846,3 +1846,55 @@ def manifest_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return snap1.unionByName(snap2)
+
+
+@query(
+    "file_metadata_rowcount_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events WHERE event_id <= 2000
+    GROUP BY event_type
+    """,
+)
+def file_metadata_rowcount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file row accounting via the hidden ``_metadata`` column
+    (M271): write a partitioned table with one file per partition,
+    read it back, and attribute every row to the PHYSICAL FILE that
+    holds it — the layout audit behind small-file/compaction decisions
+    (`manifest_compact_optimize` plans merges from file sizes; this is
+    the scan-side primitive that measures rows-per-file without any
+    external catalog, straight from parquet scan metadata).
+
+    The n_files column rides in the value hash: repartition(col) puts
+    each partition value in exactly one task, so each hive directory
+    must contain exactly ONE file — a layout regression (splitty
+    writes, task retries leaving extras) breaks the hash, not just a
+    perf graph.  The n_rows column proves ``_metadata.file_path``
+    attribution loses/duplicates nothing vs the oracle's direct count.
+
+    Scale: the write shuffles once on the partition key (the A6b
+    shape); the read-back aggregate is metadata-bounded (|types|
+    groups).  ``_metadata`` is populated from the scan's own file
+    handles — zero extra IO at any table size.
+    """
+    path = _rt_path(sf_dir, "file_meta")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 2000)
+        .select("event_id", "event_type")
+        .repartition(F.col("event_type"))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .select("event_type", F.col("_metadata.file_path").alias("fp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("fp").cast("long").alias("n_files"),
+        )
+    )

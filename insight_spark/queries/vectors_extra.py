@@ -3229,3 +3229,89 @@ def embedding_mean_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(16)
         .select("dim", "n_a", "n_b", "smd_ppm")
     )
+
+
+@query(
+    "mips_dot_topk",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_vec_id, e AS qe FROM m WHERE vec_id < 10
+    ),
+    pairs AS (
+        SELECT q.q_vec_id, m.vec_id AS c_vec_id,
+               CAST(list_dot_product(
+                   list_transform(qe, x -> CAST(x AS DOUBLE)),
+                   list_transform(e, x -> CAST(x AS DOUBLE))
+               ) AS BIGINT) AS dot_micro2
+        FROM m CROSS JOIN q
+        WHERE m.vec_id <> q.q_vec_id
+    )
+    SELECT q_vec_id, c_vec_id, dot_micro2, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec_id ORDER BY dot_micro2 DESC, c_vec_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 5
+    """,
+)
+def mips_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search, exact top-5 (M268): rank the
+    corpus by RAW dot product instead of cosine — the retrieval
+    semantics of recommendation and learned-sparse models, where
+    vector NORM carries signal (popularity, term importance) that
+    cosine's normalization deliberately erases.  `knn_cosine_topk` and
+    this query are different ORDERINGS of the same pair scores; both
+    belong in the serving surface.  The classic MIPS→NN reduction
+    (Bachrach et al. 2014, public): augmenting each corpus vector with
+    sqrt(M² − |x|²) makes cosine order equal dot order — pinned as a
+    property test (tests/test_r10_ops.py) so the ANN stack (IVF/LSH)
+    can serve MIPS through the same cosine index.
+
+    Exactness: micro-int coordinates (M161 discipline) make every dot
+    an exact integer — 64 dims × (5.3e5)² ≈ 1.8e13 < 2⁵³, so DuckDB's
+    double list_dot_product is exact and the BIGINT cast lossless;
+    ranking on (exact integer, id tie-break) — no float order anywhere.
+
+    Scale: 10-row query side broadcast → map-side nested loop over
+    corpus partitions (the knn_topk shape) — the corpus never
+    shuffles; per-query top-5 via rank window partitioned by query.
+    This is the correctness oracle of the family; the scale path is
+    the same IVF/LSH cell-join with the augmentation applied.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("c_vec_id"),
+            dot.alias("dot_micro2"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("dot_micro2"), F.asc("c_vec_id")
+    )
+    return pairs.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 5)

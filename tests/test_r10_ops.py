@@ -575,3 +575,78 @@ def test_t_closeness_emd_in_unit_interval_and_covers_all(spark):
     for r in rows:
         assert -1e-12 <= r["t_emd"] <= 1.0 + 1e-12
         assert r["within_t02"] == int(r["t_emd"] <= 0.2)
+
+
+def test_mips_norm_augmentation_preserves_dot_order(spark):
+    """The Bachrach-style MIPS→NN reduction the docstring claims: on
+    augmented vectors [x, sqrt(M²−|x|²)] (queries padded with 0),
+    cosine order per query equals raw-dot order — so the cosine ANN
+    stack can serve MIPS.  Verified exhaustively on the sf0.001
+    fixture against the query's own exact-integer output."""
+    import numpy as np
+
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", quantize_micro(F.col("embedding")).alias("e"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["e"] for r in emb], dtype=np.float64)
+    norms2 = (X * X).sum(axis=1)
+    M2 = norms2.max()
+    aug = np.hstack([X, np.sqrt(M2 - norms2)[:, None]])
+    rows = _q("mips_dot_topk")(spark, SF_DIR).collect()
+    assert len(rows) == 10 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    for qid, got in by_q.items():
+        q = X[ids == qid][0]
+        qa = np.append(q, 0.0)
+        mask = ids != qid
+        dots = X[mask] @ q
+        cos = (aug[mask] @ qa) / np.linalg.norm(aug[mask], axis=1)
+        cids = ids[mask]
+        # (dot, -id) and (cos, -id) argsort must agree on the top-5
+        top_dot = sorted(zip(-dots, cids))[:5]
+        top_cos = sorted(zip(-cos, cids))[:5]
+        assert [c for _, c in top_dot] == [c for _, c in top_cos]
+        got = sorted(got, key=lambda r: r["rank"])
+        assert [r["c_vec_id"] for r in got] == [c for _, c in top_dot]
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    rows = _q("largest_remainder_allocation")(spark, SF_DIR).collect()
+    assert sum(r["final_alloc"] for r in rows) == 997
+    n_extra = 997 - sum(r["base"] for r in rows)
+    assert sum(r["got_extra"] for r in rows) == n_extra
+    for r in rows:
+        assert r["final_alloc"] in (r["base"], r["base"] + 1)
+
+
+def test_special_token_injection_is_fully_accounted(spark):
+    """Σ n_docs over the 5 tokens == the md5-keyed injected-doc count
+    (fixture text is clean and each doc gets at most one token), and
+    every injection appears exactly once (occurrences == docs)."""
+    rows = _q("special_token_contamination")(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    injected = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(
+            F.expr(
+                "substr(md5(CAST(doc_id AS STRING)), 1, 1)"
+                " IN ('0', '1', '2')"
+            )
+        )
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == injected
+    for r in rows:
+        assert r["n_occurrences"] == r["n_docs"]
+
+
+def test_file_metadata_audit_sees_one_file_per_partition(spark):
+    rows = _q("file_metadata_rowcount_audit")(spark, SF_DIR).collect()
+    assert rows and all(r["n_files"] == 1 for r in rows)
