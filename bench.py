@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "largest_remainder_allocation",
     "special_token_contamination",
     "file_metadata_rowcount_audit",
+    "manifest_restore_roundtrip",
+    "manifest_disjoint_writers",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -374,6 +376,9 @@ ITERATIVE = {
     "rfm_segmentation",
     # partitioned parquet write runs during build
     "file_metadata_rowcount_audit",
+    # manifest commits (parquet writes) run during build
+    "manifest_restore_roundtrip",
+    "manifest_disjoint_writers",
 }
 
 

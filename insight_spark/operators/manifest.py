@@ -732,3 +732,115 @@ def log_append_checked(
         expected_version=expected_version,
         stats_cols=stats_cols,
     )
+
+
+def log_restore(
+    table_dir: str, to_version: int, expected_version: int | None = None
+) -> int:
+    """RESTORE: commit a NEW version whose file list is exactly
+    ``to_version``'s — the Delta ``RESTORE TABLE ... TO VERSION``
+    semantics.  Rollback is a forward-moving, metadata-only commit:
+    zero data IO at any table size (no file is copied or rewritten),
+    full history stays time-travel readable (nothing is erased — the
+    bad versions remain between the restore point and the restore
+    commit), and the same O_EXCL put-if-absent race rules apply, so a
+    concurrent writer cannot interleave with the rollback."""
+    if to_version not in log_versions(table_dir):
+        raise ValueError(f"version {to_version} not in {table_dir}")
+    if expected_version is None:
+        expected_version = latest_version(table_dir)
+    new_version = expected_version + 1
+    target = _read_manifest(table_dir, to_version)
+    manifest = {
+        "version": new_version,
+        "op": "restore",
+        "restored_from": to_version,
+        "files": target["files"],
+        "added": [],
+        "schema": target.get("schema"),
+        "stats": target.get("stats", {}),
+    }
+    path = _manifest_path(table_dir, new_version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"version {new_version} already committed"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return new_version
+
+
+def log_append_isolated(
+    df: DataFrame,
+    table_dir: str,
+    partitions: list[str],
+    expected_version: int | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Partition-scoped optimistic append — the Delta LOGICAL conflict
+    layer on top of the physical version race: a writer declares the
+    partitions its commit touches; when it loses the O_EXCL race it
+    re-reads every version committed since its base and RETRIES
+    AUTOMATICALLY if all of them declare disjoint partition sets
+    (their outcome cannot change this writer's input), else raises
+    ``ConflictError``.  Two writers loading different days/sources
+    therefore both land without coordination — the property that
+    makes a 1000-executor ingest fleet feasible on one table.
+
+    The data files are staged ONCE; only the metadata commit retries
+    (the staged bytes are identical whichever version number wins).
+    A prior commit that declared no partition set (plain
+    ``log_append``/overwrite/delete/restore) is treated as touching
+    EVERYTHING — conservative, never unsound.
+    """
+    if expected_version is None:
+        expected_version = latest_version(table_dir)
+
+    stage = os.path.join(table_dir, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(stage)
+    files = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    mine = set(partitions)
+
+    for _ in range(max_retries + 1):
+        new_version = expected_version + 1
+        prior_files: list[str] = []
+        prior_stats: dict = {}
+        if expected_version > 0:
+            prior = _read_manifest(table_dir, expected_version)
+            prior_files = prior["files"]
+            prior_stats = prior.get("stats", {})
+        manifest = {
+            "version": new_version,
+            "op": "append",
+            "partitions": sorted(mine),
+            "files": prior_files + files,
+            "added": files,
+            "schema": df.schema.jsonValue(),
+            "stats": prior_stats,
+        }
+        os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+        path = _manifest_path(table_dir, new_version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            head = latest_version(table_dir)
+            for v in range(expected_version + 1, head + 1):
+                theirs = _read_manifest(table_dir, v).get("partitions")
+                if theirs is None or mine & set(theirs):
+                    raise ConflictError(
+                        f"v{v} touched overlapping partitions "
+                        f"({'ALL' if theirs is None else sorted(mine & set(theirs))}) "
+                        "— logical conflict, cannot auto-retry"
+                    ) from None
+            expected_version = head
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return new_version
+    raise ConflictError(f"gave up after {max_retries} retries")

@@ -1898,3 +1898,146 @@ def file_metadata_rowcount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").cast("long").alias("n_files"),
         )
     )
+
+
+@query(
+    "manifest_restore_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(4 AS INT) AS current_version,
+           CAST(2 AS INT) AS restored_from
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def manifest_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the manifest-log table (M272): v1 appends keys
+    ≤100, v2 appends 101–200, v3 OVERWRITES with 201–250 (the bad
+    deploy), then RESTORE TO v2 commits v4.  The query reads the
+    LATEST snapshot — the hash proves v4 serves exactly v2's rows
+    (1–200), i.e. the rollback undid the overwrite without erasing
+    it (v3 stays time-travel readable; vacuum decides its fate
+    later).
+
+    Rollback-as-forward-commit is the only shape that scales: v4 is a
+    metadata-only commit REUSING v2's file paths — zero data IO at
+    any table size — and the O_EXCL race rules still apply, so a
+    concurrent writer can't interleave with the restore.  The
+    version literals ride in the value hash: a restore that lands on
+    the wrong version or re-reads v3's files is a hash mismatch.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        latest_version,
+        log_append,
+        log_overwrite,
+        log_restore,
+        read_snapshot,
+    )
+
+    path = _rt_path(sf_dir, "manifest_restore")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = log_append(
+        orders.filter(F.col("o_orderkey") <= 100), path, expected_version=0
+    )
+    v2 = log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ),
+        path,
+        expected_version=v1,
+    )
+    log_overwrite(
+        orders.filter(
+            (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)
+        ),
+        path,
+        expected_version=v2,
+    )
+    v4 = log_restore(path, to_version=v2)
+    assert v4 == latest_version(path) == 4
+    return read_snapshot(spark, path).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(v4).cast("int").alias("current_version"),
+        F.lit(v2).cast("int").alias("restored_from"),
+    )
+
+
+@query(
+    "manifest_disjoint_writers",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 AS INT) AS final_version
+    FROM orders
+    WHERE o_orderkey <= 400 AND o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def manifest_disjoint_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-isolated concurrent writers (M273): two uncoordinated
+    appends to DIFFERENT partitions of the manifest-log table both
+    land.  Writer A (status 'F') bases its commit on v1; writer B
+    (status 'O') commits v2 first; A's O_EXCL create of v2 fails, the
+    logical conflict check reads v2's declared partition set, finds
+    {'O'} ∩ {'F'} = ∅, and auto-retries as v3 — the Delta
+    logical-conflict semantics that let a 1000-executor ingest fleet
+    share one table without coordination.  (Overlapping writers still
+    hard-fail — pinned in tests/test_manifest.py.)
+
+    The hash proves the final snapshot holds BOTH writers' rows
+    exactly once, grouped per partition, and final_version == 3 rides
+    in the hash so a lost retry (v2 overwritten, or A landing as v2)
+    is a value mismatch, not a log line.  Scale: the retry re-commits
+    METADATA only — staged data files are written once whichever
+    version number wins.
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        latest_version,
+        log_append_isolated,
+        read_snapshot,
+    )
+
+    path = _rt_path(sf_dir, "manifest_disjoint")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    base = orders.filter(
+        (F.col("o_orderkey") <= 200) & F.col("o_orderstatus").isin("F", "O")
+    )
+    v1 = log_append_isolated(base, path, ["F", "O"], expected_version=0)
+    more = orders.filter(
+        (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 400)
+    )
+    # writer B commits first (based on v1, partition 'O')
+    log_append_isolated(
+        more.filter(F.col("o_orderstatus") == "O"),
+        path,
+        ["O"],
+        expected_version=v1,
+    )
+    # writer A ALSO based on v1 (stale token, partition 'F') — loses
+    # the v2 race, detects disjointness, auto-retries as v3
+    v3 = log_append_isolated(
+        more.filter(F.col("o_orderstatus") == "F"),
+        path,
+        ["F"],
+        expected_version=v1,
+    )
+    assert v3 == latest_version(path) == 3
+    return (
+        read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.lit(v3).cast("int").alias("final_version"),
+        )
+    )

@@ -293,3 +293,66 @@ def test_compact_preserves_bytes_and_history(spark, tmp_path):
     assert len(m3["files"]) == 1 and m3["compacted_from"] == 2
     # fragmented history still time-travels
     assert read_snapshot(spark, tbl, 2).count() == len(before)
+
+
+def test_restore_is_metadata_only_and_keeps_history(spark, tmp_path):
+    from insight_spark.operators.manifest import log_restore
+
+    tbl = str(tmp_path / "tbl")
+    v1 = log_append(_orders(spark, 0, 50), tbl, expected_version=0)
+    v2 = log_append(_orders(spark, 50, 100), tbl, expected_version=v1)
+    log_overwrite(_orders(spark, 100, 120), tbl, expected_version=v2)
+
+    import json
+
+    files_before = {
+        f
+        for v in log_versions(tbl)
+        for f in json.load(
+            open(os.path.join(tbl, "_manifest", f"v{v:06d}.json"))
+        )["files"]
+    }
+    v4 = log_restore(tbl, to_version=v2)
+    assert v4 == 4
+    # metadata-only: the restore added ZERO data files
+    m4 = json.load(open(os.path.join(tbl, "_manifest", "v000004.json")))
+    assert m4["added"] == []
+    assert set(m4["files"]) <= files_before
+    # restored content == v2 content
+    assert sorted(
+        r["o_orderkey"] for r in read_snapshot(spark, tbl).collect()
+    ) == sorted(r["o_orderkey"] for r in read_snapshot(spark, tbl, v2).collect())
+    # history intact: the bad v3 is still time-travel readable
+    assert read_snapshot(spark, tbl, 3).count() == 20
+    # restoring an unknown version refuses
+    with pytest.raises(ValueError):
+        log_restore(tbl, to_version=99)
+
+
+def test_isolated_writers_overlap_hard_fails_disjoint_retries(spark, tmp_path):
+    from insight_spark.operators.manifest import log_append_isolated
+
+    tbl = str(tmp_path / "tbl")
+    v1 = log_append_isolated(
+        _orders(spark, 0, 50), tbl, ["p0"], expected_version=0
+    )
+    # winner commits v2 on partition p1
+    log_append_isolated(_orders(spark, 50, 80), tbl, ["p1"], expected_version=v1)
+    # overlapping stale writer (p1) must hard-fail, not silently retry
+    with pytest.raises(ConflictError):
+        log_append_isolated(
+            _orders(spark, 80, 90), tbl, ["p1"], expected_version=v1
+        )
+    # disjoint stale writer (p2) retries and lands as v3
+    v3 = log_append_isolated(
+        _orders(spark, 90, 100), tbl, ["p2"], expected_version=v1
+    )
+    assert v3 == 3 == latest_version(tbl)
+    # nothing lost: v3 holds all three landed writers' rows
+    assert read_snapshot(spark, tbl).count() == 50 + 30 + 10
+    # a prior PLAIN append (no partition declaration) blocks retry
+    log_append(_orders(spark, 100, 110), tbl, expected_version=v3)
+    with pytest.raises(ConflictError):
+        log_append_isolated(
+            _orders(spark, 110, 120), tbl, ["p9"], expected_version=v3
+        )
