@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     "file_metadata_rowcount_audit",
     "manifest_restore_roundtrip",
     "manifest_disjoint_writers",
+    "chi2_independence_rc",
+    "degree_assortativity",
+    "ivm_delete_recompute",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

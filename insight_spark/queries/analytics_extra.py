@@ -5165,3 +5165,126 @@ def spearman_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dx.cast("double") * dy.cast("double"))
         ).alias("rho"),
     )
+
+
+@query(
+    "chi2_independence_rc",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS r,
+               (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+                   % 7 AS c
+        FROM events
+    ),
+    obs AS (
+        SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM x GROUP BY r, c
+    ),
+    rt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM x GROUP BY r),
+    ct AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc FROM x GROUP BY c),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+    cells AS (
+        SELECT rt.r, ct.c, rt.nr, ct.nc,
+               CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(o AS DOUBLE) * n - CAST(nr AS DOUBLE) * nc)
+                   * (CAST(o AS DOUBLE) * n - CAST(nr AS DOUBLE) * nc)
+                   / (CAST(n AS DOUBLE) * nr * nc)
+                   * 1000000000 + 0.5) AS BIGINT) AS t_nano
+        FROM cells CROSS JOIN tot
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_r,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_c,
+               (SELECT n FROM tot) AS n
+    )
+    SELECT d.n, d.n_r, d.n_c, (d.n_r - 1) * (d.n_c - 1) AS dof,
+           CAST(SUM(t.t_nano) AS BIGINT) AS chi2_nano,
+           CAST(SUM(t.t_nano) AS DOUBLE) / 1000000000.0 AS chi2
+    FROM terms t CROSS JOIN dims d
+    GROUP BY d.n, d.n_r, d.n_c
+    """,
+)
+def chi2_independence_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General r×c chi-square independence test (M274): is event TYPE
+    independent of DAY-OF-WEEK?  The full contingency-table test the
+    2×k `split_label_shift_chi2` (M168) special-cases — the workhorse
+    behind "does metric X depend on segment Y" questions, read
+    against the chi-square critical value at (r−1)(c−1) dof.
+
+    Exactness: day-of-week from exact epoch-day arithmetic
+    ((days+4) % 7 — engine-neutral; dayofweek() DIALECTS DISAGREE:
+    DuckDB is 0-Sunday, Spark 1-Sunday); the test statistic is
+    rewritten per cell as (o·N − r·c)²/(N·r·c) so the numerator is a
+    product of exact BIGINTs entering ONE identical double tree
+    (cast-before-multiply — the benford overflow discipline); each
+    cell's term is nano-quantized to BIGINT BEFORE the cross-cell sum
+    (order cannot move the result — anova/psi discipline).  EMPTY
+    cells are densified in (a missing cell still contributes
+    (r·c)²/(N·r·c) — skipping them understates χ²).
+
+    Scale: three map-side-combined aggregates off one scan shape +
+    a |r|×|c| dense grid (≤ types×7 = 35 rows) + a 1-row reduce —
+    metadata-scale after the single scan, no data joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.col("event_type").alias("r"),
+        (
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+                + 4
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    obs = x.groupBy("r", "c").agg(F.count("*").cast("long").alias("o"))
+    rt = x.groupBy("r").agg(F.count("*").cast("long").alias("nr"))
+    ct = x.groupBy("c").agg(F.count("*").cast("long").alias("nc"))
+    tot = x.agg(F.count("*").cast("long").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["r", "c"], "left")
+        .select(
+            "r",
+            "c",
+            "nr",
+            "nc",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    od = F.col("o").cast("double")
+    nrd = F.col("nr").cast("double")
+    num = od * F.col("n") - nrd * F.col("nc")
+    t_nano = F.floor(
+        num * num / (F.col("n").cast("double") * F.col("nr") * F.col("nc"))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        t_nano.alias("t_nano"), "n"
+    )
+    dims = (
+        rt.agg(F.count("*").cast("long").alias("n_r"))
+        .crossJoin(ct.agg(F.count("*").cast("long").alias("n_c")))
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("t_nano").cast("long").alias("chi2_nano"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            "n_r",
+            "n_c",
+            ((F.col("n_r") - 1) * (F.col("n_c") - 1)).alias("dof"),
+            "chi2_nano",
+            (F.col("chi2_nano").cast("double") / F.lit(1000000000.0)).alias(
+                "chi2"
+            ),
+        )
+    )

@@ -496,3 +496,126 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("u").alias("token"), F.col("lbl").alias("community")
     )
+
+
+@query(
+    "degree_assortativity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    bi AS (
+        SELECT least(l[i], l[i + 1]) AS a, greatest(l[i], l[i + 1]) AS b
+        FROM toks, unnest(range(1, len(l))) u(i)
+        WHERE l[i] <> l[i + 1]
+    ),
+    edges AS (SELECT a, b FROM bi GROUP BY a, b),
+    deg AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS token FROM edges
+              UNION ALL SELECT b AS token FROM edges)
+        GROUP BY token
+    ),
+    de AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM edges e
+        JOIN deg da ON da.token = e.a
+        JOIN deg db ON db.token = e.b
+    ),
+    m AS (
+        SELECT CAST(2 * COUNT(*) AS HUGEINT) AS mm,
+               CAST(SUM(dx + dy) AS HUGEINT) AS sx,
+               CAST(2 * SUM(dx * dy) AS HUGEINT) AS sxy,
+               CAST(SUM(dx * dx + dy * dy) AS HUGEINT) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM de
+    )
+    SELECT n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(mm * sxy - sx * sx AS DOUBLE)
+           / CAST(mm * sxx - sx * sx AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the token ADJACENCY (bigram) graph
+    (M275): the Pearson correlation of endpoint degrees over all
+    directed edge pairs (Newman 2002, public) — do hubs link to hubs
+    (r>0, social-network shape) or to leaves (r<0, hub-and-spoke
+    shape)?  Read alongside `triangle_count`/`k_core_peel` when
+    deciding graph partitioning: disassortative hub-spoke graphs are
+    the ones whose hubs need degree-based salting.  Same bigram edge
+    rule as `pagerank_tokens`, so the two audit the same graph (the
+    fixture's ≥3-co-occurrence graph is COMPLETE — every degree
+    equal, assortativity undefined — which is itself why the audit
+    belongs on the adjacency graph).
+
+    Exactness: degrees are exact integer counts; both edge
+    orientations folded in CLOSED FORM from one pass (M=2E,
+    Σ(dx+dy), 2Σdx·dy, Σ(dx²+dy²) — no union, no double counting
+    drift); all moments HUGEINT/DECIMAL (Σd² terms pass int64 only
+    until vocab-scale hubs); r is ONE division of exact integers —
+    bit-identical doubles.
+
+    Scale: bigram pairs are a map-side array zip (no positional
+    self-join); the edge distinct is the word-count shuffle on
+    vocabulary-bounded keys; the degree table is vocabulary-bounded →
+    broadcast to both endpoint joins, so the edge list never
+    shuffles; one 1-row reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    n1 = F.greatest(F.size(l) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(l, 1, n1),
+        F.slice(l, 2, n1),
+        lambda x, y: F.struct(
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        ),
+    )
+    edges = (
+        docs.select(F.explode(pair).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("token"))
+        .unionAll(edges.select(F.col("b").alias("token")))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("token").alias("a"),
+                                   F.col("d").alias("dx"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("token").alias("b"),
+                                   F.col("d").alias("dy"))),
+            "b",
+        )
+        .select("dx", "dy")
+    )
+    dec = "decimal(38,0)"
+    m = de.agg(
+        (F.count("*") * 2).cast(dec).alias("mm"),
+        F.sum(F.col("dx") + F.col("dy")).cast(dec).alias("sx"),
+        (F.sum(F.col("dx").cast(dec) * F.col("dy")) * 2).alias("sxy"),
+        F.sum(
+            F.col("dx").cast(dec) * F.col("dx")
+            + F.col("dy").cast(dec) * F.col("dy")
+        ).alias("sxx"),
+        F.count("*").cast("long").alias("n_edges"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    num = F.col("mm") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("mm") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_edges",
+        "n_nodes",
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )

@@ -1257,3 +1257,86 @@ def pseudonym_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_sq_pseudo",
         "min_pseudonym",
     )
+
+
+@query(
+    "ivm_delete_recompute",
+    oracle="""
+    WITH surv AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS vu
+        FROM events
+        WHERE NOT (event_type IN ('click', 'error')
+                   AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('0', '1'))
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(vu) AS BIGINT) AS max_micro,
+           CAST(CASE WHEN event_type IN ('click', 'error')
+                     THEN 1 ELSE 0 END AS INT) AS recomputed
+    FROM surv GROUP BY event_type
+    """,
+)
+def ivm_delete_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-scoped IVM under DELETES for a NON-additive aggregate
+    (M276): MAX is a mergeable monoid under inserts
+    (`ivm_additive_merge`) but NOT under deletes — removing the
+    current max row invalidates the group state with no algebraic
+    undo.  The standard IVM answer (maintenance under deletions for
+    non-invertible aggregates): recompute ONLY the groups the delete
+    log touches, carry every other group's materialized state forward
+    UNREAD.  The md5-keyed delete log (~1/8 of 'click'/'error'
+    events — a GDPR purge hitting two event types) drives the scope;
+    the hash proves incremental == full recompute, and the
+    `recomputed` flag rides in the hash so a lost carry-over or an
+    over-wide recompute is a value mismatch.
+
+    Scale: the recompute leg is semi-joined to the |affected-groups|
+    broadcast BEFORE the scan aggregate, so its input is the affected
+    partitions only — cost O(affected data), not O(table); the
+    carry-over leg is an anti join on the |groups|-bounded MV (zero
+    fact-table IO).  Deletes are applied by event_id anti join (the
+    log's key), never a full-table NOT filter.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("vu"),
+    )
+    mv_old = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("vu").cast("long").alias("max_micro"),
+    )
+    deletes = ev.filter(
+        F.col("event_type").isin("click", "error")
+        & F.expr(
+            "substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0', '1')"
+        )
+    ).select("event_id", "event_type")
+    affected = deletes.select("event_type").distinct()
+    carried = mv_old.join(F.broadcast(affected), "event_type", "anti").select(
+        "event_type",
+        "n_rows",
+        "max_micro",
+        F.lit(0).cast("int").alias("recomputed"),
+    )
+    recomputed = (
+        ev.join(F.broadcast(affected), "event_type", "semi")
+        .join(deletes.select("event_id"), "event_id", "anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("vu").cast("long").alias("max_micro"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "max_micro",
+            F.lit(1).cast("int").alias("recomputed"),
+        )
+    )
+    return carried.unionByName(recomputed)

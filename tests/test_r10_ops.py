@@ -650,3 +650,51 @@ def test_special_token_injection_is_fully_accounted(spark):
 def test_file_metadata_audit_sees_one_file_per_partition(spark):
     rows = _q("file_metadata_rowcount_audit")(spark, SF_DIR).collect()
     assert rows and all(r["n_files"] == 1 for r in rows)
+
+
+def test_chi2_independence_dense_grid_and_nonnegative(spark):
+    row = _q("chi2_independence_rc")(spark, SF_DIR).collect()[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] == (row["n_r"] - 1) * (row["n_c"] - 1)
+    ev = load_table(spark, SF_DIR, "events")
+    assert row["n"] == ev.count()
+    assert row["n_r"] == ev.select("event_type").distinct().count()
+
+
+def test_degree_assortativity_is_a_correlation(spark):
+    row = _q("degree_assortativity")(spark, SF_DIR).collect()[0]
+    assert -1.0 - 1e-12 <= row["assortativity"] <= 1.0 + 1e-12
+    assert row["n_edges"] > 0 and row["n_nodes"] > 0
+
+
+def test_ivm_delete_recompute_matches_full_recompute(spark):
+    """The docstring's claim verbatim: the delta-scoped incremental
+    result must row-for-row equal a from-scratch aggregate over the
+    surviving rows, and only delete-touched groups may carry the
+    recomputed flag."""
+    rows = _q("ivm_delete_recompute")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("vu"),
+    )
+    full = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in ev.filter(
+            ~(
+                F.col("event_type").isin("click", "error")
+                & F.expr(
+                    "substr(md5(CAST(event_id AS STRING)), 1, 1)"
+                    " IN ('0', '1')"
+                )
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("vu").alias("mx"))
+        .collect()
+    }
+    assert {r["event_type"]: (r["n_rows"], r["max_micro"]) for r in rows} == full
+    for r in rows:
+        assert r["recomputed"] == int(r["event_type"] in ("click", "error"))
