@@ -289,6 +289,9 @@ BENCH_QUERIES = [
     "chi2_independence_rc",
     "degree_assortativity",
     "ivm_delete_recompute",
+    "ohlc_hourly_bars",
+    "uplift_by_exposure_bucket",
+    "concurrency_curve",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

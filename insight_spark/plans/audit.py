@@ -100,8 +100,11 @@ __all__ = [
 #:   group table — ≤125 rows post-aggregate at any data size.
 #: - largest_remainder_allocation: remainder ranking over the
 #:   |sources|-row quota table — post-aggregate metadata scale.
+#: - concurrency_curve: sweep-line running sum over the HOURLY grid
+#:   (the acf_hourly_lags pattern — |hours| rows post-aggregate).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
+        "concurrency_curve",
         "largest_remainder_allocation",
         "mann_whitney_u",
         "spearman_nation_segment",

@@ -5288,3 +5288,196 @@ def chi2_independence_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "uplift_by_exposure_bucket",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS arm,
+               CAST(count_if(event_type = 'view') AS BIGINT) AS views,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT least(views, 9) AS exposure_bucket, arm, converted
+        FROM per_user
+    ),
+    g AS (
+        SELECT exposure_bucket,
+               CAST(count_if(arm = 1) AS BIGINT) AS n_t,
+               CAST(count_if(arm = 0) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_t,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_c
+        FROM b GROUP BY exposure_bucket
+    )
+    SELECT exposure_bucket, n_t, n_c, conv_t, conv_c,
+           CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE (2000000 * conv_t + n_t) // (2 * n_t)
+                     - (2000000 * conv_c + n_c) // (2 * n_c)
+                END AS BIGINT) AS uplift_ppm
+    FROM g
+    """,
+)
+def uplift_by_exposure_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift by exposure depth (M278): conversion-rate lift
+    (treatment − control) within buckets of view count — the
+    model-free uplift table behind targeting decisions (`
+    quantile_treatment_effect` asks WHERE in the outcome distribution
+    the effect lands; this asks WHO — does the treatment only move
+    heavy browsers?).  Arms from the md5 user hash (the `ab_srm_check`
+    assignment, so the two audits share a randomization).
+
+    Exactness: exposure bucket = least(views, 9) — exact integers, no
+    quantile estimation (engine-neutral, and at 100 TB the bucket
+    boundaries don't drift with data); per-bucket half-up ppm rates
+    via the house integer identity (2·10⁶·x + n) div (2n); degenerate
+    one-arm buckets emit NULL rather than a fake 0 lift.
+
+    Scale: one user-keyed map-side-combined aggregate, then a
+    ≤10-key reduce — the per-user table never leaves its shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "view").cast("long").alias("views"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+    ).select(
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                )
+                - 1
+            )
+            % 2
+        ).alias("arm"),
+        F.least(F.col("views"), F.lit(9)).alias("exposure_bucket"),
+        "converted",
+    )
+    g = per_user.groupBy("exposure_bucket").agg(
+        F.count_if(F.col("arm") == 1).cast("long").alias("n_t"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    return g.select(
+        "exposure_bucket",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(
+            (F.col("n_t") == 0) | (F.col("n_c") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.expr("(2000000 * conv_t + n_t) div (2 * n_t)")
+            - F.expr("(2000000 * conv_c + n_c) div (2 * n_c)")
+        )
+        .cast("long")
+        .alias("uplift_ppm"),
+    )
+
+
+@query(
+    "concurrency_curve",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               date_trunc('hour', MIN(ts)) AS h_start,
+               date_trunc('hour', MAX(ts)) + INTERVAL 1 HOUR AS h_end
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    deltas AS (
+        SELECT h_start AS h, CAST(1 AS BIGINT) AS delta FROM sess
+        UNION ALL
+        SELECT h_end AS h, CAST(-1 AS BIGINT) AS delta FROM sess
+    ),
+    dsum AS (SELECT h, CAST(SUM(delta) AS BIGINT) AS dd
+             FROM deltas GROUP BY h),
+    bounds AS (
+        SELECT MIN(h_start) AS h0, MAX(h_end) AS h1 FROM sess
+    ),
+    grid AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.h AS hour_start,
+           CAST(SUM(COALESCE(d.dd, 0)) OVER (
+               ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS active_sessions
+    FROM grid g LEFT JOIN dsum d ON d.h = g.h
+    """,
+)
+def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-session concurrency curve (M279): how many user-day
+    sessions are simultaneously open at each hour — the capacity/
+    provisioning read (peak concurrency sizes connection pools and
+    executor fleets) and the classic INTERVAL-STABBING aggregate that
+    naive SQL answers with an O(|intervals|·|hours|) range join.
+
+    The scalable shape is the sweep-line identity: each interval
+    contributes +1 at its start hour and −1 after its end hour;
+    concurrency at h is the running sum of deltas — turning the range
+    join into ONE grouped aggregate plus a cumulative over the hour
+    GRID (the `gap_fill_hourly` sequence+explode grid, so empty hours
+    report the correct carried count rather than vanishing).
+
+    Exactness: all counts exact BIGINTs; hour bucketing by
+    date_trunc; session bounds from exact MIN/MAX(ts).  Scale: the
+    delta aggregate is |hours|-keyed and map-side combined; the
+    cumulative window runs on the |hours|-row grid (documented
+    BOUNDED_GLOBAL_WINDOW_OK entry — the acf_hourly_lags pattern),
+    never on intervals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.date_trunc("hour", F.min("ts")).alias("h_start"),
+        (F.date_trunc("hour", F.max("ts")) + F.expr("INTERVAL 1 HOUR")).alias(
+            "h_end"
+        ),
+    )
+    deltas = sess.select(
+        F.col("h_start").alias("h"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        sess.select(
+            F.col("h_end").alias("h"), F.lit(-1).cast("long").alias("delta")
+        )
+    )
+    dsum = deltas.groupBy("h").agg(F.sum("delta").cast("long").alias("dd"))
+    grid = (
+        sess.agg(
+            F.min("h_start").alias("h0"), F.max("h_end").alias("h1")
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(dsum, "h", "left")
+        .select("h", F.coalesce(F.col("dd"), F.lit(0)).alias("dd"))
+        .select(
+            F.col("h").alias("hour_start"),
+            F.sum("dd").over(w).cast("long").alias("active_sessions"),
+        )
+    )

@@ -492,3 +492,69 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_ppm"
         ),
     )
+
+
+@query(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH x AS (
+        SELECT date_trunc('hour', ts) AS bar_hour,
+               struct_pack(
+                   us := epoch_us(ts),
+                   eid := event_id,
+                   vu := CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+                              AS BIGINT)
+               ) AS s
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bar_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(min(s)['vu'] AS BIGINT) AS open_micro,
+           CAST(max(s)['vu'] AS BIGINT) AS close_micro,
+           CAST(MAX(s.vu) AS BIGINT) AS high_micro,
+           CAST(MIN(s.vu) AS BIGINT) AS low_micro
+    FROM x GROUP BY bar_hour
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over purchase values (M277): open / high /
+    low / close per hour — the canonical time-series downsample every
+    market-data and metrics store serves (candlestick charts, bar
+    aggregation before modeling).  Open and close are FIRST/LAST BY
+    TIME, which plain min/max aggregates can't express.
+
+    Exactness: first/last via min/max over a (epoch_µs, event_id,
+    value_micro) struct — lexicographic struct comparison is identical
+    in both engines, the (ts, event_id) prefix is UNIQUE so ties are
+    impossible, and epoch-µs integers sidestep timestamp-precision
+    dialect drift (Spark stores µs; DuckDB epoch_us truncates its ns
+    identically).  Value in exact micro BIGINTs throughout.
+
+    Scale: ONE map-side-combined aggregate on the hour key — the
+    min/max-over-struct pairs are classic partial-aggregable monoids,
+    so this is exactly the `events_hourly` shuffle shape (|hours|
+    keys) with zero windows, zero joins, no per-group
+    materialization.  This is the batch form; the same expressions
+    run under `readStream` with a watermark (the K1 unification).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    s = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("vu"),
+    )
+    return (
+        ev.select(F.date_trunc("hour", "ts").alias("bar_hour"), s.alias("s"))
+        .groupBy("bar_hour")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.min("s").getField("vu").cast("long").alias("open_micro"),
+            F.max("s").getField("vu").cast("long").alias("close_micro"),
+            F.max(F.col("s.vu")).cast("long").alias("high_micro"),
+            F.min(F.col("s.vu")).cast("long").alias("low_micro"),
+        )
+    )

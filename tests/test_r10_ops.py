@@ -698,3 +698,45 @@ def test_ivm_delete_recompute_matches_full_recompute(spark):
     assert {r["event_type"]: (r["n_rows"], r["max_micro"]) for r in rows} == full
     for r in rows:
         assert r["recomputed"] == int(r["event_type"] in ("click", "error"))
+
+
+def test_ohlc_bars_are_internally_consistent(spark):
+    """low <= open, close <= high per bar; bar trade counts must sum
+    to the purchase-event count."""
+    rows = _q("ohlc_hourly_bars")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_trades"] for r in rows) == ev.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    for r in rows:
+        assert r["low_micro"] <= r["open_micro"] <= r["high_micro"]
+        assert r["low_micro"] <= r["close_micro"] <= r["high_micro"]
+
+
+def test_uplift_buckets_partition_users(spark):
+    rows = _q("uplift_by_exposure_bucket")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["conv_t"] <= r["n_t"]
+        assert 0 <= r["conv_c"] <= r["n_c"]
+        if r["n_t"] and r["n_c"]:
+            assert -1000000 <= r["uplift_ppm"] <= 1000000
+
+
+def test_concurrency_curve_conserves_sessions(spark):
+    """Sweep-line invariants: the curve is non-negative, ends at 0
+    (every +1 has its -1 inside the grid), and its peak is at most
+    the number of sessions."""
+    rows = sorted(
+        _q("concurrency_curve")(spark, SF_DIR).collect(),
+        key=lambda r: r["hour_start"],
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    n_sessions = (
+        ev.select("user_id", F.to_date("ts").alias("d")).distinct().count()
+    )
+    assert all(r["active_sessions"] >= 0 for r in rows)
+    assert rows[-1]["active_sessions"] == 0
+    assert max(r["active_sessions"] for r in rows) <= n_sessions
