@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "ohlc_hourly_bars",
     "uplift_by_exposure_bucket",
     "concurrency_curve",
+    "stream_ohlc_bars",
+    "hidden_partition_pruning",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -385,6 +387,10 @@ ITERATIVE = {
     # manifest commits (parquet writes) run during build
     "manifest_restore_roundtrip",
     "manifest_disjoint_writers",
+    # micro-batch drain runs during build
+    "stream_ohlc_bars",
+    # partitioned write runs during build
+    "hidden_partition_pruning",
 }
 
 

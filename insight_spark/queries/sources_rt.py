@@ -2041,3 +2041,53 @@ def manifest_disjoint_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(v3).cast("int").alias("final_version"),
         )
     )
+
+
+@query(
+    "hidden_partition_pruning",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+               AS value_micro
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning round-trip (M281, the Iceberg headline
+    feature re-expressed on hive layout): the table is written
+    partitioned by a DERIVED day value the user never sees; the query
+    filters on the RAW timestamp and the reader maps that predicate
+    onto the layout, so the scan prunes to 2 of 30 day directories
+    (plan-asserted in tests/test_plans.py) while the logical schema
+    stays untouched — no `_part_day` in the output, no user knowledge
+    of the layout.
+
+    This is the layout discipline that makes every time-ranged query
+    on a 100 TB event table read days, not the table: partition
+    pruning is STATIC (directory listing, zero data IO) and the exact
+    ts predicate still applies on top, so the mapping can only ever
+    cost IO, never correctness — and a too-narrow mapping (dropped
+    rows) would break this query's value hash.
+    """
+    from insight_spark.sources.parquet import (
+        read_ts_range,
+        write_hidden_partitioned,
+    )
+
+    path = _rt_path(sf_dir, "hidden_part")
+    write_hidden_partitioned(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "ts",
+            "event_type",
+            (F.col("value").cast("decimal(38,6)") * 1000000)
+            .cast("long")
+            .alias("value_micro"),
+        ),
+        path,
+    )
+    return read_ts_range(
+        spark, path, "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    ).select("event_id", "event_type", "value_micro")

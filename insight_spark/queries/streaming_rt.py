@@ -1053,3 +1053,69 @@ def stream_topk_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.row_number().over(w).cast("int").alias("rk"),
     ).filter(F.col("rk") <= 5)
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH x AS (
+        SELECT date_trunc('hour', ts) AS bar_hour,
+               struct_pack(
+                   us := epoch_us(ts),
+                   eid := event_id,
+                   vu := CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+                              AS BIGINT)
+               ) AS s
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bar_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(min(s)['vu'] AS BIGINT) AS open_micro,
+           CAST(max(s)['vu'] AS BIGINT) AS close_micro,
+           CAST(MAX(s.vu) AS BIGINT) AS high_micro,
+           CAST(MIN(s.vu) AS BIGINT) AS low_micro
+    FROM x GROUP BY bar_hour
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ohlc_hourly_bars` (M277) through the STREAMING engine (M280):
+    the stream-batch-unification contract made concrete on a
+    non-trivial aggregate — open/close are min/max over a
+    (epoch_µs, event_id, value) struct, so the streaming state per
+    hour is two structs + three scalars, merged across 4 micro-batches
+    (one per ts-ordered chunk) and drained complete into the memory
+    sink.  A market-data pipeline runs exactly this shape live; the
+    oracle row proves the micro-batch state merge reproduces the batch
+    bars bit-for-bit (same struct-ordering argument as M277 — the
+    unique (ts,id) prefix makes every merge order land on the same
+    min/max).
+
+    Scale: per-hour state is O(1) (two structs, three longs) — the
+    partial-aggregation monoid property that makes the batch plan
+    map-side combinable is the SAME property that bounds streaming
+    state; |hours| keys total.
+    """
+    from insight_spark.streaming.core import read_events_stream
+
+    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    s = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("vu"),
+    )
+    agg = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("bar_hour"), s.alias("s"))
+        .groupBy("bar_hour")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.min("s").getField("vu").cast("long").alias("open_micro"),
+            F.max("s").getField("vu").cast("long").alias("close_micro"),
+            F.max(F.col("s.vu")).cast("long").alias("high_micro"),
+            F.min(F.col("s.vu")).cast("long").alias("low_micro"),
+        )
+    )
+    name = "mem_ohlc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _drain(spark, agg, name)

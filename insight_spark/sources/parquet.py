@@ -192,3 +192,48 @@ def read_binary_files(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     return reader.load(path)
+
+
+def write_hidden_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts"
+) -> None:
+    """Hidden day-partitioning (the Iceberg headline feature, public
+    design): lay the table out by a DERIVED partition value
+    (``to_date(ts)``) the user never has to know about — queries keep
+    filtering on the raw timestamp and ``read_ts_range`` maps that
+    predicate onto the layout.  The derived column is written as the
+    hive partition key and dropped again on read, so the logical
+    schema is unchanged."""
+    (
+        df.withColumn("_part_day", F.to_date(F.col(ts_col)))
+        .repartition(F.col("_part_day"))
+        .write.mode("overwrite")
+        .partitionBy("_part_day")
+        .parquet(path)
+    )
+
+
+def read_ts_range(
+    spark: SparkSession, path: str, lo: str, hi: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Range scan over a hidden-partitioned table: the caller supplies
+    only the TIMESTAMP predicate [lo, hi); the reader derives the
+    matching partition predicate (day(lo) ≤ _part_day ≤ day(hi)) so
+    the scan PRUNES to the touched directories — static partition
+    pruning from a predicate the user wrote against the raw column.
+    Correctness never depends on the pruning: the exact ts predicate
+    is applied on top (a row in a touched partition but outside
+    [lo, hi) is still filtered), so a transform-mapping bug can only
+    cost IO, never rows — except a too-NARROW mapping, which the
+    value oracle of ``hidden_partition_pruning`` would catch as
+    missing rows."""
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("_part_day") >= F.to_date(lo_c))
+            & (F.col("_part_day") <= F.to_date(hi_c))
+        )
+        .filter((F.col(ts_col) >= lo_c) & (F.col(ts_col) < hi_c))
+        .drop("_part_day")
+    )

@@ -740,3 +740,61 @@ def test_concurrency_curve_conserves_sessions(spark):
     assert all(r["active_sessions"] >= 0 for r in rows)
     assert rows[-1]["active_sessions"] == 0
     assert max(r["active_sessions"] for r in rows) <= n_sessions
+
+
+def test_hidden_partitioning_prunes_to_touched_days(spark):
+    """The M281 claim: a raw-ts range predicate must reach the scan as
+    a PARTITION filter on the derived day column — 2 of 30 day dirs —
+    and the result must equal a plain filtered read."""
+    from insight_spark.sources.parquet import (
+        read_ts_range,
+        write_hidden_partitioned,
+    )
+
+    path = "/tmp/insight_spark_rt/test_hidden_part"
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    write_hidden_partitioned(ev, path)
+    out = read_ts_range(
+        spark, path, "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_part_day" in plan
+    # pruning is visible as partition count: exactly the 2 touched days
+    files = {
+        r[0].rsplit("/", 2)[1]
+        for r in out.select(
+            F.col("_metadata.file_path")
+        ).distinct().collect()
+    } if out.count() else set()
+    assert files <= {"_part_day=2024-01-10", "_part_day=2024-01-11"}
+    expected = ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    ).count()
+    assert out.count() == expected
+    assert "_part_day" not in out.columns
+
+
+def test_stream_ohlc_matches_batch_bars(spark):
+    """Stream-batch unification: the streaming drain must equal the
+    batch M277 result row-for-row."""
+    batch = {
+        r["bar_hour"]: (
+            r["n_trades"],
+            r["open_micro"],
+            r["close_micro"],
+            r["high_micro"],
+            r["low_micro"],
+        )
+        for r in _q("ohlc_hourly_bars")(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["bar_hour"]: (
+            r["n_trades"],
+            r["open_micro"],
+            r["close_micro"],
+            r["high_micro"],
+            r["low_micro"],
+        )
+        for r in _q("stream_ohlc_bars")(spark, SF_DIR).collect()
+    }
+    assert stream == batch
