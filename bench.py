@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "concurrency_curve",
     "stream_ohlc_bars",
     "hidden_partition_pruning",
+    "video_keyframe_select",
+    "bottomk_mergeable_sample",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

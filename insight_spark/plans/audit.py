@@ -102,8 +102,11 @@ __all__ = [
 #:   |sources|-row quota table — post-aggregate metadata scale.
 #: - concurrency_curve: sweep-line running sum over the HOURLY grid
 #:   (the acf_hourly_lags pattern — |hours| rows post-aggregate).
+#: - bottomk_mergeable_sample: rank window on the TakeOrdered(32)
+#:   head (the vector_index_probe pattern).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
+        "bottomk_mergeable_sample",
         "concurrency_curve",
         "largest_remainder_allocation",
         "mann_whitney_u",

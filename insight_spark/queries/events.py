@@ -558,3 +558,60 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("s.vu")).cast("long").alias("low_micro"),
         )
     )
+
+
+@query(
+    "bottomk_mergeable_sample",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    head AS (SELECT user_id, h FROM hashed ORDER BY h, user_id LIMIT 32)
+    SELECT user_id, h,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, user_id) AS INTEGER)
+               AS sample_rank
+    FROM head
+    """,
+)
+def bottomk_mergeable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k mergeable uniform sample (M283): the k=32 users with
+    the smallest md5 hashes ARE a uniform random sample of the user
+    population — and unlike reservoir sampling, the bottom-k set is a
+    MERGEABLE sketch: bottomk(A ∪ B) == bottomk(bottomk(A) ∪
+    bottomk(B)) (property-pinned), so per-partition heaps combine to
+    the global sample with no coordination and the same sample is
+    reproducible on any engine from the hash alone.  `kmv_set_
+    cardinality` consumes this structure's k-th statistic for
+    counting; this query emits the SAMPLE ITSELF — the distributed
+    EDA/debugging primitive ("show me 32 representative users").
+
+    Exactness: the hash is the house 44-bit md5-prefix integer (the
+    kmv idiom); ordering and ranks are exact integers with user_id
+    tie-break.  Scale: distinct-user reduce, then TakeOrdered(32)
+    (per-partition heaps + driver merge of k·P rows — never a global
+    sort); the rank window runs on the 32-row head (documented
+    BOUNDED_GLOBAL_WINDOW_OK entry).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select("user_id").distinct().select(
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 11),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    head = hashed.orderBy("h", "user_id").limit(32)
+    return head.withColumn(
+        "sample_rank",
+        F.row_number()
+        .over(Window.orderBy("h", "user_id"))
+        .cast("int"),
+    )

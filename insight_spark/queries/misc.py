@@ -1362,3 +1362,82 @@ def wav_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "video_keyframe_select",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, n)) AS INTEGER) AS frame_idx
+        FROM vids
+    ),
+    lumas AS (
+        SELECT doc_id, frame_idx,
+               CAST((doc_id * 29 + frame_idx * 13) % 256 AS DOUBLE)
+                   AS mean_luma
+        FROM frames
+    ),
+    deltas AS (
+        SELECT doc_id, frame_idx, mean_luma,
+               abs(mean_luma - LAG(mean_luma) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx
+               )) AS d
+        FROM lumas
+    )
+    SELECT doc_id, frame_idx, mean_luma,
+           CAST(COALESCE(d, 0.0) AS DOUBLE) AS abs_delta
+    FROM deltas
+    WHERE frame_idx = 0 OR d >= 20.0
+    """,
+)
+def video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video KEYFRAME selection by scene change (M282): decode every
+    Y4M frame's mean luma (the REAL planar 4:2:0 walk underneath —
+    `multimodal_video_frames`' codec path), then keep frame 0 plus
+    every frame whose luma jumps ≥20 from its predecessor — the
+    content-adaptive frame sampler a video training pipeline runs
+    INSTEAD of fixed-stride sampling (stride-2 keeps redundant frames
+    inside a static scene and misses cuts between its picks; delta
+    selection keeps exactly the scene boundaries).
+
+    The synthesis fill (doc_id·29 + f·13) % 256 makes consecutive
+    deltas 13 (kept out) except where the fill WRAPS past 256 (a
+    243-jump — the synthetic scene cut), so the fixture genuinely
+    exercises both branches and the oracle replays the arithmetic
+    closed-form.  Luma means are exact integers in double; the delta
+    and threshold compare identical doubles both engines.
+
+    Scale: one Arrow mapInPandas decode pass (map-only — decode work
+    ∝ bytes scanned), then a lag window PARTITIONED per video over
+    that video's ≤n frames — no global anything; output is the
+    keyframe table feature extraction feeds on.
+    """
+    from insight_spark.operators.multimodal import (
+        attach_real_media_columns,
+        video_frames_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_real_media_columns(docs).filter(
+        F.col("mime") == "video/y4m"
+    )
+    from pyspark.sql.window import Window
+
+    frames = video_frames_real(media, every=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "d", F.abs(F.col("mean_luma") - F.lag("mean_luma").over(w))
+    )
+    return d.filter(
+        (F.col("frame_idx") == 0) | (F.col("d") >= 20.0)
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "mean_luma",
+        F.coalesce(F.col("d"), F.lit(0.0)).alias("abs_delta"),
+    )

@@ -798,3 +798,58 @@ def test_stream_ohlc_matches_batch_bars(spark):
         for r in _q("stream_ohlc_bars")(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_keyframes_are_scene_cuts_plus_frame_zero(spark):
+    """Every video contributes frame 0; every other selected frame is
+    a genuine >=20 luma jump; stride-2 sampling would differ (the
+    docstring's claim that delta selection != fixed stride)."""
+    rows = _q("video_keyframe_select")(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_vids = docs.filter(F.col("doc_id") % 3 == 2).count()
+    assert len(by_doc) == n_vids
+    for doc_id, sel in by_doc.items():
+        idxs = sorted(r["frame_idx"] for r in sel)
+        assert idxs[0] == 0
+        for r in sel:
+            if r["frame_idx"] > 0:
+                assert r["abs_delta"] >= 20.0
+
+
+def test_bottomk_sample_is_a_mergeable_sketch(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — the law
+    that lets per-partition heaps combine without coordination."""
+    rows = _q("bottomk_mergeable_sample")(spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    k = min(32, n_users)
+    assert len(rows) == k
+    assert [r["sample_rank"] for r in sorted(rows, key=lambda r: r["h"])] == list(
+        range(1, k + 1)
+    )
+    hashed = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 11),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .collect()
+    )
+    allp = sorted((r["h"], r["user_id"]) for r in hashed)
+    a = sorted((h, u) for h, u in allp if u % 2 == 0)[:32]
+    b = sorted((h, u) for h, u in allp if u % 2 == 1)[:32]
+    merged = sorted(a + b)[:k]
+    assert merged == allp[:k]
+    assert [(r["h"], r["user_id"]) for r in sorted(rows, key=lambda r: r["h"])] == allp[:k]
