@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "hidden_partition_pruning",
     "video_keyframe_select",
     "bottomk_mergeable_sample",
+    "markup_strip_audit",
+    "url_canonicalize_dedup",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

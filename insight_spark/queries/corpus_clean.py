@@ -1470,3 +1470,182 @@ def special_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "markup_strip_audit",
+    oracle="""
+    WITH inj AS (
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1', '2', '3')
+                    THEN '<div class="post"><p>' || text ||
+                         '</p></div> &amp; <br/>'
+                    ELSE text
+               END AS t
+        FROM documents
+    ),
+    stripped AS (
+        SELECT source, t,
+               replace(regexp_replace(t, '<[^>]*>', '', 'g'),
+                       '&amp;', '&') AS clean
+        FROM inj
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(len(t) <> len(clean)) AS BIGINT)
+               AS n_docs_with_markup,
+           CAST(SUM(len(t) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST((2000000 * SUM(len(t) - len(clean)) + SUM(len(t)))
+                // (2 * SUM(len(t))) AS BIGINT) AS markup_ppm
+    FROM stripped GROUP BY source
+    """,
+)
+def markup_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-markup stripping audit (M284): per source, how much of the
+    raw bytes are tags/entities a text-extraction pass removes — the
+    boilerplate-overhead table read before choosing an extractor for a
+    crawl feed (a source at 300k markup-ppm is a DOM-heavy site whose
+    text extraction needs a real parser; near-zero is API text).
+    Fixture docs are plain, so an md5-keyed wrapper injection (~1/4 of
+    docs get a div/p wrapper + an '&amp;' entity — the M199 stand-in
+    pattern) provides ground truth.
+
+    Parity: tag stripping is ONE capture-free regex '<[^>]*>' with
+    identical RE2/Java semantics (capture REPLACEMENT syntax differs
+    between engines — $1 vs \\1 — so the audit deliberately uses
+    none); entity unescape is a literal replace; counts and the
+    half-up ppm are exact integers.
+
+    Scale: map-only string work fused into the scan + a
+    |sources|-keyed map-side-combined aggregate.  At 100 TB this is
+    the cheapest possible shape: one pass, no shuffle of content.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        "source",
+        F.when(
+            F.expr(
+                "substr(md5(CAST(doc_id AS STRING)), 1, 1)"
+                " IN ('0', '1', '2', '3')"
+            ),
+            F.concat(
+                F.lit('<div class="post"><p>'),
+                F.col("text"),
+                F.lit("</p></div> &amp; <br/>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    stripped = inj.select(
+        "source",
+        F.length("t").alias("raw_len"),
+        F.length(
+            F.replace(
+                F.regexp_replace(F.col("t"), "<[^>]*>", ""),
+                F.lit("&amp;"),
+                F.lit("&"),
+            )
+        ).alias("clean_len"),
+    )
+    return stripped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("raw_len") != F.col("clean_len"))
+        .cast("long")
+        .alias("n_docs_with_markup"),
+        F.sum(F.col("raw_len") - F.col("clean_len"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.expr(
+            "CAST((2000000 * SUM(raw_len - clean_len) + SUM(raw_len))"
+            " div (2 * SUM(raw_len)) AS BIGINT)"
+        ).alias("markup_ppm"),
+    )
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle="""
+    WITH urls AS (
+        SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS domain,
+               'https://site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+               || CASE doc_id % 4
+                    WHEN 1 THEN '?utm_source=news'
+                    WHEN 2 THEN '?utm_campaign=mail&utm_medium=email'
+                    WHEN 3 THEN '#section-2'
+                    ELSE ''
+                  END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT domain, url,
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '\\?utm_.*$', '') AS curl
+        FROM urls
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS collapsed
+    FROM canon GROUP BY domain
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (M285): strip tracking params
+    (utm_*) and fragments, then count how many raw URLs collapse into
+    each canonical form per domain — the crawl-frontier dedup that
+    byte-exact URL comparison misses entirely (every campaign tag
+    makes a 'new' URL; recrawling them is pure waste, and downstream
+    doc dedup pays the decode cost M201 measures).  Synthetic URLs
+    derived deterministically from doc_id (4 docs share a path; 4
+    tracking variants) give exact ground truth: raw distinct ≈ 4× the
+    canonical count.
+
+    Parity: canonicalization is two capture-free anchored regexes
+    ('#.*$', '\\?utm_.*$') with identical RE2/Java semantics; all
+    counts exact BIGINTs.  Scale: map-only canonicalization fused
+    into the scan; the distinct counts shuffle CANONICAL STRINGS
+    within |domains| groups — the same two-phase distinct every
+    dedup layer here uses, keyed on bounded-cardinality domains plus
+    the url hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.expr("CAST(doc_id div 4 AS STRING)"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=news"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit("?utm_campaign=mail&utm_medium=email"),
+            )
+            .when(F.col("doc_id") % 4 == 3, F.lit("#section-2"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = urls.select(
+        "domain",
+        "url",
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""), r"\?utm_.*$", ""
+        ).alias("curl"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("curl").cast("long").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("curl"))
+        .cast("long")
+        .alias("collapsed"),
+    )

@@ -853,3 +853,38 @@ def test_bottomk_sample_is_a_mergeable_sketch(spark):
     merged = sorted(a + b)[:k]
     assert merged == allp[:k]
     assert [(r["h"], r["user_id"]) for r in sorted(rows, key=lambda r: r["h"])] == allp[:k]
+
+
+def test_markup_strip_accounts_every_injected_wrapper(spark):
+    """Injected wrapper is 21 + 22 chars of tags + 4 entity chars
+    removed ('&amp;' -> '&'); clean docs remove zero."""
+    rows = _q("markup_strip_audit")(spark, SF_DIR).collect()
+    injected = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(
+            F.expr(
+                "substr(md5(CAST(doc_id AS STRING)), 1, 1)"
+                " IN ('0', '1', '2', '3')"
+            )
+        )
+        .count()
+    )
+    # wrapper minus what survives stripping: prefix vanishes, suffix
+    # '</p></div> &amp; <br/>' strips to ' & '
+    per_doc = (
+        len('<div class="post"><p>')
+        + len("</p></div> &amp; <br/>")
+        - len(" & ")
+    )
+    assert sum(r["n_docs_with_markup"] for r in rows) == injected
+    assert sum(r["chars_removed"] for r in rows) == injected * per_doc
+
+
+def test_url_canonicalization_collapses_tracking_variants(spark):
+    rows = _q("url_canonicalize_dedup")(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_urls"] for r in rows) == docs.count()
+    for r in rows:
+        # canonical never exceeds raw distinct; collapsing happened
+        assert r["n_canonical"] <= r["n_raw_distinct"] <= r["n_urls"]
+        assert r["collapsed"] == r["n_urls"] - r["n_canonical"]
