@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "bottomk_mergeable_sample",
     "markup_strip_audit",
     "url_canonicalize_dedup",
+    "windowed_count_distinct",
+    "impute_group_median",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

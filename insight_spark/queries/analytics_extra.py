@@ -5481,3 +5481,186 @@ def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dd").over(w).cast("long").alias("active_sessions"),
         )
     )
+
+
+@query(
+    "windowed_count_distinct",
+    oracle="""
+    WITH x AS (
+        SELECT DISTINCT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, d FROM x)
+    SELECT dd.event_type, dd.d AS day,
+           (SELECT CAST(COUNT(DISTINCT x2.user_id) AS BIGINT) FROM x x2
+             WHERE x2.event_type = dd.event_type AND x2.d = dd.d)
+               AS active_users,
+           (SELECT CAST(COUNT(DISTINCT x3.user_id) AS BIGINT) FROM x x3
+             WHERE x3.event_type = dd.event_type AND x3.d <= dd.d)
+               AS cum_distinct_users
+    FROM days dd
+    """,
+)
+def windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window (M286): per
+    event type and day, distinct users that day AND distinct users
+    EVER SEEN up to that day — the cumulative-reach curve every
+    growth dashboard draws.  Spark's window functions REJECT
+    DISTINCT aggregates outright, so this implements the standard
+    scalable rewrite: a user contributes to the cumulative count only
+    on their FIRST day (per type), so running-distinct == running SUM
+    of first-appearance counts — turning an unbounded distinct-state
+    window into an additive cumulative over the |days| grid.
+
+    The oracle formulates it INDEPENDENTLY (correlated
+    COUNT(DISTINCT) subqueries — the O(days²) semantics spelled out
+    directly), so the hash proves the rewrite, not just the
+    arithmetic.
+
+    Scale: first-day = one (type, user)-keyed MIN reduce; daily news
+    = a (type, day)-keyed count; the cumulative runs PARTITIONED per
+    type over |days| rows.  The O(N·days) state the naive window
+    would hold never exists.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        "user_id",
+    ).distinct()
+    active = x.groupBy("event_type", "d").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    first = x.groupBy("event_type", "user_id").agg(F.min("d").alias("fd"))
+    news = first.groupBy("event_type", F.col("fd").alias("d")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        active.join(news, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "active_users",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "active_users",
+            F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
+        )
+    )
+
+
+@query(
+    "impute_group_median",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, event_id,
+               CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1')
+                    THEN NULL
+                    ELSE CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+                              AS BIGINT)
+               END AS vu
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, vu,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY vu, event_id) AS rn,
+               COUNT(vu) OVER (PARTITION BY event_type) AS n_obs
+        FROM x WHERE vu IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, CAST(vu AS BIGINT) AS med_micro
+        FROM ranked WHERE rn = (n_obs + 1) // 2
+    )
+    SELECT x.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(count_if(x.vu IS NULL) AS BIGINT) AS n_imputed,
+           m.med_micro,
+           CAST(SUM(COALESCE(x.vu, m.med_micro)) AS BIGINT)
+               AS sum_micro_after
+    FROM x JOIN med m ON x.event_type = m.event_type
+    GROUP BY x.event_type, m.med_micro
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation audit (M287): fill missing metric
+    values with their group's LOWER MEDIAN and account for every
+    imputation — the feature-engineering repair step run before any
+    trainer that can't eat NULLs (median, not mean, because the
+    imputed value must be robust to the same tails `mad_outliers`
+    guards).  The fixture has no nulls, so an md5-keyed knockout
+    (~1/8 of events — the M199 stand-in pattern) provides ground
+    truth.
+
+    Exactness: lower median = the ⌈n/2⌉-th smallest non-null,
+    selected by the EXPLICIT rank formulation rn == (n+1) div 2 with
+    (value, event_id) tie-break — integer div (the verify-skill
+    pitfall: Spark `/` is float division), no interpolation, so the
+    imputed value is an exact micro BIGINT and the post-impute sum is
+    exact integer arithmetic with a hashable value.
+
+    Scale: the rank window is PARTITIONED by group (data-scale but
+    per-key ordered — the sessionize shape); the |types|-row median
+    table broadcasts back onto one scan-shaped aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.expr(
+                "substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0', '1')"
+            ),
+            F.lit(None),
+        )
+        .otherwise(
+            (F.col("value").cast("decimal(38,6)") * 1000000).cast("long")
+        )
+        .alias("vu"),
+    )
+    obs = x.filter(F.col("vu").isNotNull())
+    wkey = Window.partitionBy("event_type")
+    ranked = obs.select(
+        "event_type",
+        "vu",
+        F.row_number()
+        .over(wkey.orderBy("vu", "event_id"))
+        .alias("rn"),
+        F.count("vu").over(wkey).alias("n_obs"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_obs + 1) div 2")
+    ).select("event_type", F.col("vu").cast("long").alias("med_micro"))
+    return (
+        x.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_micro")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_if(F.col("vu").isNull()).cast("long").alias("n_imputed"),
+            F.sum(F.coalesce(F.col("vu"), F.col("med_micro")))
+            .cast("long")
+            .alias("sum_micro_after"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            "med_micro",
+            "sum_micro_after",
+        )
+    )

@@ -888,3 +888,46 @@ def test_url_canonicalization_collapses_tracking_variants(spark):
         # canonical never exceeds raw distinct; collapsing happened
         assert r["n_canonical"] <= r["n_raw_distinct"] <= r["n_urls"]
         assert r["collapsed"] == r["n_urls"] - r["n_canonical"]
+
+
+def test_running_distinct_rewrite_laws(spark):
+    """cum is nondecreasing per type, >= that day's active count, and
+    the last day's cum equals the type's total distinct users."""
+    rows = _q("windowed_count_distinct")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        cums = [r["cum_distinct_users"] for r in rs]
+        assert cums == sorted(cums)
+        assert all(
+            r["cum_distinct_users"] >= r["active_users"] for r in rs
+        )
+        assert cums[-1] == totals[t]
+
+
+def test_impute_median_is_observed_value_and_counts_knockouts(spark):
+    rows = _q("impute_group_median")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    knocked = ev.filter(
+        F.expr("substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0', '1')")
+    ).count()
+    assert sum(r["n_imputed"] for r in rows) == knocked
+    for r in rows:
+        # the lower median must be an actually-observed micro value
+        exists = ev.filter(
+            (F.col("event_type") == r["event_type"])
+            & (
+                (F.col("value").cast("decimal(38,6)") * 1000000).cast("long")
+                == r["med_micro"]
+            )
+        ).count()
+        assert exists > 0
