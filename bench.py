@@ -300,6 +300,9 @@ BENCH_QUERIES = [
     "url_canonicalize_dedup",
     "windowed_count_distinct",
     "impute_group_median",
+    "session_gap_sweep",
+    "fd_discovery_audit",
+    "sargable_rewrite_probe",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -5664,3 +5664,163 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_micro_after",
         )
     )
+
+
+@query(
+    "session_gap_sweep",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap_us
+        FROM events
+    ),
+    th AS (SELECT unnest([600, 1800, 3600]) AS threshold_s)
+    SELECT th.threshold_s,
+           CAST(count_if(g.gap_us IS NULL
+                         OR g.gap_us > CAST(th.threshold_s AS BIGINT) * 1000000)
+                AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((2000000 * COUNT(*)
+                 + count_if(g.gap_us IS NULL
+                            OR g.gap_us > CAST(th.threshold_s AS BIGINT) * 1000000))
+                // (2 * count_if(g.gap_us IS NULL
+                                 OR g.gap_us > CAST(th.threshold_s AS BIGINT) * 1000000))
+                AS BIGINT) AS events_per_session_ppm
+    FROM gaps g CROSS JOIN th
+    GROUP BY th.threshold_s
+    """,
+)
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session idle-gap sweep (M288): session counts (and mean events
+    per session) at 10/30/60-minute inactivity thresholds — the knob
+    table behind `sessionize`'s gap parameter (the committed threshold
+    is a policy; this is the curve the policy debate reads: a count
+    that halves between 10 and 30 minutes says the corpus has a
+    bimodal dwell pattern the single knob is splitting).
+
+    The sweep computes the per-user LAG gap ONCE (exact epoch-µs
+    integers, event_id tie-break) and evaluates all three thresholds
+    against that one column — a session START under threshold t is
+    simply gap IS NULL OR gap > t, so n_sessions needs no per-
+    threshold re-sessionization, no session ids, no second window.
+
+    Scale: one user-partitioned window exchange (the `sessionize`
+    shuffle), a 3-row literal broadcast, one |thresholds|-keyed
+    map-side-combined aggregate.  Exactness: µs integers, exact
+    counts, half-up ppm division at output only.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    gaps = ev.select(
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us")
+    )
+    th = spark.createDataFrame(
+        [(600,), (1800,), (3600,)], ["threshold_s"]
+    )
+    started = F.count_if(
+        F.col("gap_us").isNull()
+        | (F.col("gap_us") > F.col("threshold_s") * 1000000)
+    )
+    return (
+        gaps.crossJoin(F.broadcast(th))
+        .groupBy("threshold_s")
+        .agg(
+            started.cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "threshold_s",
+            "n_sessions",
+            "n_events",
+            F.expr(
+                "CAST((2000000 * n_events + n_sessions)"
+                " div (2 * n_sessions) AS BIGINT)"
+            ).alias("events_per_session_ppm"),
+        )
+    )
+
+
+@query(
+    "fd_discovery_audit",
+    oracle="""
+    SELECT 'customer' AS tbl, 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT (c_custkey, c_nationkey)) AS BIGINT)
+               AS n_pairs,
+           CAST(COUNT(DISTINCT c_custkey)
+                = COUNT(DISTINCT (c_custkey, c_nationkey)) AS INT)
+               AS fd_holds
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey)
+                = COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS INT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'o_orderpriority',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey)
+                = COUNT(DISTINCT (o_custkey, o_orderpriority)) AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'nation', 'n_nationkey', 'n_regionkey',
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT),
+           CAST(COUNT(DISTINCT n_nationkey)
+                = COUNT(DISTINCT (n_nationkey, n_regionkey)) AS INT)
+    FROM nation
+    """,
+)
+def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit (M290): does A → B hold?
+    — the data-profiling primitive (Metanome/Tane family, public)
+    behind normalization advice, key detection, and join-safety checks
+    (an FD that 'mostly' holds is the classic silently-denormalized
+    table).  The test is the exact counting identity:
+    A → B  ⟺  |distinct A| == |distinct (A,B)|, evaluated here over
+    four declared candidates spanning a true key FD, a PK-to-attr FD,
+    and two deliberately failing ones (so the fixture exercises both
+    verdicts).
+
+    Scale: each candidate is ONE two-phase distinct aggregate (the
+    `distinct_exact` shape — partial distinct map-side, exact
+    global); candidates run independently and union 4 metadata rows.
+    At 100 TB profiling sweeps batch many candidates over one scan
+    per table exactly like this.  Exactness: all counts exact
+    BIGINTs; the verdict an integer equality flag.
+    """
+
+    def probe(tbl: str, lhs: str, rhs: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl)
+        return t.agg(
+            F.countDistinct(lhs).cast("long").alias("n_lhs"),
+            F.countDistinct(lhs, rhs).cast("long").alias("n_pairs"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_lhs",
+            "n_pairs",
+            (F.col("n_lhs") == F.col("n_pairs")).cast("int").alias(
+                "fd_holds"
+            ),
+        )
+
+    return (
+        probe("customer", "c_custkey", "c_nationkey")
+        .unionByName(probe("customer", "c_nationkey", "c_mktsegment"))
+        .unionByName(probe("orders", "o_custkey", "o_orderpriority"))
+        .unionByName(probe("nation", "n_nationkey", "n_regionkey"))
+    )

@@ -1441,3 +1441,55 @@ def video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_luma",
         F.coalesce(F.col("d"), F.lit(0.0)).alias("abs_delta"),
     )
+
+
+@query(
+    "sargable_rewrite_probe",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(date_trunc('day', ts)
+                         = TIMESTAMP '2024-01-15 00:00:00') AS BIGINT)
+               AS n_naive,
+           CAST(count_if(ts >= TIMESTAMP '2024-01-15 00:00:00'
+                         AND ts < TIMESTAMP '2024-01-16 00:00:00')
+                AS BIGINT) AS n_sargable,
+           CAST(count_if(date_trunc('day', ts)
+                         = TIMESTAMP '2024-01-15 00:00:00')
+                = count_if(ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00')
+                AS INT) AS rewrite_agrees
+    FROM events GROUP BY event_type
+    """,
+)
+def sargable_rewrite_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sargable-predicate rewrite probe (M289): the day-equality
+    predicate every analyst writes first — date_trunc('day', ts) = D
+    — wrapped in a function call NO engine can push into a parquet
+    scan (the column is inside an expression), against its sargable
+    rewrite ts ∈ [D, D+1day).  The value hash proves the two
+    predicates select identical rows per event type; the PLAN
+    difference — the rewrite reaches the scan as PushedFilters /
+    row-group pruning bounds, the naive form scans everything and
+    filters post-hoc — is asserted in tests/test_plans-style pins
+    (tests/test_r10_ops.py).
+
+    This is the query-authoring discipline that decides whether a
+    time-ranged probe on a 100 TB event table reads one day's row
+    groups or thirty days' — the same IO cliff `hidden_partition_
+    pruning` (M281) solves at the LAYOUT level, solved here at the
+    PREDICATE level (the two compose: sargable predicate + hidden
+    partitioning = static day pruning AND row-group stats pruning).
+
+    Scale: one scan, one |types|-keyed map-side aggregate; both
+    predicates evaluated as codegen'd conditional counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d0 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    d1 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    naive = F.count_if(F.date_trunc("day", F.col("ts")) == d0)
+    sarg = F.count_if((F.col("ts") >= d0) & (F.col("ts") < d1))
+    return ev.groupBy("event_type").agg(
+        naive.cast("long").alias("n_naive"),
+        sarg.cast("long").alias("n_sargable"),
+        (naive == sarg).cast("int").alias("rewrite_agrees"),
+    )

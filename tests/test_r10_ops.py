@@ -931,3 +931,68 @@ def test_impute_median_is_observed_value_and_counts_knockouts(spark):
             )
         ).count()
         assert exists > 0
+
+
+def test_session_gap_sweep_is_monotone_in_threshold(spark):
+    """A larger idle gap can only MERGE sessions: counts must be
+    nonincreasing in threshold, bounded below by n_users and above by
+    n_events."""
+    rows = sorted(
+        _q("session_gap_sweep")(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold_s"],
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert n_users <= r["n_sessions"] <= n_events
+        assert r["n_events"] == n_events
+
+
+def test_fd_audit_verdicts_match_ground_truth(spark):
+    rows = {
+        (r["tbl"], r["lhs"], r["rhs"]): r
+        for r in _q("fd_discovery_audit")(spark, SF_DIR).collect()
+    }
+    assert rows[("customer", "c_custkey", "c_nationkey")]["fd_holds"] == 1
+    assert rows[("nation", "n_nationkey", "n_regionkey")]["fd_holds"] == 1
+    # attribute FDs that should fail on any non-degenerate fixture
+    assert rows[("customer", "c_nationkey", "c_mktsegment")]["fd_holds"] == 0
+    for r in rows.values():
+        assert r["n_lhs"] <= r["n_pairs"]
+        assert r["fd_holds"] == int(r["n_lhs"] == r["n_pairs"])
+
+
+def test_sargable_form_pushes_filters_naive_does_not(spark):
+    """The M289 plan claim: the rewritten range predicate reaches the
+    parquet scan as PushedFilters on ts; the date_trunc form cannot."""
+    ev = load_table(spark, SF_DIR, "events")
+    d0 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    d1 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sarg_plan = (
+        ev.filter((F.col("ts") >= d0) & (F.col("ts") < d1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    naive_plan = (
+        ev.filter(F.date_trunc("day", F.col("ts")) == d0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    def pushed(plan):
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    assert "ts" in pushed(sarg_plan) and "GreaterThanOrEqual" in pushed(
+        sarg_plan
+    )
+    assert "GreaterThanOrEqual" not in pushed(naive_plan)
+    # and the two forms select identical rows
+    rows = _q("sargable_rewrite_probe")(spark, SF_DIR).collect()
+    assert rows and all(r["rewrite_agrees"] == 1 for r in rows)
