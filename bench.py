@@ -303,6 +303,8 @@ BENCH_QUERIES = [
     "session_gap_sweep",
     "fd_discovery_audit",
     "sargable_rewrite_probe",
+    "hierarchy_subtree_rollup",
+    "json_key_coverage",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -5824,3 +5824,165 @@ def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe("orders", "o_custkey", "o_orderpriority"))
         .unionByName(probe("nation", "n_nationkey", "n_regionkey"))
     )
+
+
+@query(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH anc AS (
+        SELECT DISTINCT c_custkey,
+               c_custkey // (CAST(1 AS BIGINT) << (3 * j)) AS node
+        FROM customer, unnest(range(0, 12)) u(j)
+    ),
+    bal AS (
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                   AS bu
+        FROM customer
+    )
+    SELECT a.node,
+           CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(b.bu) AS BIGINT) AS subtree_bal_micro
+    FROM anc a JOIN bal b ON a.c_custkey = b.c_custkey
+    WHERE a.node < 64
+    GROUP BY a.node
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup (M291): per ancestor node of an
+    8-ary key hierarchy (parent(k) = k div 8 — an org chart / category
+    tree / account hierarchy stand-in), the size and total balance of
+    its ENTIRE subtree — the org-rollup query a recursive CTE answers
+    on small data and kills clusters on big data (per-level self-joins
+    = depth × shuffle of the full table).
+
+    The scalable rewrite: a node's ancestor list is CLOSED-FORM
+    (k div 8^j, j = 0..11 — covering 8¹² ≈ 7·10¹³ keys), so every row
+    expands map-side into ≤12 (row, ancestor) pairs and ONE aggregate
+    produces every subtree total — the classic hierarchy
+    denormalization, zero iterative joins, zero recursion (contrast
+    `recursive_cte_walk`, which exists to exercise the iterative
+    form).  Reported for the top of the tree (node < 64 — the two
+    root levels), so output is bounded metadata.
+
+    Exactness: ancestors by integer shifts (1<<3j — BIGINT, no float
+    pow); DISTINCT de-dupes the repeating root 0; DECIMAL money
+    micro-sums.  Scale: map-side explode ×12 + one (node)-keyed
+    map-side-combined aggregate; no joins between data-scale tables
+    (the acctbal join below is a self-equijoin the optimizer collapses
+    onto the same scan shape).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    anc = (
+        cust.select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j"),
+        )
+        .select(
+            "c_custkey",
+            F.expr(
+                "c_custkey div shiftleft(CAST(1 AS BIGINT), 3 * j)"
+            ).alias("node"),
+        )
+        .distinct()
+    )
+    bal = cust.select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("bu"),
+    )
+    return (
+        anc.filter(F.col("node") < 64)
+        .join(bal, "c_custkey")
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_subtree"),
+            F.sum("bu").cast("long").alias("subtree_bal_micro"),
+        )
+    )
+
+
+@query(
+    "json_key_coverage",
+    oracle="""
+    WITH inj AS (
+        SELECT event_type,
+               CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1', '2', '3')
+                    THEN replace(props, '}', ', "exp_variant": 2}')
+                    ELSE props
+               END AS p
+        FROM events
+    ),
+    keys AS (
+        SELECT event_type,
+               unnest(json_keys(p)) AS key,
+               (SELECT COUNT(*) FROM inj i2
+                 WHERE i2.event_type = inj.event_type) AS n_type
+        FROM inj
+    )
+    SELECT event_type, key,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST((2000000 * COUNT(*) + MAX(n_type))
+                // (2 * MAX(n_type)) AS BIGINT) AS coverage_ppm
+    FROM keys GROUP BY event_type, key
+    """,
+)
+def json_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key-coverage audit (M292): per event type, every top-level
+    payload key with its presence count and coverage — schema
+    INFERENCE over semi-structured payloads, the drift detector run
+    before `json_extract_agg`-style consumers hard-code a path (a key
+    at 25% coverage is a producer rollout in progress; a key that
+    drops from 100% is a breaking change upstream).  Fixture payloads
+    carry one stable key, so an md5-keyed injected variant key
+    (~1/4 of events — the experiment-rollout pattern) gives the audit
+    both a full-coverage and a partial-coverage key per type.
+
+    Parity: key enumeration via each engine's native JSON key
+    function (Spark json_object_keys vs DuckDB json_keys — both
+    RFC-8259 top-level); the injection is literal string surgery,
+    valid JSON by construction; counts exact, coverage the half-up
+    ppm identity.
+
+    Scale: map-only parse fused with the scan, explode by ≤|keys|,
+    one (type, key)-keyed map-side-combined aggregate joined to the
+    |types|-row totals broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    inj = ev.select(
+        "event_type",
+        F.when(
+            F.expr(
+                "substr(md5(CAST(event_id AS STRING)), 1, 1)"
+                " IN ('0', '1', '2', '3')"
+            ),
+            F.replace(
+                F.col("props"), F.lit("}"), F.lit(', "exp_variant": 2}')
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    totals = inj.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_type")
+    )
+    keys = inj.select(
+        "event_type",
+        F.explode(F.expr("json_object_keys(p)")).alias("key"),
+    )
+    return (
+        keys.groupBy("event_type", "key")
+        .agg(F.count("*").cast("long").alias("n_present"))
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "key",
+            "n_present",
+            F.expr(
+                "CAST((2000000 * n_present + n_type)"
+                " div (2 * n_type) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -996,3 +996,32 @@ def test_sargable_form_pushes_filters_naive_does_not(spark):
     # and the two forms select identical rows
     rows = _q("sargable_rewrite_probe")(spark, SF_DIR).collect()
     assert rows and all(r["rewrite_agrees"] == 1 for r in rows)
+
+
+def test_subtree_rollup_conserves_mass_at_the_root(spark):
+    """Node 0 (the root) must hold every customer and the full micro
+    balance; child subtree sums must never exceed their parent's."""
+    rows = {r["node"]: r for r in _q("hierarchy_subtree_rollup")(spark, SF_DIR).collect()}
+    cust = load_table(spark, SF_DIR, "customer")
+    total = cust.agg(
+        F.sum(
+            (F.col("c_acctbal").cast("decimal(38,6)") * 1000000).cast("long")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert rows[0]["n_subtree"] == total["n"]
+    assert rows[0]["subtree_bal_micro"] == total["s"]
+    for node, r in rows.items():
+        if node > 0 and node // 8 in rows:
+            assert r["n_subtree"] <= rows[node // 8]["n_subtree"]
+
+
+def test_json_key_coverage_sees_rollout_key(spark):
+    rows = _q("json_key_coverage")(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["key"]] = r
+    for t, keys in by_type.items():
+        assert keys["k"]["coverage_ppm"] == 1000000
+        if "exp_variant" in keys:
+            assert 0 < keys["exp_variant"]["coverage_ppm"] < 1000000
