@@ -305,6 +305,8 @@ BENCH_QUERIES = [
     "sargable_rewrite_probe",
     "hierarchy_subtree_rollup",
     "json_key_coverage",
+    "frequency_cap_waste",
+    "flesch_reading_ease",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

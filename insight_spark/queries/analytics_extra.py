@@ -5986,3 +5986,52 @@ def json_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "frequency_cap_waste",
+    oracle="""
+    WITH per_ud AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(greatest(n - 3, 0)) AS BIGINT) AS capped_events,
+           CAST((2000000 * SUM(greatest(n - 3, 0)) + SUM(n))
+                // (2 * SUM(n)) AS BIGINT) AS waste_ppm
+    FROM per_ud GROUP BY event_type
+    """,
+)
+def frequency_cap_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap waste audit (M293): per event type, how many
+    events land BEYOND a 3-per-user-per-day cap — the adtech/
+    notification accounting that prices a capping policy before it
+    ships (capped_events is exactly the volume a cap-3 enforcement
+    would suppress; waste_ppm is the spend share it saves).  The same
+    shape prices API rate limits and push-fatigue rules.
+
+    Exactness: everything is exact integer counting — the
+    (type, user, day) histogram, the per-cell overage max(n−3, 0),
+    and the half-up ppm at output.  Scale: ONE map-side-combined
+    aggregate on (type, user, day) — the `sessionize`-grade shuffle —
+    then a |types|-keyed reduce of the cell table; no windows, no
+    joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_ud = ev.groupBy(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return per_ud.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_user_days"),
+        F.sum(F.greatest(F.col("n") - 3, F.lit(0)))
+        .cast("long")
+        .alias("capped_events"),
+        F.expr(
+            "CAST((2000000 * SUM(greatest(n - 3, 0)) + SUM(n))"
+            " div (2 * SUM(n)) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

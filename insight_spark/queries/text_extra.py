@@ -2250,3 +2250,103 @@ def term_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_gap", "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "flesch_reading_ease",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS s,
+               CAST(greatest(len(regexp_extract_all(text,
+                                                    '[aeiouyAEIOUY]+')),
+                             1) AS BIGINT) AS y
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               CAST(floor(1000 * (206.835
+                    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+                    + 0.5) AS BIGINT) AS score_milli
+        FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+           CAST(SUM(score_milli) AS DOUBLE) / COUNT(*) / 1000.0
+               AS mean_score
+    FROM scored GROUP BY source
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (M295): the classic readability
+    formula (206.835 − 1.015·words/sentences − 84.6·syllables/word,
+    public) with a vowel-group syllable heuristic — a corpus-quality
+    signal orthogonal to the Gopher/CCNet family (M25/M97 measure
+    vocabulary and LM surprise; this measures STRUCTURAL complexity,
+    and flags both keyword-stuffed fragments (absurdly high ease) and
+    run-on machine text (negative ease)).  Fixture docs carry no
+    sentence punctuation, so the sentence count floors at 1
+    (documented: the score then ranks by word/syllable structure
+    alone — exactly what the guard does on real unpunctuated crawl
+    fragments).
+
+    Exactness: words/sentences/syllables are exact integer counts
+    (regexp_extract_all lengths — identical RE2/Java classes); each
+    doc's score is ONE shared double tree over those integers with
+    literal constants, milli-quantized BEFORE the per-source sum (the
+    psi/anova discipline — summation order cannot move the result);
+    the mean is one division of exact BIGINTs.
+
+    Scale: map-only string work + a |sources|-keyed map-side
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("s"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("y"),
+    ).filter(F.col("w") > 0)
+    score_milli = F.floor(
+        1000
+        * (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("w").cast("double") / F.col("s").cast("double"))
+            - F.lit(84.6)
+            * (F.col("y").cast("double") / F.col("w").cast("double"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per_doc.select("source", score_milli.alias("score_milli"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score_milli").cast("long").alias("sum_score_milli"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_score_milli",
+            (
+                F.col("sum_score_milli").cast("double")
+                / F.col("n_docs")
+                / F.lit(1000.0)
+            ).alias("mean_score"),
+        )
+    )

@@ -1025,3 +1025,29 @@ def test_json_key_coverage_sees_rollout_key(spark):
         assert keys["k"]["coverage_ppm"] == 1000000
         if "exp_variant" in keys:
             assert 0 < keys["exp_variant"]["coverage_ppm"] < 1000000
+
+
+def test_frequency_cap_overage_bounds(spark):
+    rows = _q("frequency_cap_waste")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        # overage can never exceed events minus one survivor per cell
+        assert 0 <= r["capped_events"] <= r["n_events"] - r["n_user_days"] + (
+            r["n_user_days"] * 2
+        )
+        assert 0 <= r["waste_ppm"] <= 1000000
+        # enforcing the cap would deliver exactly n - capped events
+        assert r["n_events"] - r["capped_events"] <= 3 * r["n_user_days"]
+
+
+def test_flesch_scores_cover_all_docs_and_react_to_structure(spark):
+    rows = _q("flesch_reading_ease")(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.filter(
+        F.size(F.split(F.col("text"), r"\s+")) > 0
+    ).count()
+    for r in rows:
+        assert abs(
+            r["mean_score"] - r["sum_score_milli"] / r["n_docs"] / 1000.0
+        ) < 1e-9
