@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "json_key_coverage",
     "frequency_cap_waste",
     "flesch_reading_ease",
+    "capped_running_balance",
+    "kpi_delta_decomposition",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

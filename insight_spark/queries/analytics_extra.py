@@ -6035,3 +6035,90 @@ def frequency_cap_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * SUM(n)) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+@query(
+    "kpi_delta_decomposition",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(count_if(o_orderdate >= TIMESTAMP '1996-01-01'
+                             AND o_orderdate < TIMESTAMP '1997-01-01')
+                    AS BIGINT) AS n1,
+               CAST(count_if(o_orderdate >= TIMESTAMP '1997-01-01'
+                             AND o_orderdate < TIMESTAMP '1998-01-01')
+                    AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                              AND o_orderdate < TIMESTAMP '1997-01-01'
+                             THEN CAST(CAST(o_totalprice AS DECIMAL(38,6))
+                                       * 1000000 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                              AND o_orderdate < TIMESTAMP '1998-01-01'
+                             THEN CAST(CAST(o_totalprice AS DECIMAL(38,6))
+                                       * 1000000 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s2
+        FROM orders
+    )
+    SELECT n1, n2, s1, s2,
+           CAST(s2 - s1 AS BIGINT) AS delta_micro,
+           CAST(n2 - n1 AS DOUBLE)
+           * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              + CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0
+               AS volume_effect_micro,
+           (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           * CAST(n1 + n2 AS DOUBLE) / 2.0 AS rate_effect_micro
+    FROM p
+    """,
+)
+def kpi_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI delta decomposition (M297): split the 1996→1997 revenue
+    change into a VOLUME effect (order count moved) and a RATE effect
+    (value per order moved) using the symmetric midpoint (Bennet)
+    decomposition: Δrev = Δn·p̄ + n̄·Δp with p̄, n̄ the period
+    midpoints — the "why did the metric move" arithmetic every metric
+    tree / diagnosis layer runs, exact by construction (the two
+    effects sum to Δrev ALGEBRAICALLY, no residual term to hide
+    attribution in — property-pinned to fp tolerance).
+
+    Exactness: period counts and micro sums exact BIGINTs off ONE
+    conditional scan; the two effects are shared IEEE trees over
+    those integers (each period mean ONE division).
+
+    Scale: one map-side-combined 1-row aggregate — the cheapest
+    query in the registry family; the same decomposition nests per
+    segment by adding a GROUP BY.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    in1 = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    in2 = (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    mu = (F.col("o_totalprice").cast("decimal(38,6)") * 1000000).cast("long")
+    p = o.agg(
+        F.count_if(in1).cast("long").alias("n1"),
+        F.count_if(in2).cast("long").alias("n2"),
+        F.sum(F.when(in1, mu).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(in2, mu).otherwise(0)).cast("long").alias("s2"),
+    )
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    return p.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        (F.col("s2") - F.col("s1")).cast("long").alias("delta_micro"),
+        (
+            (F.col("n2") - F.col("n1")).cast("double")
+            * (p1 + p2)
+            / F.lit(2.0)
+        ).alias("volume_effect_micro"),
+        (
+            (p2 - p1)
+            * (F.col("n1") + F.col("n2")).cast("double")
+            / F.lit(2.0)
+        ).alias("rate_effect_micro"),
+    )

@@ -1340,3 +1340,106 @@ def ivm_delete_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return carried.unionByName(recomputed)
+
+
+@query(
+    "capped_running_balance",
+    oracle="""
+    WITH RECURSIVE x AS (
+        SELECT l_partkey AS part,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS BIGINT) AS rn,
+               CASE WHEN l_suppkey % 2 = 0
+                    THEN CAST(CAST(l_quantity AS DECIMAL(38,6)) AS BIGINT)
+                    ELSE -CAST(CAST(l_quantity AS DECIMAL(38,6)) AS BIGINT)
+               END AS delta
+        FROM lineitem
+    ),
+    r AS (
+        SELECT part, rn,
+               CAST(greatest(delta, 0) AS BIGINT) AS bal,
+               CAST(greatest(delta, 0) AS BIGINT) AS peak,
+               CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS hits
+        FROM x WHERE rn = 1
+        UNION ALL
+        SELECT x.part, x.rn,
+               CAST(greatest(r.bal + x.delta, 0) AS BIGINT),
+               CAST(greatest(r.peak, greatest(r.bal + x.delta, 0))
+                    AS BIGINT),
+               CAST(r.hits + CASE WHEN r.bal + x.delta < 0
+                                  THEN 1 ELSE 0 END AS BIGINT)
+        FROM r JOIN x ON x.part = r.part AND x.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT part, CAST(MAX(rn) AS BIGINT) AS max_rn FROM x GROUP BY part
+    )
+    SELECT r.part, r.bal AS final_balance, r.peak AS peak_balance,
+           r.hits AS floor_hits
+    FROM r JOIN last l ON r.part = l.part AND r.rn = l.max_rn
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-capped inventory running balance (M296): per part, walk
+    lineitems in ship order, add quantity for receipts (even supplier
+    keys) and subtract for issues, CLAMPING AT ZERO — the warehouse
+    stock ledger whose clamp makes the recurrence NON-LINEAR:
+    bal_t = max(0, bal_{t-1} + Δ_t) has no prefix-sum/window rewrite
+    (a clamp event erases history), which is exactly the SURVEY §7
+    case (c): a custom stateful operator Spark's built-ins cannot
+    express.
+
+    Implemented as an Arrow-batched ``applyInPandas`` over part
+    groups — the sanctioned custom-operator escape hatch: state is
+    three scalars per group, the walk is a tight in-memory loop over
+    that part's ~30 rows, and the 100 TB shape is one shuffle on the
+    group key then embarrassingly parallel per-part work (state never
+    crosses partitions).  The DuckDB oracle replays the recurrence as
+    a RECURSIVE CTE — an INDEPENDENT formulation, so the hash checks
+    the operator, not a mirrored expression.
+
+    Exactness: quantities are integral (DECIMAL-cast to BIGINT —
+    truncate==round); ordering has the unique (shipdate, orderkey,
+    linenumber) tie-break; all outputs exact BIGINTs.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_suppkey") % 2 == 0,
+            F.col("l_quantity").cast("decimal(38,6)").cast("long"),
+        )
+        .otherwise(-F.col("l_quantity").cast("decimal(38,6)").cast("long"))
+        .alias("delta"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        bal = peak = hits = 0
+        for d in pdf["delta"]:
+            nb = bal + int(d)
+            if nb < 0:
+                hits += 1
+                nb = 0
+            bal = nb
+            if bal > peak:
+                peak = bal
+        return pd.DataFrame(
+            {
+                "part": [int(pdf["part"].iloc[0])],
+                "final_balance": [bal],
+                "peak_balance": [peak],
+                "floor_hits": [hits],
+            }
+        )
+
+    return ev.groupBy("part").applyInPandas(
+        walk,
+        "part long, final_balance long, peak_balance long, floor_hits long",
+    )

@@ -1051,3 +1051,23 @@ def test_flesch_scores_cover_all_docs_and_react_to_structure(spark):
         assert abs(
             r["mean_score"] - r["sum_score_milli"] / r["n_docs"] / 1000.0
         ) < 1e-9
+
+
+def test_capped_balance_invariants_and_clamp_reality(spark):
+    """final/peak non-negative, final <= peak, and the clamp must fire
+    somewhere on the fixture (issues outnumber receipts per part half
+    the time) — otherwise the op degenerates to a prefix sum."""
+    rows = _q("capped_running_balance")(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert len(rows) == li.select("l_partkey").distinct().count()
+    assert all(0 <= r["final_balance"] <= r["peak_balance"] for r in rows)
+    assert sum(r["floor_hits"] for r in rows) > 0
+
+
+def test_kpi_decomposition_is_exact(spark):
+    """Bennet identity: volume + rate effects == delta, no residual."""
+    r = _q("kpi_delta_decomposition")(spark, SF_DIR).collect()[0]
+    assert r["delta_micro"] == r["s2"] - r["s1"]
+    assert abs(
+        r["volume_effect_micro"] + r["rate_effect_micro"] - r["delta_micro"]
+    ) <= 1e-6 * max(1, abs(r["delta_micro"]))
