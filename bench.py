@@ -309,6 +309,8 @@ BENCH_QUERIES = [
     "flesch_reading_ease",
     "capped_running_balance",
     "kpi_delta_decomposition",
+    "dispersion_index_check",
+    "burst_rate_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -6122,3 +6122,125 @@ def kpi_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
         ).alias("rate_effect_micro"),
     )
+
+
+@query(
+    "dispersion_index_check",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events,
+           (CAST(n_days AS DOUBLE) * CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n_days - 1 AS DOUBLE) * CAST(n_days AS DOUBLE))
+           / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+               AS dispersion_vmr,
+           CAST((CAST(n_days AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n_days - 1 AS DOUBLE) * CAST(n_days AS DOUBLE))
+                / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                > 1.5 AS INT) AS overdispersed
+    FROM m WHERE n_days > 1
+    """,
+)
+def dispersion_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index per event type (M298): the
+    variance-to-mean ratio of DAILY event counts — the one-number
+    arrival-process diagnostic (a Poisson feed has VMR ≈ 1;
+    VMR ≫ 1 means bursty/clumped arrivals, so every rate alert and
+    capacity forecast built on Poisson assumptions — including
+    `anomalous_hours`' z-scores — needs wider bands; VMR ≪ 1 means a
+    rate-limited/scheduled producer).
+
+    Exactness: the daily histogram and its (n, Σ, Σ²) moments are
+    exact integers (HUGEINT/DECIMAL for the squares); the sample
+    variance n·Q − S² numerator is formed cast-before-multiply
+    (benford discipline) and the VMR is ONE shared IEEE tree; the
+    flag compares those identical doubles.
+
+    Scale: a (type, day)-keyed map-side-combined count, then a
+    |types|-keyed moment reduce — |types|·|days| intermediate rows,
+    metadata-scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dec = "decimal(38,0)"
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).alias("q"),
+    )
+    var = (
+        F.col("n_days").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (
+        (F.col("n_days") - 1).cast("double")
+        * F.col("n_days").cast("double")
+    )
+    vmr = var / (F.col("s").cast("double") / F.col("n_days").cast("double"))
+    return m.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        vmr.alias("dispersion_vmr"),
+        (vmr > F.lit(1.5)).cast("int").alias("overdispersed"),
+    )
+
+
+@query(
+    "burst_rate_audit",
+    oracle="""
+    WITH per_sec AS (
+        SELECT event_type, user_id, date_trunc('second', ts) AS sec,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id, date_trunc('second', ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_user_seconds,
+           CAST(MAX(n) AS BIGINT) AS max_burst,
+           CAST(count_if(n >= 3) AS BIGINT) AS burst_cells,
+           CAST(SUM(CASE WHEN n >= 3 THEN n ELSE 0 END) AS BIGINT)
+               AS burst_events
+    FROM per_sec GROUP BY event_type
+    """,
+)
+def burst_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate audit (M299): per event type, how many
+    (user, second) cells carry ≥3 events and the worst single-second
+    burst — the bot/replay/retry-storm screen every telemetry intake
+    runs (humans don't emit 3 purchases in one second; SDK retry
+    loops and scrapers do), and the sizing input for any
+    token-bucket rate limit (max_burst IS the bucket depth that
+    would have passed all real traffic).
+
+    Exactness: pure exact integer counting on second-truncated
+    timestamps — no windows over raw rows, no self-joins on time.
+    Scale: ONE (type, user, second)-keyed map-side-combined count
+    (bursts collapse map-side by construction — the cell count is
+    bounded by active user-seconds, not events), then a |types|-key
+    reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_sec = ev.groupBy(
+        "event_type", "user_id", F.date_trunc("second", "ts").alias("sec")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return per_sec.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_user_seconds"),
+        F.max("n").cast("long").alias("max_burst"),
+        F.count_if(F.col("n") >= 3).cast("long").alias("burst_cells"),
+        F.sum(F.when(F.col("n") >= 3, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("burst_events"),
+    )

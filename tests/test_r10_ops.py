@@ -1071,3 +1071,36 @@ def test_kpi_decomposition_is_exact(spark):
     assert abs(
         r["volume_effect_micro"] + r["rate_effect_micro"] - r["delta_micro"]
     ) <= 1e-6 * max(1, abs(r["delta_micro"]))
+
+
+def test_dispersion_vmr_matches_numpy(spark):
+    import numpy as np
+
+    rows = _q("dispersion_index_check")(spark, SF_DIR).collect()
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    for r in rows:
+        xs = np.array(by_type[r["event_type"]], dtype=float)
+        want = xs.var(ddof=1) / xs.mean()
+        assert abs(r["dispersion_vmr"] - want) < 1e-9
+        assert r["overdispersed"] == int(r["dispersion_vmr"] > 1.5)
+
+
+def test_burst_audit_counts_are_consistent(spark):
+    rows = _q("burst_rate_audit")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_user_seconds"] <= totals[r["event_type"]]
+        assert r["burst_events"] >= 3 * r["burst_cells"]
+        assert r["max_burst"] >= 1
