@@ -311,6 +311,8 @@ BENCH_QUERIES = [
     "kpi_delta_decomposition",
     "dispersion_index_check",
     "burst_rate_audit",
+    "triplet_margin_audit",
+    "ams_f2_sketch",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -615,3 +615,120 @@ def bottomk_mergeable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("h", "user_id"))
         .cast("int"),
     )
+
+
+@query(
+    "ams_f2_sketch",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 16)) AS r),
+    signed AS (
+        SELECT r.r,
+               CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5(CAST(r.r AS VARCHAR) || '|'
+                                     || CAST(e.user_id AS VARCHAR)),
+                                 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM events e CROSS JOIN reps r
+    ),
+    z AS (
+        SELECT r, CAST(SUM(s) AS BIGINT) AS zr FROM signed GROUP BY r
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+               CAST(SUM(CAST(zr AS HUGEINT) * zr) AS HUGEINT) AS sum_z2
+        FROM z
+    ),
+    freq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f
+        FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS f2
+        FROM freq
+    )
+    SELECT est.n_reps,
+           CAST(exact.f2 AS BIGINT) AS f2_exact,
+           CAST((2 * est.sum_z2 + est.n_reps)
+                // (2 * est.n_reps) AS BIGINT) AS f2_est,
+           CAST((2000000 * abs((2 * est.sum_z2 + est.n_reps)
+                               // (2 * est.n_reps) - exact.f2)
+                 + exact.f2) // (2 * exact.f2) AS BIGINT) AS err_ppm
+    FROM est CROSS JOIN exact
+    """,
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (M301): estimate
+    F₂ = Σ f_u² of the user-frequency vector from 16 ±1-hash
+    counters (Alon-Matias-Szegedy 1996, public) — the sketch that
+    underlies streaming JOIN-SIZE estimation (self-join size IS F₂;
+    `join_size_estimate` computes the exact form, this is its
+    mergeable one-pass estimator) and completes the sketch shelf
+    (HLL distinct, CMS point-frequency, KMV set ops, histogram
+    quantiles, bloom membership — AMS is the moments/join-size
+    member).
+
+    Determinism: the ±1 hash is the md5 parity of (rep|user) — both
+    engines COMPUTE the same signs (no shared literals), so
+    estimator and exact value alike are exact integer arithmetic:
+    each Z_r is an exact BIGINT sum of ±1s weighted by arrival
+    counts, the estimate is the half-up mean of Z_r² in HUGEINT/
+    DECIMAL, and err_ppm is the half-up integer identity.
+
+    Scale: ONE events scan × 16-rep broadcast explode, map-side
+    ±1 accumulation into 16 cells (the CMS build shape — cells, not
+    keys, shuffle); exact side is the `distinct_exact` two-phase
+    shape.  Z_r cells are additively MERGEABLE across partitions,
+    shards, and days — the property the whole sketch family here is
+    organized around.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(16).select(F.col("id").cast("int").alias("r"))
+    signed = ev.crossJoin(F.broadcast(reps)).select(
+        "r",
+        F.when(
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("r").cast("string"),
+                                F.lit("|"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    z = signed.groupBy("r").agg(F.sum("s").cast("long").alias("zr"))
+    est = z.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum(F.col("zr").cast(dec) * F.col("zr")).alias("sum_z2"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("f"))
+        .agg(F.sum(F.col("f").cast(dec) * F.col("f")).alias("f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_reps",
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.expr(
+            "CAST((2 * sum_z2 + n_reps) div (2 * n_reps) AS BIGINT)"
+        ).alias("f2_est"),
+        F.expr(
+            "CAST((2000000 * abs((2 * sum_z2 + n_reps) div (2 * n_reps)"
+            " - f2) + f2) div (2 * f2) AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -3315,3 +3315,95 @@ def mips_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= 5)
+
+
+@query(
+    "triplet_margin_audit",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS a_id, label AS a_label, e AS ae
+                FROM m WHERE vec_id < 10),
+    pairs AS (
+        SELECT a.a_id, a.a_label, m.label AS c_label,
+               CAST(list_dot_product(
+                        list_transform(ae, x -> CAST(x AS DOUBLE)),
+                        list_transform(ae, x -> CAST(x AS DOUBLE)))
+                    + list_dot_product(
+                        list_transform(e, x -> CAST(x AS DOUBLE)),
+                        list_transform(e, x -> CAST(x AS DOUBLE)))
+                    - 2 * list_dot_product(
+                        list_transform(ae, x -> CAST(x AS DOUBLE)),
+                        list_transform(e, x -> CAST(x AS DOUBLE)))
+                    AS BIGINT) AS d2
+        FROM m CROSS JOIN anchors a
+        WHERE m.vec_id <> a.a_id
+    )
+    SELECT a_id, a_label,
+           CAST(MIN(CASE WHEN c_label = a_label THEN d2 END) AS BIGINT)
+               AS d2_pos,
+           CAST(MIN(CASE WHEN c_label <> a_label THEN d2 END) AS BIGINT)
+               AS d2_neg,
+           CAST(MIN(CASE WHEN c_label <> a_label THEN d2 END)
+                - MIN(CASE WHEN c_label = a_label THEN d2 END)
+                AS BIGINT) AS margin,
+           CAST(MIN(CASE WHEN c_label <> a_label THEN d2 END)
+                > MIN(CASE WHEN c_label = a_label THEN d2 END) AS INT)
+               AS healthy
+    FROM pairs GROUP BY a_id, a_label
+    """,
+)
+def triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet margin audit (M300): per anchor vector, the squared
+    distance to its nearest SAME-label neighbor (positive) and nearest
+    OTHER-label neighbor (negative), and whether the margin is
+    positive — the metric-learning health check run on an embedding
+    space before trusting label-based retrieval or kNN classification
+    (a negative margin anchor is one `knn_label_agreement` will
+    misclassify and `hard_negative_mining` will surface; this query
+    QUANTIFIES how far the space is from satisfying the triplet
+    property).
+
+    Exactness: micro-int coordinates make every squared distance an
+    exact BIGINT (computed in the oracle via the |a−b|² = |a|²+|b|²
+    −2ab identity over exact-integer dot products, all < 2⁵³ so
+    double folds are lossless); mins and the margin are integer
+    arithmetic; no floats anywhere hashed.
+
+    Scale: 10-row anchor broadcast → map-side nested loop (the
+    knn_topk shape — the corpus never shuffles), conditional-min
+    aggregate per anchor; output is |anchors| rows of metadata.
+    """
+    from insight_spark.operators.clustering import quantize_micro, sq_dist_micro
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize_micro(F.col("embedding")).alias("e")
+    )
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("ae"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            F.col("label").alias("c_label"),
+            sq_dist_micro(F.col("ae"), F.col("e")).alias("d2"),
+        )
+    )
+    d_pos = F.min(F.when(F.col("c_label") == F.col("a_label"), F.col("d2")))
+    d_neg = F.min(F.when(F.col("c_label") != F.col("a_label"), F.col("d2")))
+    return pairs.groupBy("a_id", "a_label").agg(
+        d_pos.cast("long").alias("d2_pos"),
+        d_neg.cast("long").alias("d2_neg"),
+        (d_neg - d_pos).cast("long").alias("margin"),
+        (d_neg > d_pos).cast("int").alias("healthy"),
+    )

@@ -1104,3 +1104,60 @@ def test_burst_audit_counts_are_consistent(spark):
         assert r["n_user_seconds"] <= totals[r["event_type"]]
         assert r["burst_events"] >= 3 * r["burst_cells"]
         assert r["max_burst"] >= 1
+
+
+def test_triplet_margins_match_bruteforce(spark):
+    import numpy as np
+
+    from insight_spark.operators.clustering import quantize_micro
+
+    rows = {r["a_id"]: r for r in _q("triplet_margin_audit")(spark, SF_DIR).collect()}
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", quantize_micro(F.col("embedding")).alias("e"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    X = np.array([r["e"] for r in emb], dtype=np.int64)
+    for a_id, r in rows.items():
+        a = X[ids == a_id][0]
+        lab = labels[ids == a_id][0]
+        d2 = ((X - a) ** 2).sum(axis=1)
+        mask = ids != a_id
+        pos = d2[mask & (labels == lab)].min()
+        neg = d2[mask & (labels != lab)].min()
+        assert (r["d2_pos"], r["d2_neg"]) == (pos, neg)
+        assert r["margin"] == neg - pos
+        assert r["healthy"] == int(neg > pos)
+
+
+def test_ams_z_cells_are_mergeable_and_estimate_is_sane(spark):
+    """Z_r over the full table == Z_r(first half) + Z_r(second half)
+    (additive merge law), and the 16-rep mean estimate lands within
+    5x of exact F2 (a loose sanity band, not a tuned guarantee)."""
+    row = _q("ams_f2_sketch")(spark, SF_DIR).collect()[0]
+    assert row["n_reps"] == 16
+    assert row["f2_est"] > 0
+    assert row["f2_est"] < 5 * row["f2_exact"]
+    ev = load_table(spark, SF_DIR, "events")
+    sign = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat(F.lit("3|"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                ),
+            )
+            - 1
+        )
+        % 2
+        == 0
+    )
+    s = F.when(sign, 1).otherwise(-1)
+    z_full = ev.agg(F.sum(s)).collect()[0][0]
+    z_a = ev.filter(F.col("event_id") % 2 == 0).agg(F.sum(s)).collect()[0][0]
+    z_b = ev.filter(F.col("event_id") % 2 == 1).agg(F.sum(s)).collect()[0][0]
+    assert z_full == z_a + z_b
