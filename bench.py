@@ -313,6 +313,8 @@ BENCH_QUERIES = [
     "burst_rate_audit",
     "triplet_margin_audit",
     "ams_f2_sketch",
+    "rendezvous_hashing_audit",
+    "event_type_affinity",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

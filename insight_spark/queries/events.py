@@ -732,3 +732,105 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - f2) + f2) div (2 * f2) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "event_type_affinity",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ut GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+           CAST((2000000 * CAST(p.n_both AS HUGEINT) * t.n_users
+                 + CAST(sa.n AS HUGEINT) * sb.n)
+                // (2 * CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT)
+               AS lift_ppm
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN tot t
+    """,
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity lift (M303): for every behavior pair, the
+    observed/expected co-adoption ratio lift = P(a∧b)/(P(a)·P(b)) at
+    USER level — the feature-adoption affinity matrix product
+    analytics reads before bundling or cross-promoting (lift ≫ 1e6
+    ppm: the behaviors travel together; ≪ 1e6: substitutes).  The
+    user-level cousin of `assoc_rules` (basket level) and
+    `pmi_collocations` (token level, log-scaled) — same algebra,
+    different grain, and kept log-free so it hashes exactly.
+
+    Exactness: distinct (user, type) reduce; pair counts via the
+    bounded self-join (≤|types| rows per user → ≤C(5,2) pairs);
+    lift as the half-up integer identity over HUGEINT/DECIMAL
+    products (n_both·N overflows int64 at ~1e10 users).
+
+    Scale: the self-join fans out by per-user TYPE COUNT (≤5), never
+    by data volume; singles/totals are |types|-row broadcasts onto
+    10 metadata rows.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    singles = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST((2000000 * CAST(n_both AS decimal(38,0)) * n_users"
+                " + CAST(n_a AS decimal(38,0)) * n_b)"
+                " div (2 * CAST(n_a AS decimal(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -1774,3 +1774,114 @@ def lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag7"),
         F.sum("v").over(wr).cast("long").alias("roll7"),
     )
+
+
+@query(
+    "rendezvous_hashing_audit",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    shards AS (SELECT unnest(range(0, 5)) AS shard),
+    scored AS (
+        SELECT u.user_id, s.shard,
+               CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                                        || CAST(s.shard AS VARCHAR)),
+                                    1, 11)) AS BIGINT) AS score
+        FROM users u CROSS JOIN shards s
+    ),
+    owner5 AS (
+        SELECT user_id,
+               CAST(max(struct_pack(score := score, shard := shard))['shard']
+                    AS BIGINT) AS o5
+        FROM scored GROUP BY user_id
+    ),
+    owner4 AS (
+        SELECT user_id,
+               CAST(max(struct_pack(score := score, shard := shard))['shard']
+                    AS BIGINT) AS o4
+        FROM scored WHERE shard <> 2 GROUP BY user_id
+    ),
+    b AS (SELECT o5 AS shard, CAST(COUNT(*) AS BIGINT) AS n_before
+          FROM owner5 GROUP BY o5),
+    a AS (SELECT o4 AS shard, CAST(COUNT(*) AS BIGINT) AS n_after
+          FROM owner4 GROUP BY o4)
+    SELECT s.shard,
+           CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after
+    FROM shards s
+    LEFT JOIN b ON b.shard = s.shard
+    LEFT JOIN a ON a.shard = s.shard
+    """,
+)
+def rendezvous_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing audit (M302): each
+    user is owned by the shard with the highest hash(user|shard); the
+    table shows the 5-shard balance and the re-balance after shard 2
+    is REMOVED — the OTHER consistent-placement scheme next to M198's
+    hash ring (HRW needs no vnode table, gives perfect minimal
+    disruption by construction, costs k hashes per lookup vs the
+    ring's log v — this pair of audits IS the placement-scheme
+    decision).  The HRW minimal-disruption law — removing a shard
+    moves ONLY that shard's keys, because an argmax is unchanged by
+    deleting a non-maximal candidate — is property-pinned.
+
+    Determinism: scores are the 44-bit md5-prefix integers of
+    (user|shard), COMPUTED identically by both engines; ownership is
+    max over a (score, shard) struct — exact integer/lexicographic
+    order, no ties in practice and shard-id tie-broken if ever.
+
+    Scale: |users| × 5 broadcast explode, two per-user max-reduces
+    (map-side combinable), 5-row output.  Nothing shuffles but
+    (user, owner) pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    shards = spark.range(5).select(F.col("id").cast("long").alias("shard"))
+    scored = users.crossJoin(F.broadcast(shards)).select(
+        "user_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1,
+                11,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    pick = F.max(F.struct(F.col("score"), F.col("shard"))).getField("shard")
+    owner5 = scored.groupBy("user_id").agg(
+        pick.cast("long").alias("o5")
+    )
+    owner4 = (
+        scored.filter(F.col("shard") != 2)
+        .groupBy("user_id")
+        .agg(pick.cast("long").alias("o4"))
+    )
+    b = owner5.groupBy(F.col("o5").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    a = owner4.groupBy(F.col("o4").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_after")
+    )
+    return (
+        shards.join(b, "shard", "left")
+        .join(a, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce(F.col("n_before"), F.lit(0))
+            .cast("long")
+            .alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )

@@ -1161,3 +1161,28 @@ def test_ams_z_cells_are_mergeable_and_estimate_is_sane(spark):
     z_a = ev.filter(F.col("event_id") % 2 == 0).agg(F.sum(s)).collect()[0][0]
     z_b = ev.filter(F.col("event_id") % 2 == 1).agg(F.sum(s)).collect()[0][0]
     assert z_full == z_a + z_b
+
+
+def test_hrw_minimal_disruption_law(spark):
+    """Removing shard 2 must move EXACTLY its keys: every other
+    shard's ownership is a superset of its before-set, and the total
+    n_after equals the user count."""
+    rows = {r["shard"]: r for r in _q("rendezvous_hashing_audit")(spark, SF_DIR).collect()}
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_before"] for r in rows.values()) == n_users
+    assert sum(r["n_after"] for r in rows.values()) == n_users
+    assert rows[2]["n_after"] == 0
+    for s, r in rows.items():
+        if s != 2:
+            # survivors only ever GAIN keys (HRW argmax stability)
+            assert r["n_after"] >= r["n_before"]
+
+
+def test_affinity_pair_counts_bounded_by_singles(spark):
+    rows = _q("event_type_affinity")(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) behavior pairs
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift_ppm"] > 0
