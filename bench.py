@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "ams_f2_sketch",
     "rendezvous_hashing_audit",
     "event_type_affinity",
+    "decayed_user_activity_rank",
+    "bandit_replay_eval",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

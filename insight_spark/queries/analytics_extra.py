@@ -6244,3 +6244,93 @@ def burst_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burst_events"),
     )
+
+
+@query(
+    "bandit_replay_eval",
+    oracle="""
+    WITH train AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY user_id, event_type
+    ),
+    policy AS (
+        SELECT user_id,
+               max(struct_pack(n := n, t := event_type))['t'] AS rec
+        FROM train GROUP BY user_id
+    ),
+    ev AS (
+        SELECT e.user_id, e.event_type,
+               CASE WHEN e.value >= 100 THEN 1 ELSE 0 END AS reward,
+               CASE WHEN e.event_type = p.rec THEN 1 ELSE 0 END
+                   AS matched
+        FROM events e JOIN policy p ON e.user_id = p.user_id
+        WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(matched) AS BIGINT) AS n_matched,
+           CAST((2000000 * SUM(CASE WHEN matched = 1 THEN reward
+                                    ELSE 0 END) + SUM(matched))
+                // (2 * SUM(matched)) AS BIGINT) AS policy_value_ppm,
+           CAST((2000000 * SUM(reward) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS baseline_value_ppm
+    FROM ev
+    """,
+)
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit replay evaluation (M305): score a
+    recommendation policy ("serve each user their historically most
+    frequent event type") WITHOUT deploying it, by the replay method
+    (Li et al. 2011, public): on held-out traffic, keep only the
+    events where the logged action happens to equal the policy's
+    action and average their reward — an unbiased estimate of the
+    policy's online value when logging is uniform.  The table reads
+    policy value vs the log's baseline value — the offline gate every
+    recsys change passes before an A/B slot.
+
+    Leakage discipline: the policy is fit strictly on pre-01-15
+    traffic and evaluated strictly after (the `leakage_safe_split`
+    rule); the argmax is a (count, type) struct max — deterministic
+    tie-break, identical lexicographic semantics in both engines.
+
+    Exactness: rewards and matches are integer flags (the value
+    threshold compares the same double both sides); both value
+    estimates are half-up ppm integer identities.  Scale: one
+    (user, type) train aggregate → per-user struct-max (map-side
+    combinable) → broadcast-joined onto the eval scan, 1-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    train = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    policy = train.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type")))
+        .getField("event_type")
+        .alias("rec")
+    )
+    scored = (
+        ev.filter(F.col("ts") >= cut)
+        .join(policy, "user_id")
+        .select(
+            F.when(F.col("value") >= 100, 1).otherwise(0).alias("reward"),
+            F.when(F.col("event_type") == F.col("rec"), 1)
+            .otherwise(0)
+            .alias("matched"),
+        )
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        F.expr(
+            "CAST((2000000 * SUM(CASE WHEN matched = 1 THEN reward"
+            " ELSE 0 END) + SUM(matched)) div (2 * SUM(matched))"
+            " AS BIGINT)"
+        ).alias("policy_value_ppm"),
+        F.expr(
+            "CAST((2000000 * SUM(reward) + COUNT(*)) div (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("baseline_value_ppm"),
+    )

@@ -834,3 +834,67 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "decayed_user_activity_rank",
+    oracle="""
+    WITH w AS (
+        SELECT user_id,
+               least(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     // 7, 4) AS wk
+        FROM events
+    ),
+    scored AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS events_total,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(wk AS INTEGER))
+                    AS BIGINT) AS score_decayed
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id, events_total, score_decayed
+    FROM scored
+    ORDER BY score_decayed DESC, user_id
+    LIMIT 10
+    """,
+)
+def decayed_user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed activity ranking (M304): top-10 users by an
+    exponentially time-decayed event count — recent weeks weigh
+    2× the week before them — the recency-aware popularity score
+    every feed/recommendation ranker uses instead of the raw count
+    `join_key_skew_profile`-style tallies give (a user active only in
+    week 1 should not outrank one active now).
+
+    Exactness: the decay weights are exact integer POWERS OF TWO
+    (weight = 1 << week_index, the `ewma_smooth` bit-exact-weights
+    discipline) — no float decay constant, no libm; week bucketing is
+    exact epoch-day integer arithmetic; top-10 ordered on (exact
+    score, user_id).
+
+    Scale: one map-side-combined user-keyed aggregate, then
+    TakeOrderedAndProject(10) — per-partition heaps, never a global
+    sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.least(
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+        ),
+        F.lit(4),
+    )
+    scored = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("events_total"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(wk AS INT))")
+            )
+            .cast("long")
+            .alias("score_decayed"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_decayed"), F.asc("user_id")
+    ).limit(10)

@@ -1186,3 +1186,25 @@ def test_affinity_pair_counts_bounded_by_singles(spark):
     for r in rows:
         assert r["n_both"] <= min(r["n_a"], r["n_b"])
         assert r["lift_ppm"] > 0
+
+
+def test_decayed_rank_dominates_raw_count_bound(spark):
+    """score is bounded by 16x total (all events newest week) and at
+    least 1x total (all oldest); output is exactly the top-10 by
+    (score, user_id)."""
+    rows = _q("decayed_user_activity_rank")(spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == min(10, n_users)
+    for r in rows:
+        assert r["events_total"] <= r["score_decayed"] <= 16 * r["events_total"]
+    scores = [(r["score_decayed"], -r["user_id"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bandit_replay_counts_are_consistent(spark):
+    r = _q("bandit_replay_eval")(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_matched"] <= r["n_eval"]
+    assert 0 <= r["policy_value_ppm"] <= 1000000
+    assert 0 <= r["baseline_value_ppm"] <= 1000000
