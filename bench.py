@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "event_type_affinity",
     "decayed_user_activity_rank",
     "bandit_replay_eval",
+    "csv_corrupt_records_audit",
+    "max_drawdown_daily",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -414,6 +416,8 @@ ITERATIVE = {
     "stream_ohlc_bars",
     # partitioned write runs during build
     "hidden_partition_pruning",
+    # csv write + driver-side append run during build
+    "csv_corrupt_records_audit",
 }
 
 

@@ -104,9 +104,12 @@ __all__ = [
 #:   (the acf_hourly_lags pattern — |hours| rows post-aggregate).
 #: - bottomk_mergeable_sample: rank window on the TakeOrdered(32)
 #:   head (the vector_index_probe pattern).
+#: - max_drawdown_daily: running sum + running max over the DAILY
+#:   series (the acf_hourly_lags pattern — |days| rows post-agg).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "bottomk_mergeable_sample",
+        "max_drawdown_daily",
         "concurrency_curve",
         "largest_remainder_allocation",
         "mann_whitney_u",

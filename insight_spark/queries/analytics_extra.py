@@ -6334,3 +6334,89 @@ def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("baseline_value_ppm"),
     )
+
+
+@query(
+    "max_drawdown_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(CAST(value AS DECIMAL(38,6))
+                                       * 1000000 AS BIGINT)
+                             ELSE -CAST(CAST(value AS DECIMAL(38,6))
+                                        * 1000000 AS BIGINT)
+                        END) AS BIGINT) AS flow
+        FROM events WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(flow) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS c
+        FROM daily
+    ),
+    dd AS (
+        SELECT d, c,
+               CAST(MAX(c) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS peak
+        FROM cum
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak) AS BIGINT) AS peak_cum_micro,
+           CAST(MAX(peak - c) AS BIGINT) AS max_drawdown_micro
+    FROM dd
+    """,
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily net-value series (M307): treat
+    purchase value as inflow and error-event value as outflow, build
+    the cumulative daily series, and report the worst peak-to-trough
+    decline — the risk statistic behind every equity-curve /
+    burn-rate dashboard (`twap_user_value` prices the series, OHLC
+    M277 bars it; this measures its worst sustained reversal), and a
+    windowed-aggregate composition (running sum, then running max OF
+    that, then max gap) plain aggregates cannot express.
+
+    Exactness: daily flows are exact micro BIGINTs (DECIMAL sums);
+    cumulative, running peak, and drawdown are all integer
+    arithmetic — no floats anywhere.
+
+    Scale: one day-keyed map-side-combined aggregate, then BOTH
+    windows run over the |days| grid (documented
+    BOUNDED_GLOBAL_WINDOW_OK entry — the acf_hourly_lags pattern);
+    final 1-row reduce.  The raw event table never meets a window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    mu = (F.col("value").cast("decimal(38,6)") * 1000000).cast("long")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", mu).otherwise(-mu)
+        )
+        .cast("long")
+        .alias("flow")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d", F.sum("flow").over(w).cast("long").alias("c")
+    )
+    dd = cum.select(
+        "c", F.max("c").over(w).cast("long").alias("peak")
+    )
+    return dd.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("peak").cast("long").alias("peak_cum_micro"),
+        F.max(F.col("peak") - F.col("c"))
+        .cast("long")
+        .alias("max_drawdown_micro"),
+    )

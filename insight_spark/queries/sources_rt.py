@@ -2091,3 +2091,88 @@ def hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ts_range(
         spark, path, "2024-01-10 00:00:00", "2024-01-12 00:00:00"
     ).select("event_id", "event_type", "value_micro")
+
+
+@query(
+    "csv_corrupt_records_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parsed,
+           CAST(7 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture (M306):
+    a feed file carrying 7 malformed lines (wrong column counts,
+    non-numeric keys — the classic upstream-export bugs) is
+    read with an explicit schema and a ``_corrupt_record`` column, so
+    bad lines land in the dead-letter column INSTEAD of silently
+    nulling into the data or killing the job (FAILFAST) — the
+    ingestion posture every production CSV feed needs, now
+    driver-verified: n_parsed, n_corrupt, and a checksum of the
+    parsed keys all ride in the value hash, so a parser that drops a
+    good row, passes a bad one, or mis-attributes columns breaks the
+    query, not a log line.
+
+    Scale: the corrupt-column mechanism is per-row local work inside
+    the scan — no extra pass, no shuffle; the audit aggregate is
+    1-row.  (Injected lines are appended driver-side to the written
+    file — fixture construction, not a data path.)
+    """
+    import os
+
+    path = _rt_path(sf_dir, "corrupt_csv")
+    good = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .coalesce(1)
+    )
+    good.write.mode("overwrite").option("header", True).csv(path)
+    part = [
+        f for f in os.listdir(path) if f.endswith(".csv")
+    ][0]
+    # structurally recoverable corruption only: per-row token-count
+    # and type failures land in _corrupt_record; unterminated QUOTES
+    # would instead abort the whole split (the parser consumes to EOF
+    # inside the quote) — that failure mode needs FAILFAST + a feed
+    # fix, not a dead-letter column
+    bad_lines = [
+        "999991,F",  # missing column
+        "abc,F,1-URGENT",  # non-numeric key
+        "999994",  # single field
+        "999995,F,1-URGENT,EXTRA",  # extra column
+        "999996,F,1-URGENT,X,Y",  # two extra columns
+        "12.5,F,1-URGENT",  # fractional key (not BIGINT)
+        "999997e,O,2-HIGH",  # trailing garbage on key
+    ]
+    with open(os.path.join(path, part), "a") as fh:
+        for line in bad_lines:
+            fh.write(line + "\n")
+    # the local-FS .crc sidecar no longer matches the appended file;
+    # a real feed drop has no sidecar at all
+    crc = os.path.join(path, "." + part + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    df = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING,"
+            " o_orderpriority STRING, _corrupt_record STRING"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    parsed = df.filter(F.col("_corrupt_record").isNull())
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_parsed"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    ).crossJoin(
+        F.broadcast(
+            corrupt.agg(F.count("*").cast("long").alias("n_corrupt"))
+        )
+    ).select("n_parsed", "n_corrupt", "key_checksum")

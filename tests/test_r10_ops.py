@@ -1208,3 +1208,48 @@ def test_bandit_replay_counts_are_consistent(spark):
     assert 0 < r["n_matched"] <= r["n_eval"]
     assert 0 <= r["policy_value_ppm"] <= 1000000
     assert 0 <= r["baseline_value_ppm"] <= 1000000
+
+
+def test_csv_corrupt_audit_quarantines_exactly_the_bad_lines(spark):
+    r = _q("csv_corrupt_records_audit")(spark, SF_DIR).collect()[0]
+    good = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+    )
+    assert r["n_parsed"] == good.count()
+    assert r["n_corrupt"] == 7
+    assert r["key_checksum"] == good.agg(F.sum("o_orderkey")).collect()[0][0]
+
+
+def test_max_drawdown_laws(spark):
+    import itertools
+
+    r = _q("max_drawdown_daily")(spark, SF_DIR).collect()[0]
+    assert r["max_drawdown_micro"] >= 0
+    # replay in python from the same daily flows
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    mu = (F.col("value").cast("decimal(38,6)") * 1000000).cast("long")
+    daily = sorted(
+        (row["d"], row["flow"])
+        for row in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", mu).otherwise(-mu)
+            )
+            .cast("long")
+            .alias("flow")
+        )
+        .collect()
+    )
+    cums = list(itertools.accumulate(f for _, f in daily))
+    peak, mdd = cums[0], 0
+    for c in cums:
+        peak = max(peak, c)
+        mdd = max(mdd, peak - c)
+    assert r["n_days"] == len(daily)
+    assert r["peak_cum_micro"] == max(
+        itertools.accumulate(cums, max)
+    )
+    assert r["max_drawdown_micro"] == mdd
