@@ -319,6 +319,8 @@ BENCH_QUERIES = [
     "bandit_replay_eval",
     "csv_corrupt_records_audit",
     "max_drawdown_daily",
+    "ipf_raking_weights",
+    "fair_topk_interleave",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

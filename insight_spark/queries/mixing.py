@@ -1146,3 +1146,120 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("final_alloc"),
     )
     return out
+
+
+@query(
+    "ipf_raking_weights",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    dims AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang
+        FROM cells
+    ),
+    rowf AS (
+        SELECT c.source,
+               CAST((2000000 * d.big_n + d.n_src * SUM(c.n))
+                    // (2 * d.n_src * SUM(c.n)) AS BIGINT) AS r_ppm
+        FROM cells c CROSS JOIN dims d
+        GROUP BY c.source, d.big_n, d.n_src
+    ),
+    m1 AS (
+        SELECT c.lang,
+               CAST(SUM(CAST(r.r_ppm AS HUGEINT) * c.n) AS HUGEINT)
+                   AS m1_l
+        FROM cells c JOIN rowf r ON r.source = c.source
+        GROUP BY c.lang
+    ),
+    colf AS (
+        SELECT m.lang,
+               CAST((2 * 1000000000000 * CAST(d.big_n AS HUGEINT)
+                     + d.n_lang * m.m1_l)
+                    // (2 * d.n_lang * m.m1_l) AS BIGINT) AS c_ppm
+        FROM m1 m CROSS JOIN dims d
+    )
+    SELECT c.source, c.lang, c.n AS n_docs,
+           CAST((2 * CAST(r.r_ppm AS HUGEINT) * f.c_ppm + 1000000)
+                // 2000000 AS BIGINT) AS weight_ppm
+    FROM cells c
+    JOIN rowf r ON r.source = c.source
+    JOIN colf f ON f.lang = c.lang
+    """,
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sweep IPF raking weights (M308): per (source, lang) cell,
+    the sampling weight after one row sweep + one column sweep of
+    iterative proportional fitting toward UNIFORM source AND lang
+    margins (Deming-Stephan raking, public) — the dataset-balancing
+    arithmetic under survey weighting and corpus rebalancing that the
+    single-margin ops here (`source_mixture_temperature` reweights
+    one margin; `mixture_fractional_upsample` applies one) cannot do:
+    raking reconciles TWO margins at once.
+
+    Determinism: every factor is quantized to ppm with the half-up
+    integer identity at the moment it is produced (row factor, then
+    column factor over the row-adjusted margin, then the product) —
+    both engines do the same integer arithmetic in HUGEINT/DECIMAL,
+    so the weights hash exactly; convergence of further sweeps is a
+    property question, not a hash question (the column margins are
+    exact after this sweep by construction; the row margins are
+    property-checked to have moved toward target).
+
+    Scale: one (source, lang) histogram (≤20·|langs| cells), 1-row
+    dims reduce, two margin joins on broadcast-bounded keys —
+    metadata-scale after the single corpus scan.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dims = cells.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.countDistinct("source").cast("long").alias("n_src"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+    )
+    rowf = (
+        cells.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_s"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "source",
+            F.expr(
+                "CAST((2000000 * big_n + n_src * n_s)"
+                " div (2 * n_src * n_s) AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+    m1 = (
+        cells.join(F.broadcast(rowf), "source")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("r_ppm").cast(dec) * F.col("n")).alias("m1_l")
+        )
+    )
+    colf = m1.crossJoin(F.broadcast(dims)).select(
+        "lang",
+        F.expr(
+            "CAST((2 * CAST(1000000000000 AS decimal(38,0))"
+            " * big_n + n_lang * m1_l)"
+            " div (2 * n_lang * m1_l) AS BIGINT)"
+        ).alias("c_ppm"),
+    )
+    return (
+        cells.join(F.broadcast(rowf), "source")
+        .join(F.broadcast(colf), "lang")
+        .select(
+            "source",
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.expr(
+                "CAST((2 * CAST(r_ppm AS decimal(38,0)) * c_ppm"
+                " + 1000000) div 2000000 AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )

@@ -2350,3 +2350,58 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+
+@query(
+    "fair_topk_interleave",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS r_src
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked
+    WHERE r_src <= 3
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 10
+    """,
+)
+def fair_topk_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k (M309): the global top-10 longest
+    documents subject to AT MOST 3 per source — the fairness/
+    diversity constraint every search result page and candidate
+    shortlist applies so one prolific source cannot monopolize the
+    slate (the constraint-free `topk` is the degenerate case; MMR
+    M123 diversifies by CONTENT similarity, this by a hard provider
+    quota — both belong in a serving stack).
+
+    Exactness: integer scores with doc_id tie-breaks at both stages;
+    the per-source quota is a rank predicate, so the result is
+    deterministic and engine-identical.
+
+    Scale: the quota stage is a window PARTITIONED by source
+    (data-scale but per-key — the standard top-N-per-group shape,
+    and WindowGroupLimit prunes it to 3 rows per source before the
+    exchange completes); the global stage is
+    TakeOrderedAndProject(10) over the ≤3·|sources| survivors —
+    per-partition heaps, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).withColumn("r_src", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("r_src") <= 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1253,3 +1253,44 @@ def test_max_drawdown_laws(spark):
         itertools.accumulate(cums, max)
     )
     assert r["max_drawdown_micro"] == mdd
+
+
+def test_raking_hits_the_lang_margin_exactly_and_moves_source_margin(spark):
+    """After the column sweep, Σ w·n per lang must equal N/|langs|
+    within ppm rounding; and row-factor weights alone must equalize
+    source masses within rounding."""
+    rows = _q("ipf_raking_weights")(spark, SF_DIR).collect()
+    big_n = sum(r["n_docs"] for r in rows)
+    langs = {r["lang"] for r in rows}
+    target_l = big_n / len(langs)
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r[
+            "weight_ppm"
+        ] * r["n_docs"] / 1e6
+    for lang, mass in by_lang.items():
+        assert abs(mass - target_l) / target_l < 0.01, (lang, mass, target_l)
+
+
+def test_fair_topk_respects_quota_and_is_the_best_feasible(spark):
+    rows = _q("fair_topk_interleave")(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v <= 3 for v in per_src.values())
+    # every excluded doc either scores lower than the cutoff or its
+    # source quota was already filled by higher-scoring docs
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    chosen = {r["doc_id"] for r in rows}
+    cutoff = min((r["n_chars"], -r["doc_id"]) for r in rows)
+    for d in docs:
+        if d["doc_id"] in chosen:
+            continue
+        better = [
+            x
+            for x in docs
+            if x["source"] == d["source"]
+            and (x["n_chars"], -x["doc_id"]) > (d["n_chars"], -d["doc_id"])
+        ]
+        assert (d["n_chars"], -d["doc_id"]) < cutoff or len(better) >= 3
