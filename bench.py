@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "max_drawdown_daily",
     "ipf_raking_weights",
     "fair_topk_interleave",
+    "lateness_horizon_audit",
+    "digest_collision_risk",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -6420,3 +6420,129 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_drawdown_micro"),
     )
+
+
+@query(
+    "lateness_horizon_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, user_id, epoch_us(ts) AS tus,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS seen_max
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               greatest(seen_max - tus, 0) AS late_us
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(late_us > 0) AS BIGINT) AS out_of_order,
+           CAST(count_if(late_us > 60 * 1000000) AS BIGINT)
+               AS later_than_1m,
+           CAST(count_if(late_us > 3600 * CAST(1000000 AS BIGINT))
+                AS BIGINT) AS later_than_1h,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM late GROUP BY event_type
+    """,
+)
+def lateness_horizon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order lateness audit (M310): per event type, how far
+    behind the per-user high-water mark events arrive (arrival order
+    = event_id, the log sequence) — THE empirical input for sizing
+    `withWatermark` in every K-family streaming query (a watermark
+    shorter than the observed lateness horizon silently drops the
+    `later_than_*` rows this table counts; one longer than needed
+    holds state for nothing).  The streaming ops here use 24h-grade
+    delays — this audit is how that number gets defended.
+
+    Exactness: lateness = max(0, running-max(epoch_µs) − epoch_µs),
+    all exact integers; threshold counts and max are exact.
+
+    Scale: ONE user-partitioned running-max window (the `sessionize`
+    exchange — per-key ordered, data-scale but partitioned), then a
+    |types|-keyed map-side-combined aggregate.  No self-joins on
+    time, no global anything.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tus = F.unix_micros(F.col("ts"))
+    arr = ev.select(
+        "event_type",
+        F.greatest(
+            F.max(tus).over(w) - tus, F.lit(0).cast("long")
+        ).alias("late_us"),
+    )
+    return arr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_if(F.col("late_us") > 0).cast("long").alias("out_of_order"),
+        F.count_if(F.col("late_us") > 60 * 1000000)
+        .cast("long")
+        .alias("later_than_1m"),
+        F.count_if(F.col("late_us") > 3600 * 1000000)
+        .cast("long")
+        .alias("later_than_1h"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )
+
+
+@query(
+    "digest_collision_risk",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT n_docs,
+           CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)
+           / 36893488147419103232.0 AS p_collision_64,
+           CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)
+           / 6.805647338418769e38 AS p_collision_128,
+           CAST(CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)
+                / 36893488147419103232.0 > 1e-9 AS INT)
+               AS need_128_at_1ppb
+    FROM n
+    """,
+)
+def digest_collision_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest collision-risk table (M311): the birthday bound
+    p ≈ n(n−1)/2^(b+1) for 64- vs 128-bit content digests at the
+    CURRENT corpus size — the one-row justification for
+    `dedup_hash`'s 128-bit digests (at 10¹¹ documents a 64-bit digest
+    collides with near-certainty — p caps at 1 — silently MERGING two
+    distinct documents, the worst dedup failure mode because it
+    deletes real data; 128 bits keeps p below 1e-15).  The
+    need_128_at_1ppb flag operationalizes it: rerun per ingest, alarm
+    when the corpus outgrows the narrow digest.
+
+    Exactness: n exact; the bounds are ONE shared IEEE tree each —
+    a product of exact-integer-derived doubles and a LITERAL
+    power-of-two divisor (2⁶⁵ exactly representable; the 2¹²⁹
+    literal is the correctly-rounded double both engines parse
+    identically from the same decimal text).
+
+    Scale: a 1-row count — the cheapest possible audit, run per
+    ingest batch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    p64 = nd * (F.col("n_docs") - 1).cast("double") / F.lit(
+        36893488147419103232.0
+    )
+    p128 = nd * (F.col("n_docs") - 1).cast("double") / F.lit(
+        6.805647338418769e38
+    )
+    return n.select(
+        "n_docs",
+        p64.alias("p_collision_64"),
+        p128.alias("p_collision_128"),
+        (p64 > F.lit(1e-9)).cast("int").alias("need_128_at_1ppb"),
+    )

@@ -1294,3 +1294,25 @@ def test_fair_topk_respects_quota_and_is_the_best_feasible(spark):
             and (x["n_chars"], -x["doc_id"]) > (d["n_chars"], -d["doc_id"])
         ]
         assert (d["n_chars"], -d["doc_id"]) < cutoff or len(better) >= 3
+
+
+def test_lateness_audit_counts_nest(spark):
+    rows = _q("lateness_horizon_audit")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert (
+            r["n_events"]
+            >= r["out_of_order"]
+            >= r["later_than_1m"]
+            >= r["later_than_1h"]
+            >= 0
+        )
+        if r["out_of_order"] == 0:
+            assert r["max_late_us"] == 0
+
+
+def test_collision_risk_monotone_and_flagged(spark):
+    r = _q("digest_collision_risk")(spark, SF_DIR).collect()[0]
+    assert 0 <= r["p_collision_128"] < r["p_collision_64"]
+    assert r["need_128_at_1ppb"] == int(r["p_collision_64"] > 1e-9)
