@@ -323,6 +323,8 @@ BENCH_QUERIES = [
     "fair_topk_interleave",
     "lateness_horizon_audit",
     "digest_collision_risk",
+    "conditional_quantile_profile",
+    "trend_fit_quality",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

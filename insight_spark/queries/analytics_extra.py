@@ -6546,3 +6546,123 @@ def digest_collision_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         p128.alias("p_collision_128"),
         (p64 > F.lit(1e-9)).cast("int").alias("need_128_at_1ppb"),
     )
+
+
+@query(
+    "conditional_quantile_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def conditional_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional quantile profile (M312): median and p90 purchase
+    value BY HOUR OF DAY — the distribution-seasonality view a mean
+    profile (`events_hourly`) hides entirely (a flat hourly mean with
+    a swinging p90 means the evening tail is heavy — pricing,
+    fraud-threshold, and capacity decisions read the QUANTILE
+    profile, not the mean).  The conditional-distribution cousin of
+    `mad_outliers` (same exact-percentile machinery, keyed on a
+    derived time bucket instead of the type).
+
+    Parity: exact interpolated percentiles (Spark `percentile` vs
+    DuckDB `quantile_cont` — the `mad_outliers`-established pairing)
+    rounded at 6 dp; hour bucketing is exact integer extraction.
+
+    Scale: ONE hour-of-day-keyed exact-percentile aggregate (24
+    groups at any data size); Spark's percentile is a sort-based
+    per-group aggregate — data-scale work but perfectly partitioned,
+    no window, no join.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+    )
+
+
+@query(
+    "trend_fit_quality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM m WHERE n > 1
+    """,
+)
+def trend_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend fit QUALITY per event type (M313): the daily-count
+    slope together with R² — `per_type_trend_slopes` reports the
+    direction, this reports whether the line EXPLAINS anything (a
+    slope with R² = 0.05 is noise a dashboard shouldn't annotate;
+    the robust cross-check is `theil_sen_trend`).  R² for simple OLS
+    is the squared Pearson correlation, so both numbers come from
+    the same five moments.
+
+    Exactness: day indices and daily counts exact integers; all five
+    moments exact HUGEINT/DECIMAL; slope and R² are shared IEEE
+    trees over those integers (cast-before-multiply — the benford
+    discipline), each a ratio of exact-integer-derived doubles.
+
+    Scale: a (type, day)-keyed map-side count, then a |types|-keyed
+    moment reduce — metadata-scale, no window (the trend family's
+    established shape).
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("x"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (num.cast("double") / dx.cast("double")).alias("slope_per_day"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (dx.cast("double") * dy.cast("double"))
+        ).alias("r2"),
+    )

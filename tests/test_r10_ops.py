@@ -1316,3 +1316,39 @@ def test_collision_risk_monotone_and_flagged(spark):
     r = _q("digest_collision_risk")(spark, SF_DIR).collect()[0]
     assert 0 <= r["p_collision_128"] < r["p_collision_64"]
     assert r["need_128_at_1ppb"] == int(r["p_collision_64"] > 1e-9)
+
+
+def test_conditional_quantiles_ordered(spark):
+    rows = _q("conditional_quantile_profile")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_value"] <= r["p90_value"]
+        assert r["n"] >= 1
+
+
+def test_trend_r2_is_squared_correlation(spark):
+    import numpy as np
+
+    rows = _q("trend_fit_quality")(spark, SF_DIR).collect()
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')"
+                " AS BIGINT)"
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for r in rows:
+        xs, ys = zip(*by_type[r["event_type"]])
+        slope = np.polyfit(xs, ys, 1)[0]
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["slope_per_day"] - slope) < 1e-9
+        assert abs(r["r2"] - corr**2) < 1e-9
+        assert 0 <= r["r2"] <= 1 + 1e-12
