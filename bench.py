@@ -325,6 +325,8 @@ BENCH_QUERIES = [
     "digest_collision_risk",
     "conditional_quantile_profile",
     "trend_fit_quality",
+    "vwap_monthly",
+    "leadtime_percentiles",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -234,3 +234,111 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_custkey", money_out("_revenue").alias("revenue"))
     )
+
+
+@query(
+    "vwap_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) AS BIGINT))
+                AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS total_value_micro,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000
+                         AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) AS BIGINT))
+                  AS DOUBLE) AS vwap_micro
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average price (M314): Σ value / Σ
+    quantity per ship month — the volume-weighted complement of
+    `twap_user_value` (time-weighted) and the M277 OHLC bars, closing
+    the price-aggregation trio every market/commerce data engine
+    serves (TWAP answers "what was it worth over time", VWAP "what
+    did a unit actually trade at", OHLC "what shape did it move in").
+
+    Exactness: quantities and prices are integral/2-dp DECIMAL-cast
+    to exact integers BEFORE summation (order-free); VWAP is ONE
+    IEEE division of those exact sums — bit-identical both engines.
+
+    Scale: one month-keyed map-side-combined aggregate under a
+    pushed-down ship-date range (12 groups); the scan reads one
+    year's row groups, not the table (the M289 sargable discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("decimal(38,6)").cast("long")
+    val = (F.col("l_extendedprice").cast("decimal(38,6)") * 1000000).cast(
+        "long"
+    )
+    return li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.sum(qty).cast("long").alias("total_qty"),
+        F.sum(val).cast("long").alias("total_value_micro"),
+        (
+            F.sum(val).cast("double") / F.sum(qty).cast("double")
+        ).alias("vwap_micro"),
+    )
+
+
+@query(
+    "leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+        SELECT o.o_orderpriority,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(lead_days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(lead_days, 0.9), 6) AS p90_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time percentiles by priority (M315): the
+    supply-chain SLA table — does the URGENT queue actually ship
+    faster, and what does its tail look like?  Percentiles, not
+    means, because lead-time distributions are right-skewed and the
+    p90 IS the promise a fulfillment SLA makes.
+
+    Shape: a genuine FACT-FACT equi-join (lineitem ⋈ orders on the
+    order key — neither side broadcastable at scale) that sort-merges
+    with spill, or goes exchange-free when both sides are bucketed on
+    the key (the A6b layout this engine provides via
+    `write_bucketed`); then an exact-percentile aggregate on the
+    |priorities|-keyed result.  One of the few registry queries whose
+    100 TB plan is ABOUT the shuffle — kept that way deliberately as
+    the sort-merge-join canary.
+
+    Exactness: lead days are exact integer datediffs; percentiles
+    the established interpolated pairing rounded 6 dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        )
+        .cast("long")
+        .alias("lead_days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.9)"), 6).alias("p90_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )

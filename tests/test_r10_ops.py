@@ -1352,3 +1352,21 @@ def test_trend_r2_is_squared_correlation(spark):
         assert abs(r["slope_per_day"] - slope) < 1e-9
         assert abs(r["r2"] - corr**2) < 1e-9
         assert 0 <= r["r2"] <= 1 + 1e-12
+
+
+def test_vwap_is_value_over_quantity(spark):
+    rows = _q("vwap_monthly")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(
+            r["vwap_micro"] - r["total_value_micro"] / r["total_qty"]
+        ) < 1e-6
+        assert r["ship_month"].year == 1996
+
+
+def test_leadtime_percentiles_ordered_and_nonnegative(spark):
+    rows = _q("leadtime_percentiles")(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
