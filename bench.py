@@ -327,6 +327,8 @@ BENCH_QUERIES = [
     "trend_fit_quality",
     "vwap_monthly",
     "leadtime_percentiles",
+    "p99_regression_probe",
+    "weekpart_seasonality",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

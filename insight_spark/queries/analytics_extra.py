@@ -6666,3 +6666,143 @@ def trend_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dx.cast("double") * dy.cast("double"))
         ).alias("r2"),
     )
+
+
+@query(
+    "p99_regression_probe",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+    ),
+    recent AS (
+        SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    )
+    SELECT b.event_type,
+           ROUND(quantile_cont(b.value, 0.99), 6) AS p99_baseline,
+           (SELECT ROUND(quantile_cont(r.value, 0.99), 6)
+            FROM recent r WHERE r.event_type = b.event_type)
+               AS p99_recent,
+           CAST((SELECT ROUND(quantile_cont(r.value, 0.99), 6)
+                 FROM recent r WHERE r.event_type = b.event_type)
+                > 1.2 * ROUND(quantile_cont(b.value, 0.99), 6) AS INT)
+               AS regressed_20pct
+    FROM base b GROUP BY b.event_type
+    """,
+)
+def p99_regression_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency regression probe (M316): p99 of the metric over
+    the most recent week vs the preceding baseline, with a >20%
+    regression flag — the SRE alert shape for latency/cost tails
+    (means hide tail regressions entirely; a p99 alert fires on the
+    experience the slowest 1% actually get).  The windows are fixed
+    calendar splits, so the probe is reproducible and the flag is a
+    pure function of the data.
+
+    Parity: both percentiles ROUND(…, 6) of the established exact
+    interpolated pairing, and the flag compares those ROUNDED values
+    (never the raw doubles) — the rank-on-rounded-score discipline.
+
+    Scale: two |types|-keyed exact-percentile aggregates over
+    complementary scan ranges (both push their date predicate to the
+    scan), joined on |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias(
+                "p99_baseline"
+            )
+        )
+    )
+    recent = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias(
+                "p99_recent"
+            )
+        )
+    )
+    return base.join(F.broadcast(recent), "event_type").select(
+        "event_type",
+        "p99_baseline",
+        "p99_recent",
+        (F.col("p99_recent") > 1.2 * F.col("p99_baseline"))
+        .cast("int")
+        .alias("regressed_20pct"),
+    )
+
+
+@query(
+    "weekpart_seasonality",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CASE WHEN (datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) + 4) % 7 IN (0, 6)
+                    THEN 1 ELSE 0 END AS is_weekend
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count_if(is_weekend = 1) AS BIGINT) AS n_weekend,
+               CAST(count_if(is_weekend = 0) AS BIGINT) AS n_weekday
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type, n_weekend, n_weekday,
+           CAST((2000000 * CAST(n_weekend AS HUGEINT) * 5
+                 + CAST(n_weekday AS HUGEINT) * 2)
+                // (2 * CAST(n_weekday AS HUGEINT) * 2) AS BIGINT)
+               AS weekend_rate_ratio_ppm
+    FROM g
+    """,
+)
+def weekpart_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend/weekday seasonality ratio (M317): per event type, the
+    DAILY-RATE ratio between weekend and weekday traffic (counts
+    normalized by 2 weekend vs 5 weekday days — comparing raw counts
+    would understate weekends 2.5×) — the first seasonality question
+    every capacity plan and anomaly baseline asks, and the input that
+    decides whether `anomalous_hours`-style alerts need separate
+    weekend baselines (ratio far from 1e6 ppm ⇒ yes).
+
+    Exactness: day-of-week from the exact epoch-day arithmetic of
+    M274 ((days+4)%7 — Sunday=0/Saturday=6; dayofweek() dialects
+    disagree); the normalized ratio is the half-up identity on
+    cross-multiplied HUGEINT/DECIMAL counts — rate_we/rate_wd =
+    (n_we/2)/(n_wd/5) = 5·n_we/(2·n_wd), all integer.
+
+    Scale: map-only flagging + one |types|-keyed map-side aggregate.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4
+    ) % 7
+    x = ev.select(
+        "event_type",
+        F.when(dow.isin(0, 6), 1).otherwise(0).alias("is_weekend"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count_if(F.col("is_weekend") == 1)
+        .cast("long")
+        .alias("n_weekend"),
+        F.count_if(F.col("is_weekend") == 0)
+        .cast("long")
+        .alias("n_weekday"),
+    )
+    return g.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.expr(
+            f"CAST((2000000 * CAST(n_weekend AS {dec}) * 5"
+            f" + CAST(n_weekday AS {dec}) * 2)"
+            f" div (2 * CAST(n_weekday AS {dec}) * 2) AS BIGINT)"
+        ).alias("weekend_rate_ratio_ppm"),
+    )

@@ -1370,3 +1370,21 @@ def test_leadtime_percentiles_ordered_and_nonnegative(spark):
     assert sum(r["n_lines"] for r in rows) == li.count()
     for r in rows:
         assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_p99_probe_flag_restates_the_rounded_compare(spark):
+    rows = _q("p99_regression_probe")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["regressed_20pct"] == int(
+            r["p99_recent"] > 1.2 * r["p99_baseline"]
+        )
+
+
+def test_weekpart_ratio_matches_manual_rates(spark):
+    rows = _q("weekpart_seasonality")(spark, SF_DIR).collect()
+    for r in rows:
+        want = round(
+            1e6 * (r["n_weekend"] / 2) / (r["n_weekday"] / 5)
+        )
+        assert abs(r["weekend_rate_ratio_ppm"] - want) <= 1
