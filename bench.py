@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "leadtime_percentiles",
     "p99_regression_probe",
     "weekpart_seasonality",
+    "phrase_match_search",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

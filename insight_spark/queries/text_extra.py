@@ -2405,3 +2405,74 @@ def fair_topk_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "phrase_match_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS l
+        FROM documents
+    ),
+    post AS (
+        SELECT doc_id, l[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM toks, unnest(range(1, len(l) + 1)) u(i)
+    ),
+    hits AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM post a JOIN post b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'scan'
+        GROUP BY a.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences,
+           CAST(MAX(n_occurrences) AS BIGINT) AS max_per_doc
+    FROM hits
+    """,
+)
+def phrase_match_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index PHRASE query (M318): find documents containing
+    the exact phrase "table scan" by intersecting the two terms'
+    POSITIONAL postings with an adjacency constraint — the phrase
+    operator of a real search engine (the positional complement of
+    `bm25_search` (bag scoring), `term_proximity_rank` (unordered
+    window), and `prefix_suggest` (dictionary)): quoted queries,
+    entity names, and code identifiers all need positions, not bags.
+
+    The Spark side intersects postings the way a search engine does
+    (filter each term's postings FIRST — the index lookup — then join
+    on (doc, pos+1)); the oracle builds the same postings but its
+    join is the generic self-join — independent plan, same set
+    semantics.
+
+    Exactness: positions are exact integers from one tokenize pass;
+    all outputs exact counts.  Scale: per-term postings are pruned
+    BEFORE the join (selectivity of the rarer term bounds the join —
+    standard phrase evaluation), the join key is (doc, pos) — no
+    cross-document work, no windows; output is a 1-row summary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+    a = post.filter(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = post.filter(F.col("term") == "scan").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+        F.max("n_occurrences").cast("long").alias("max_per_doc"),
+    )

@@ -1388,3 +1388,17 @@ def test_weekpart_ratio_matches_manual_rates(spark):
             1e6 * (r["n_weekend"] / 2) / (r["n_weekday"] / 5)
         )
         assert abs(r["weekend_rate_ratio_ppm"] - want) <= 1
+
+
+def test_phrase_match_agrees_with_contains(spark):
+    """Positional intersection must find exactly the docs a padded
+    substring test finds (single-space token fixture), and occurrence
+    totals bound doc counts."""
+    r = _q("phrase_match_search")(spark, SF_DIR).collect()[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    want = docs.filter(
+        F.expr("contains(' ' || text || ' ', ' table scan ')")
+    ).count()
+    assert r["n_docs"] == want
+    assert r["n_occurrences"] >= r["n_docs"]
+    assert r["max_per_doc"] >= 1
