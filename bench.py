@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "p99_regression_probe",
     "weekpart_seasonality",
     "phrase_match_search",
+    "ratio_metric_delta_var",
+    "ab_sample_size_table",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -6806,3 +6806,198 @@ def weekpart_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (2 * CAST(n_weekday AS {dec}) * 2) AS BIGINT)"
         ).alias("weekend_rate_ratio_ppm"),
     )
+
+
+@query(
+    "ratio_metric_delta_var",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(CAST(value AS DECIMAL(38,6))
+                                       * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM per_user GROUP BY arm
+    ),
+    d AS (
+        SELECT arm, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        FROM m
+    )
+    SELECT arm, n,
+           sxd / syd AS ratio_cents,
+           ((sxxd - sxd * sxd / nd)
+            + (sxd / syd) * (sxd / syd) * (syyd - syd * syd / nd)
+            - 2.0 * (sxd / syd) * (sxyd - sxd * syd / nd))
+           / ((nd - 1.0) * nd * (syd / nd) * (syd / nd)) AS var_delta
+    FROM d
+    """,
+)
+def ratio_metric_delta_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance for a RATIO metric (M319): revenue per
+    EVENT (Σx/Σy across users) per experiment arm, with the
+    linearization variance Var(R̂) ≈ (σ²_x + R²σ²_y − 2Rσ_xy)/(n·ȳ²)
+    — the experimentation workhorse for ratio metrics, where the
+    naive per-user-average variance is simply WRONG (the denominator
+    is random too; ignoring its covariance with the numerator is the
+    classic ratio-metric trap `ab_test_metrics`' count metrics don't
+    hit).  Same md5 arms as `ab_srm_check`/M278, so the experiment
+    audits share a randomization.
+
+    Exactness: per-user (x, y) exact integers with money at CENTS
+    (exact for the 2-dp domain) — deliberately NOT micro: Σx² must
+    stay below 2⁶³ before its double cast, because DuckDB's
+    HUGEINT→double conversion DOUBLE-ROUNDS above 2⁶³ (measured
+    2-ulp drift building this query — a new entry in the float-
+    parity rulebook); every moment is cast to double ONCE and the
+    ratio/variance are pure-double shared trees after that.
+
+    Scale: one user-keyed map-side aggregate, then a 2-arm moment
+    reduce; nothing but 2 rows leaves the shuffle.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(38,6)") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.count("*").cast("long").alias("y"),
+    ).select(
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                )
+                - 1
+            )
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    # pure-double tree: every moment cast to double ONCE, then only
+    # double x double ops in one canonical order — mixed double x
+    # HUGEINT binary ops round differently between engines (measured
+    # 2-ulp drift building this query)
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    r = sxd / syd
+    cx = sxxd - sxd * sxd / nd
+    cy = syyd - syd * syd / nd
+    cxy = sxyd - sxd * syd / nd
+    var = (cx + r * r * cy - F.lit(2.0) * r * cxy) / (
+        (nd - F.lit(1.0)) * nd * (syd / nd) * (syd / nd)
+    )
+    return m.select(
+        "arm", "n", r.alias("ratio_cents"), var.alias("var_delta")
+    )
+
+
+@query(
+    "ab_sample_size_table",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(count_if(event_type = 'purchase') AS BIGINT) AS conv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+    ),
+    mde AS (SELECT unnest([0.01, 0.02, 0.05]) AS delta),
+    base AS (
+        SELECT CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p0, mde.delta
+        FROM p CROSS JOIN mde
+    )
+    SELECT delta AS mde_abs,
+           p0 AS baseline_rate,
+           CAST(ceil(
+               (1.959964 + 0.841621) * (1.959964 + 0.841621)
+               * (p0 * (1.0 - p0)
+                  + (p0 + delta) * (1.0 - p0 - delta))
+               / (delta * delta)) AS BIGINT) AS n_per_arm
+    FROM base
+    """,
+)
+def ab_sample_size_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size table (M320): users per arm needed to detect a
+    +1/+2/+5-point absolute lift on the observed baseline conversion
+    rate at α=5% (two-sided), power 80% — the planning table every
+    experiment review starts from, computed from the standard
+    two-proportion formula n = (z_{α/2}+z_β)²·(p₀q₀+p₁q₁)/δ²,
+    anchored to the CORPUS's actual baseline (not a guessed one).
+
+    Parity: the normal quantiles are PRECOMPUTED LITERALS (1.959964,
+    0.841621 — the dp_noisy_release/DCG-weights rule: libm never
+    runs in a hashed path); the baseline rate is one division of
+    exact counts; n_per_arm is a shared IEEE tree closed by ceil —
+    and ceil of identical doubles is identical (a boundary hit would
+    need the tree to land EXACTLY on an integer, impossible here
+    with irrational z² factors).
+
+    Scale: a 1-row conditional count × a 3-row literal sweep — audit
+    cost, run per planning meeting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("conv"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mde = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], "delta double"
+    )
+    base = p.crossJoin(F.broadcast(mde)).select(
+        (F.col("conv").cast("double") / F.col("n").cast("double")).alias(
+            "p0"
+        ),
+        "delta",
+    )
+    z2 = (F.lit(1.959964) + F.lit(0.841621)) * (
+        F.lit(1.959964) + F.lit(0.841621)
+    )
+    n_arm = F.ceil(
+        z2
+        * (
+            F.col("p0") * (F.lit(1.0) - F.col("p0"))
+            + (F.col("p0") + F.col("delta"))
+            * (F.lit(1.0) - F.col("p0") - F.col("delta"))
+        )
+        / (F.col("delta") * F.col("delta"))
+    ).cast("long")
+    return base.select(
+        F.col("delta").alias("mde_abs"),
+        F.col("p0").alias("baseline_rate"),
+        n_arm.alias("n_per_arm"),
+    )

@@ -1402,3 +1402,31 @@ def test_phrase_match_agrees_with_contains(spark):
     assert r["n_docs"] == want
     assert r["n_occurrences"] >= r["n_docs"]
     assert r["max_per_doc"] >= 1
+
+
+def test_ratio_delta_var_is_positive_and_ratio_is_exact(spark):
+    rows = _q("ratio_metric_delta_var")(spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["var_delta"] > 0
+        assert r["ratio_cents"] > 0
+
+
+def test_sample_size_shrinks_with_effect_size(spark):
+    rows = sorted(
+        _q("ab_sample_size_table")(spark, SF_DIR).collect(),
+        key=lambda r: r["mde_abs"],
+    )
+    assert len(rows) == 3
+    ns = [r["n_per_arm"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # bigger effect, fewer users
+    import math
+
+    for r in rows:
+        p0, d = r["baseline_rate"], r["mde_abs"]
+        want = math.ceil(
+            (1.959964 + 0.841621) ** 2
+            * (p0 * (1 - p0) + (p0 + d) * (1 - p0 - d))
+            / d**2
+        )
+        assert r["n_per_arm"] == want
