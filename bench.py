@@ -332,6 +332,8 @@ BENCH_QUERIES = [
     "phrase_match_search",
     "ratio_metric_delta_var",
     "ab_sample_size_table",
+    "jains_fairness_index",
+    "simpson_diversity_index",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -1263,3 +1263,160 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight_ppm"),
         )
     )
+
+
+@query(
+    "jains_fairness_index",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(CAST(n_docs AS HUGEINT)) AS DOUBLE)
+           * CAST(SUM(CAST(n_docs AS HUGEINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE)
+              * CAST(SUM(CAST(n_docs AS HUGEINT) * n_docs) AS DOUBLE))
+               AS fairness_docs,
+           CAST(SUM(CAST(mass AS HUGEINT)) AS DOUBLE)
+           * CAST(SUM(CAST(mass AS HUGEINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE)
+              * CAST(SUM(CAST(mass AS HUGEINT) * mass) AS DOUBLE))
+               AS fairness_mass
+    FROM s
+    """,
+)
+def jains_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over sources (M321): J = (Σx)²/(n·Σx²)
+    for per-source doc counts and char mass — the multi-tenant
+    fairness number (Jain et al. 1984, public) every shared-resource
+    scheduler reports: J = 1 is perfectly even, J = 1/n is one tenant
+    hogging everything.  For a training corpus it is the one-number
+    answer to "how concentrated is my mixture" that the full
+    `source_mixture_temperature` table details (and the
+    concentration complement of `revenue_lorenz_curve`'s Gini).
+
+    Exactness: sums and sums-of-squares exact HUGEINT/DECIMAL (mass²
+    crosses int64); the index is ONE shared IEEE tree per measure —
+    and the squared-sum operands stay below 2⁶³ at fixture scale by
+    construction of the measure (docstring of M319 records why that
+    bound matters: DuckDB's wide-int→double cast double-rounds
+    above it).
+
+    Scale: one |sources|-keyed map-side aggregate + a 1-row reduce.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("mass"),
+    )
+    m = s.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("n_docs").cast("long").alias("sd"),
+        F.sum(F.col("n_docs").cast(dec) * F.col("n_docs")).alias("sdd"),
+        F.sum("mass").cast("long").alias("sm"),
+        F.sum(F.col("mass").cast(dec) * F.col("mass")).alias("smm"),
+    )
+    jd = (
+        F.col("sd").cast("double")
+        * F.col("sd").cast("double")
+        / (F.col("n_sources").cast("double") * F.col("sdd").cast("double"))
+    )
+    jm = (
+        F.col("sm").cast("double")
+        * F.col("sm").cast("double")
+        / (F.col("n_sources").cast("double") * F.col("smm").cast("double"))
+    )
+    return m.select(
+        "n_sources", jd.alias("fairness_docs"), jm.alias("fairness_mass")
+    )
+
+
+@query(
+    "simpson_diversity_index",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+           FROM tok GROUP BY token),
+    tm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(f) AS BIGINT) AS n,
+               CAST(SUM(CAST(f AS HUGEINT) * (f - 1)) AS HUGEINT) AS coll
+        FROM tf
+    ),
+    sf AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS f
+           FROM documents GROUP BY source),
+    sm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(f) AS BIGINT) AS n,
+               CAST(SUM(CAST(f AS HUGEINT) * (f - 1)) AS HUGEINT) AS coll
+        FROM sf
+    )
+    SELECT tm.vocab, tm.n AS n_tokens,
+           1.0 - CAST(tm.coll AS DOUBLE)
+                 / (CAST(tm.n AS DOUBLE) * CAST(tm.n - 1 AS DOUBLE))
+               AS token_diversity,
+           1.0 - CAST(sm.coll AS DOUBLE)
+                 / (CAST(sm.n AS DOUBLE) * CAST(sm.n - 1 AS DOUBLE))
+               AS source_diversity
+    FROM tm CROSS JOIN sm
+    """,
+)
+def simpson_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index (M322): 1 − Σf(f−1)/(N(N−1)) — the
+    probability two random draws differ — for the TOKEN distribution
+    and the SOURCE distribution of the corpus (Simpson 1949, public).
+    The entropy-free diversity number: unlike Shannon entropy it
+    needs NO logarithms, so it hashes exactly — which is precisely
+    why it is this engine's default diversity gauge (the log-based
+    gauges here quantize through literal tables).  Token diversity
+    near 1 = vocabulary-open corpus; source diversity near 1/n =
+    one feed dominating (read with M321's fairness index).
+
+    Exactness: f(f−1) collision sums exact HUGEINT/DECIMAL; each
+    index ONE shared IEEE tree over exact integers.
+
+    Scale: the token leg is the word-count shuffle (vocab-bounded
+    keys) + a 1-row reduce; the source leg is |sources| rows.  The
+    collision-sum form needs NO normalized probabilities, so there
+    is no per-key division anywhere.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    tm = tf.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f").cast(dec) * (F.col("f") - 1)).alias("coll"),
+    )
+    sm = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("long").alias("f"))
+        .agg(
+            F.sum("f").cast("long").alias("sn"),
+            F.sum(F.col("f").cast(dec) * (F.col("f") - 1)).alias("scoll"),
+        )
+    )
+    t_div = F.lit(1.0) - F.col("coll").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    s_div = F.lit(1.0) - F.col("scoll").cast("double") / (
+        F.col("sn").cast("double") * (F.col("sn") - 1).cast("double")
+    )
+    return tm.crossJoin(F.broadcast(sm)).select(
+        "vocab",
+        F.col("n").alias("n_tokens"),
+        t_div.alias("token_diversity"),
+        s_div.alias("source_diversity"),
+    )

@@ -1430,3 +1430,19 @@ def test_sample_size_shrinks_with_effect_size(spark):
             / d**2
         )
         assert r["n_per_arm"] == want
+
+
+def test_jains_index_bounds(spark):
+    r = _q("jains_fairness_index")(spark, SF_DIR).collect()[0]
+    n = r["n_sources"]
+    for col in ("fairness_docs", "fairness_mass"):
+        assert 1.0 / n - 1e-12 <= r[col] <= 1.0 + 1e-12
+
+
+def test_simpson_diversity_bounds_and_vocab(spark):
+    r = _q("simpson_diversity_index")(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["token_diversity"] <= 1.0
+    assert 0.0 <= r["source_diversity"] <= 1.0
+    # uniform 20-source fixture: source diversity ~ 1 - 1/20
+    assert r["source_diversity"] > 0.9
+    assert r["vocab"] <= r["n_tokens"]
