@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "ab_sample_size_table",
     "jains_fairness_index",
     "simpson_diversity_index",
+    "hourly_peak_detection",
+    "topk_concentration_ratio",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

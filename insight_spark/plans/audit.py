@@ -106,9 +106,12 @@ __all__ = [
 #:   head (the vector_index_probe pattern).
 #: - max_drawdown_daily: running sum + running max over the DAILY
 #:   series (the acf_hourly_lags pattern — |days| rows post-agg).
+#: - hourly_peak_detection: lag/lead over the HOURLY series (the
+#:   acf_hourly_lags pattern — |hours| rows post-aggregate).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "bottomk_mergeable_sample",
+        "hourly_peak_detection",
         "max_drawdown_daily",
         "concurrency_curve",
         "largest_remainder_allocation",

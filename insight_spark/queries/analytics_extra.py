@@ -7001,3 +7001,146 @@ def ab_sample_size_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p0").alias("baseline_rate"),
         n_arm.alias("n_per_arm"),
     )
+
+
+@query(
+    "hourly_peak_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    nb AS (
+        SELECT h, n,
+               LAG(n) OVER (ORDER BY h) AS prev_n,
+               LEAD(n) OVER (ORDER BY h) AS next_n
+        FROM hourly
+    ),
+    peaks AS (
+        SELECT h, n,
+               CAST(n - greatest(prev_n, next_n) AS BIGINT) AS prominence
+        FROM nb
+        WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+          AND n > prev_n AND n > next_n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(count_if(prominence >= 5) AS BIGINT) AS n_prominent,
+           CAST(COALESCE(MAX(prominence), 0) AS BIGINT)
+               AS max_prominence
+    FROM peaks
+    """,
+)
+def hourly_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly peak detection (M323): strict local maxima of the
+    hourly event-count series with their prominence over the higher
+    neighbor — the spike census behind alert-threshold tuning (every
+    peak the detector finds here is an alert a naive
+    threshold-on-count rule would or wouldn't have fired on;
+    `anomalous_hours` asks which hours are extreme GLOBALLY, this
+    asks which are extreme LOCALLY — flash events that never cross a
+    global percentile).
+
+    Exactness: counts and prominences exact integers; a strict
+    (n > both neighbors) predicate has no tie ambiguity.
+
+    Scale: the lag/lead windows run over the HOURLY aggregate (the
+    acf_hourly_lags pattern — |hours| rows post-aggregate, documented
+    BOUNDED_GLOBAL_WINDOW_OK entry), then a 1-row reduce.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy("h")
+    nb = hourly.select(
+        "h",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    peaks = nb.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    ).select(
+        (F.col("n") - F.greatest("prev_n", "next_n"))
+        .cast("long")
+        .alias("prominence")
+    )
+    n_hours = hourly.agg(F.count("*").cast("long").alias("n_hours"))
+    return peaks.agg(
+        F.count("*").cast("long").alias("n_peaks"),
+        F.count_if(F.col("prominence") >= 5)
+        .cast("long")
+        .alias("n_prominent"),
+        F.coalesce(F.max("prominence"), F.lit(0))
+        .cast("long")
+        .alias("max_prominence"),
+    ).crossJoin(F.broadcast(n_hours)).select(
+        "n_hours", "n_peaks", "n_prominent", "max_prominence"
+    )
+
+
+@query(
+    "topk_concentration_ratio",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    top10 AS (
+        SELECT n FROM per_user ORDER BY n DESC, user_id LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_user) AS BIGINT) AS n_users,
+           CAST((SELECT SUM(n) FROM top10) AS BIGINT) AS top10_events,
+           CAST((SELECT SUM(n) FROM per_user) AS BIGINT) AS total_events,
+           CAST((2000000 * (SELECT SUM(n) FROM top10)
+                 + (SELECT SUM(n) FROM per_user))
+                // (2 * (SELECT SUM(n) FROM per_user)) AS BIGINT)
+               AS cr10_ppm
+    FROM per_user LIMIT 1
+    """,
+)
+def topk_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 concentration ratio (M324): the share of all events
+    produced by the 10 heaviest users — the CR-k concentration
+    number from industrial-organization economics, here the
+    abuse/dependency screen (a CR-10 of 40% means ten accounts can
+    move every aggregate metric; bot farms and scrapers show up here
+    before they show up anywhere else).  The scalar headline over
+    `join_key_skew_profile`'s per-key detail and the discrete cousin
+    of `revenue_lorenz_curve`.
+
+    Exactness: exact counts; the share is the half-up ppm identity;
+    top-10 selection tie-broken by user_id.
+
+    Scale: one user-keyed map-side count, TakeOrderedAndProject(10)
+    (per-partition heaps), a 1-row total — no sort, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    top10 = (
+        per_user.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("n").cast("long").alias("top10_events"))
+    )
+    tot = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("total_events"),
+    )
+    return tot.crossJoin(F.broadcast(top10)).select(
+        "n_users",
+        "top10_events",
+        "total_events",
+        F.expr(
+            "CAST((2000000 * top10_events + total_events)"
+            " div (2 * total_events) AS BIGINT)"
+        ).alias("cr10_ppm"),
+    )

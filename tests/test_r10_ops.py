@@ -1446,3 +1446,19 @@ def test_simpson_diversity_bounds_and_vocab(spark):
     # uniform 20-source fixture: source diversity ~ 1 - 1/20
     assert r["source_diversity"] > 0.9
     assert r["vocab"] <= r["n_tokens"]
+
+
+def test_peak_detection_counts_nest(spark):
+    r = _q("hourly_peak_detection")(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_prominent"] <= r["n_peaks"] <= (r["n_hours"] - 1) // 2
+    if r["n_peaks"]:
+        assert r["max_prominence"] >= 1
+
+
+def test_cr10_bounds(spark):
+    r = _q("topk_concentration_ratio")(spark, SF_DIR).collect()[0]
+    assert 0 < r["top10_events"] <= r["total_events"]
+    lo = 1000000 * r["top10_events"] // r["total_events"] - 1
+    assert lo <= r["cr10_ppm"] <= 1000000
+    # with 10 of n users, CR-10 must be at least 10/n of the mass
+    assert r["cr10_ppm"] >= 10_000_000 // r["n_users"] - 1
