@@ -336,6 +336,8 @@ BENCH_QUERIES = [
     "simpson_diversity_index",
     "hourly_peak_detection",
     "topk_concentration_ratio",
+    "aa_test_null_check",
+    "midnight_boundary_artifact",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

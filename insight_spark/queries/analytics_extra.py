@@ -7144,3 +7144,210 @@ def topk_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * total_events) AS BIGINT)"
         ).alias("cr10_ppm"),
     )
+
+
+@query(
+    "aa_test_null_check",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5('aa|' || CAST(user_id AS VARCHAR)),
+                              1, 1)) - 1) % 2 AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(count_if(arm = 0) AS BIGINT) AS n_a,
+               CAST(count_if(arm = 1) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM per_user
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST((2000000 * conv_b + n_b) // (2 * n_b)
+                - (2000000 * conv_a + n_a) // (2 * n_a) AS BIGINT)
+               AS null_lift_ppm,
+           CAST(abs((2000000 * conv_b + n_b) // (2 * n_b)
+                    - (2000000 * conv_a + n_a) // (2 * n_a))
+                < 100000 AS INT) AS within_10pct
+    FROM g
+    """,
+)
+def aa_test_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A null test (M325): split users by a FRESH salted hash
+    ('aa|' prefix — deliberately a different randomization than the
+    live `ab_srm_check` assignment) into two arms that received
+    IDENTICAL treatment, and measure the 'lift' — which is pure
+    noise.  The experimentation-platform health check run before
+    trusting any real readout: a large null lift means the
+    assignment hash is correlated with behavior, the metric pipeline
+    leaks, or the variance model lies (and every downstream p-value
+    with it).  The salt matters: re-using the live hash would test
+    the same split twice, not the platform.
+
+    Exactness: exact counts, half-up ppm rates, integer lift; the
+    within flag restates the integer comparison.
+
+    Scale: one user-keyed map-side aggregate + a 1-row reduce — the
+    cheapest possible platform check, run continuously in practice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("converted")
+        )
+        .select(
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("aa|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % 2
+            ).alias("arm"),
+            "converted",
+        )
+        .agg(
+            F.count_if(F.col("arm") == 0).cast("long").alias("n_a"),
+            F.count_if(F.col("arm") == 1).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_b"),
+        )
+    )
+    lift = F.expr(
+        "(2000000 * conv_b + n_b) div (2 * n_b)"
+        " - (2000000 * conv_a + n_a) div (2 * n_a)"
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        lift.cast("long").alias("null_lift_ppm"),
+        (F.abs(lift) < 100000).cast("int").alias("within_10pct"),
+    )
+
+
+@query(
+    "midnight_boundary_artifact",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us
+                            > 1800 * CAST(1000000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid,
+               ts
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(count_if(d0 <> d1) AS BIGINT) AS n_cross_midnight,
+           CAST((2000000 * count_if(d0 <> d1) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS cross_ppm
+    FROM spans
+    """,
+)
+def midnight_boundary_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midnight boundary artifact audit (M326): how many 30-minute-gap
+    sessions SPAN a calendar-day boundary — the share of real user
+    journeys that any day-partitioned metric (DAU, daily funnels,
+    M279's user-DAY concurrency sessions) silently cuts in half.
+    Above a few percent, day-keyed session metrics need timezone- or
+    4am-anchored day boundaries instead of midnight — this table is
+    that decision's evidence.
+
+    Exactness: sessionization is the exact µs-integer lag-gap rule
+    with id tie-break (the `sessionize` semantics at a 30-min gap);
+    the span test compares exact DATE truncations; counts and the
+    share exact integers.
+
+    Scale: one user-partitioned exchange serves the lag AND the
+    session-id cumulative (same partitioning — the sessionize plan
+    shape), then a (user, sid)-keyed min/max reduce and a 1-row
+    total.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    tus = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(tus).over(wu).isNull()
+            | ((tus - F.lag(tus).over(wu)) > 1800 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.to_date(F.min("ts")).alias("d0"),
+        F.to_date(F.max("ts")).alias("d1"),
+    )
+    return spans.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_if(F.col("d0") != F.col("d1"))
+        .cast("long")
+        .alias("n_cross_midnight"),
+        F.expr(
+            "CAST((2000000 * count_if(d0 <> d1) + COUNT(*))"
+            " div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("cross_ppm"),
+    )

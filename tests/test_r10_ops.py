@@ -1462,3 +1462,21 @@ def test_cr10_bounds(spark):
     assert lo <= r["cr10_ppm"] <= 1000000
     # with 10 of n users, CR-10 must be at least 10/n of the mass
     assert r["cr10_ppm"] >= 10_000_000 // r["n_users"] - 1
+
+
+def test_aa_arms_partition_users_and_flag_restates(spark):
+    r = _q("aa_test_null_check")(spark, SF_DIR).collect()[0]
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r["n_a"] + r["n_b"] == n_users
+    assert r["within_10pct"] == int(abs(r["null_lift_ppm"]) < 100000)
+
+
+def test_midnight_artifact_counts_nest(spark):
+    r = _q("midnight_boundary_artifact")(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_cross_midnight"] <= r["n_sessions"]
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r["n_sessions"] >= n_users
