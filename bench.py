@@ -338,6 +338,8 @@ BENCH_QUERIES = [
     "topk_concentration_ratio",
     "aa_test_null_check",
     "midnight_boundary_artifact",
+    "multi_table_publish",
+    "doc_prefix_dup_groups",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -437,6 +439,8 @@ ITERATIVE = {
     "hidden_partition_pruning",
     # csv write + driver-side append run during build
     "csv_corrupt_records_audit",
+    # manifest commits + set publishes run during build
+    "multi_table_publish",
 }
 
 

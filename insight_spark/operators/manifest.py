@@ -844,3 +844,56 @@ def log_append_isolated(
             json.dump(manifest, fh)
         return new_version
     raise ConflictError(f"gave up after {max_retries} retries")
+
+
+def publish_set(
+    meta_dir: str, tables: dict[str, int], expected_version: int | None = None
+) -> int:
+    """Atomic MULTI-TABLE publish: commit a 'publish set' — a named
+    consistent combination of (table_dir → version) — as one O_EXCL
+    manifest in a meta log.  Readers that resolve through the set see
+    a CROSS-TABLE-consistent snapshot (the guarantee single-table
+    logs cannot give: between two tables' commits there is no joint
+    ordering; the publish set IS that ordering).  The member tables'
+    own logs are untouched — a set is metadata naming metadata, so
+    publishing is O(1) regardless of table count or size."""
+    for tdir, v in tables.items():
+        if v not in log_versions(tdir):
+            raise ValueError(f"{tdir} has no committed v{v}")
+    if expected_version is None:
+        expected_version = latest_version(meta_dir)
+    new_version = expected_version + 1
+    manifest = {
+        "version": new_version,
+        "op": "publish_set",
+        "tables": {t: v for t, v in sorted(tables.items())},
+    }
+    os.makedirs(os.path.join(meta_dir, _MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(meta_dir, new_version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"publish-set version {new_version} already committed"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return new_version
+
+
+def read_set(
+    spark: SparkSession, meta_dir: str, version: int | None = None
+) -> dict[str, DataFrame]:
+    """Resolve a publish set (latest if None) to snapshot reads of
+    every member table AT THE PUBLISHED VERSIONS — the consistent
+    cross-table view.  Each member read is the ordinary explicit-file
+    snapshot scan, so pruning/pushdown are unchanged."""
+    if version is None:
+        version = latest_version(meta_dir)
+    if version == 0:
+        raise ValueError(f"no publish sets in {meta_dir}")
+    manifest = _read_manifest(meta_dir, version)
+    return {
+        tdir: read_snapshot(spark, tdir, v)
+        for tdir, v in manifest["tables"].items()
+    }

@@ -1649,3 +1649,77 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("collapsed"),
     )
+
+
+@query(
+    "doc_prefix_dup_groups",
+    oracle=r"""
+    WITH pref AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '')[1:8], ' ') AS p8
+        FROM documents
+    ),
+    g AS (
+        SELECT p8, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+        FROM pref GROUP BY p8 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pref) AS BIGINT) AS n_docs_total,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_prefixes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_in_groups,
+           CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST(MAX(n_docs) AS BIGINT) AS largest_group
+    FROM g
+    """,
+)
+def doc_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups (M328): documents whose first 8
+    normalized tokens are identical — the HEADER-boilerplate dedup
+    axis the other dedup ops miss by construction (minhash/LSH judge
+    whole-document similarity, so two articles behind the same
+    14-word cookie banner do NOT pair; line dedup strikes the
+    banner's lines but never GROUPS the documents; this query groups
+    exactly them).  In a crawl pipeline the groups feed two actions:
+    a shared prefix with n_sources == 1 is a template to strip
+    (M175's input), with n_sources > 1 it is syndication to
+    de-duplicate.
+
+    Exactness: the prefix key is a pure token-slice normalization
+    (lowercase, whitespace split, first 8 — identical semantics both
+    engines); all outputs exact counts with MIN exemplar tie-break.
+
+    Scale: map-side key extraction (a bounded slice — the key is
+    ≤8 tokens regardless of doc length, so the shuffle carries tiny
+    keys, the dedup_hash argument), one groupBy on that key, a
+    bounded summary reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p8 = F.array_join(
+        F.slice(tokenize(F.lower(F.col("text"))), 1, 8), " "
+    )
+    pref = docs.select("doc_id", "source", p8.alias("p8"))
+    g = (
+        pref.groupBy("p8")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    tot = pref.agg(F.count("*").cast("long").alias("n_docs_total"))
+    return g.agg(
+        F.count("*").cast("long").alias("n_dup_prefixes"),
+        F.sum("n_docs").cast("long").alias("n_docs_in_groups"),
+        (F.sum("n_docs") - F.count("*")).cast("long").alias("n_redundant"),
+        F.max("n_docs").cast("long").alias("largest_group"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "n_docs_total",
+        "n_dup_prefixes",
+        "n_docs_in_groups",
+        "n_redundant",
+        "largest_group",
+    )

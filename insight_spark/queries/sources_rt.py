@@ -2176,3 +2176,87 @@ def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             corrupt.agg(F.count("*").cast("long").alias("n_corrupt"))
         )
     ).select("n_parsed", "n_corrupt", "key_checksum")
+
+
+@query(
+    "multi_table_publish",
+    oracle="""
+    WITH s1 AS (
+        SELECT CAST(1 AS INT) AS set_version,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey <= 100) AS n_orders,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                 WHERE c_custkey <= 50) AS n_customers
+    ),
+    s2 AS (
+        SELECT CAST(2 AS INT) AS set_version,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey <= 200) AS n_orders,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                 WHERE c_custkey <= 50) AS n_customers
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    """,
+)
+def multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table publish sets (M327): commit (orders@v,
+    customers@v) combinations as single O_EXCL meta-manifests, so
+    readers resolve a CROSS-TABLE-consistent snapshot — the guarantee
+    single-table logs cannot give (between two tables' commits there
+    is no joint ordering; the publish set IS that ordering).  Here:
+    set v1 pins (orders@1, customers@1); orders then appends v2 —
+    which set v1 readers must NOT see — and set v2 pins (orders@2,
+    customers@1).  The hash proves both sets resolve to exactly
+    their pinned row counts: a reader that leaked the newer orders
+    version into set v1, or re-read 'latest' anywhere, mismatches.
+
+    This is the fact+dim deploy primitive: publish the new fact AND
+    the new dim as one visible unit, or neither — eliminating the
+    window where a repartitioned dim joins yesterday's fact.
+
+    Scale: a set is metadata naming metadata — publish is O(1) in
+    table count and size; member reads are ordinary explicit-file
+    snapshot scans (pruning unchanged).
+    """
+    import shutil
+
+    from insight_spark.operators.manifest import (
+        log_append,
+        publish_set,
+        read_set,
+    )
+
+    orders_t = _rt_path(sf_dir, "pub_orders")
+    cust_t = _rt_path(sf_dir, "pub_cust")
+    meta = _rt_path(sf_dir, "pub_meta")
+    for p in (orders_t, cust_t, meta):
+        shutil.rmtree(p, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ov1 = log_append(
+        orders.filter(F.col("o_orderkey") <= 100), orders_t,
+        expected_version=0,
+    )
+    cv1 = log_append(
+        cust.filter(F.col("c_custkey") <= 50), cust_t, expected_version=0
+    )
+    s1 = publish_set(meta, {orders_t: ov1, cust_t: cv1})
+    ov2 = log_append(
+        orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ),
+        orders_t,
+        expected_version=ov1,
+    )
+    s2 = publish_set(meta, {orders_t: ov2, cust_t: cv1})
+
+    def leg(set_v: int):
+        tables = read_set(spark, meta, set_v)
+        n_o = tables[orders_t].count()
+        n_c = tables[cust_t].count()
+        return spark.createDataFrame(
+            [(set_v, n_o, n_c)],
+            "set_version int, n_orders long, n_customers long",
+        )
+
+    return leg(s1).unionByName(leg(s2))

@@ -356,3 +356,22 @@ def test_isolated_writers_overlap_hard_fails_disjoint_retries(spark, tmp_path):
         log_append_isolated(
             _orders(spark, 110, 120), tbl, ["p9"], expected_version=v3
         )
+
+
+def test_publish_set_pins_versions_and_rejects_unknown(spark, tmp_path):
+    from insight_spark.operators.manifest import publish_set, read_set
+
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    meta = str(tmp_path / "meta")
+    v1 = log_append(_orders(spark, 0, 30), t1, expected_version=0)
+    w1 = log_append(_orders(spark, 30, 60), t2, expected_version=0)
+    s1 = publish_set(meta, {t1: v1, t2: w1})
+    # t1 moves on; set s1 must still resolve to the OLD t1
+    log_append(_orders(spark, 60, 90), t1, expected_version=v1)
+    tables = read_set(spark, meta, s1)
+    assert tables[t1].count() == 30
+    assert tables[t2].count() == 30
+    # pinning a version that doesn't exist refuses
+    with pytest.raises(ValueError):
+        publish_set(meta, {t1: 99})

@@ -1480,3 +1480,10 @@ def test_midnight_artifact_counts_nest(spark):
         load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     )
     assert r["n_sessions"] >= n_users
+
+
+def test_prefix_dup_accounting(spark):
+    r = _q("doc_prefix_dup_groups")(spark, SF_DIR).collect()[0]
+    assert r["n_docs_in_groups"] >= 2 * r["n_dup_prefixes"]
+    assert r["n_redundant"] == r["n_docs_in_groups"] - r["n_dup_prefixes"]
+    assert r["n_docs_in_groups"] <= r["n_docs_total"]
