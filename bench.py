@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "midnight_boundary_artifact",
     "multi_table_publish",
     "doc_prefix_dup_groups",
+    "cluster_sample_two_stage",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

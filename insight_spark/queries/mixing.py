@@ -1420,3 +1420,99 @@ def simpson_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_div.alias("token_diversity"),
         s_div.alias("source_diversity"),
     )
+
+
+@query(
+    "cluster_sample_two_stage",
+    oracle="""
+    WITH stage1 AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5('s1|' || source), 1, 1)) - 1
+                    AS BIGINT) AS h
+        FROM documents GROUP BY source
+    ),
+    picked AS (
+        SELECT source, n_docs FROM stage1
+        ORDER BY h, source LIMIT 5
+    ),
+    stage2 AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents d JOIN picked p ON d.source = p.source
+        WHERE substr(md5('s2|' || CAST(d.doc_id AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST((2000000 * COALESCE(s.n_sampled, 0) + p.n_docs)
+                // (2 * p.n_docs) AS BIGINT) AS within_rate_ppm
+    FROM picked p LEFT JOIN stage2 s ON s.source = p.source
+    """,
+)
+def cluster_sample_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cluster sample (M329): stage 1 picks 5 of the
+    sources by a salted hash order (clusters), stage 2 samples ~1/4
+    of documents WITHIN the picked sources — the survey-sampling
+    design used when visiting a cluster has a fixed cost (per-domain
+    crawl politeness, per-shard open cost, per-archive unpack):
+    touching 5 sources fully beats touching 20 sources thinly for
+    the same sample size.  The deterministic two-salt construction
+    ('s1|' for clusters, 's2|' for elements) makes the ENTIRE sample
+    reproducible on any engine from the hashes alone — the same
+    property `bottomk_mergeable_sample` gives one-stage sampling.
+
+    Exactness: both stages are md5-order/md5-range selections with
+    name/id tie-breaks; counts and the realized within-rate exact
+    integers (half-up ppm).
+
+    Scale: stage 1 is a |sources|-row TakeOrdered(5); stage 2 is a
+    map-side filtered count semi-joined to the 5-row broadcast —
+    the corpus is scanned once and only the picked clusters' rows
+    survive the broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stage1 = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(
+        "source",
+        "n_docs",
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat(F.lit("s1|"), F.col("source"))), 1, 1
+                ),
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    picked = stage1.orderBy("h", "source").limit(5).select(
+        "source", "n_docs"
+    )
+    stage2 = (
+        docs.join(F.broadcast(picked.select("source")), "source")
+        .filter(
+            F.expr(
+                "substr(md5('s2|' || CAST(doc_id AS STRING)), 1, 1)"
+                " IN ('0', '1', '2', '3')"
+            )
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return picked.join(stage2, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_sampled"), F.lit(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.expr(
+            "CAST((2000000 * COALESCE(n_sampled, 0) + n_docs)"
+            " div (2 * n_docs) AS BIGINT)"
+        ).alias("within_rate_ppm"),
+    )

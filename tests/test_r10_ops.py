@@ -1487,3 +1487,14 @@ def test_prefix_dup_accounting(spark):
     assert r["n_docs_in_groups"] >= 2 * r["n_dup_prefixes"]
     assert r["n_redundant"] == r["n_docs_in_groups"] - r["n_dup_prefixes"]
     assert r["n_docs_in_groups"] <= r["n_docs_total"]
+
+
+def test_two_stage_sample_is_reproducible_and_bounded(spark):
+    rows = _q("cluster_sample_two_stage")(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+    # rerun must produce the identical sample (pure-hash determinism)
+    again = _q("cluster_sample_two_stage")(spark, SF_DIR).collect()
+    key = lambda rs: sorted((r["source"], r["n_sampled"]) for r in rs)
+    assert key(rows) == key(again)
