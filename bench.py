@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "multi_table_publish",
     "doc_prefix_dup_groups",
     "cluster_sample_two_stage",
+    "edge_support_truss",
+    "rate_limit_admission_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

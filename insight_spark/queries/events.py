@@ -898,3 +898,61 @@ def decayed_user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("score_decayed"), F.asc("user_id")
     ).limit(10)
+
+
+@query(
+    "rate_limit_admission_audit",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('minute', ts)
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(rn <= 3) AS BIGINT) AS admitted,
+           CAST(count_if(rn > 3) AS BIGINT) AS rejected,
+           CAST((2000000 * count_if(rn > 3) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS reject_ppm
+    FROM ranked GROUP BY event_type
+    """,
+)
+def rate_limit_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit admission replay (M331): apply a 3-per-user-per-
+    calendar-minute limit to the historical log IN ARRIVAL ORDER and
+    report what it would have admitted/rejected per event type — the
+    policy dry-run every API team does before turning a limiter on
+    (M299 sized the burst; this prices a concrete rule against real
+    traffic, and `frequency_cap_waste` is its daily-grain cousin).
+    Admission is by arrival rank WITHIN the window, not random drop —
+    exactly how fixed-window limiters behave.
+
+    Exactness: arrival order = (epoch_µs, event_id) — exact and
+    unique; admission is an integer rank predicate; rates half-up
+    ppm.
+
+    Scale: ONE window partitioned on (user, minute) — finer than the
+    sessionize key, so per-partition state is at most one user's one
+    minute; then a |types|-keyed map-side aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("minute", "ts")
+    ).orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    ranked = ev.select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_if(F.col("rn") <= 3).cast("long").alias("admitted"),
+        F.count_if(F.col("rn") > 3).cast("long").alias("rejected"),
+        F.expr(
+            "CAST((2000000 * count_if(rn > 3) + COUNT(*))"
+            " div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("reject_ppm"),
+    )

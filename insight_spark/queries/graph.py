@@ -619,3 +619,105 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         (num.cast("double") / den.cast("double")).alias("assortativity"),
     )
+
+
+@query(
+    "edge_support_truss",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    bi AS (
+        SELECT least(l[i], l[i+1]) AS a, greatest(l[i], l[i+1]) AS b
+        FROM toks, unnest(range(1, len(l))) u(i)
+        WHERE l[i] <> l[i+1]
+    ),
+    edges AS (SELECT a, b FROM bi GROUP BY a, b),
+    wedges AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+    ),
+    tri AS (
+        SELECT w.x, w.y, w.z
+        FROM wedges w JOIN edges e ON e.a = w.x AND e.b = w.z
+    ),
+    support AS (
+        SELECT a, b, CAST(SUM(c) AS BIGINT) AS sup
+        FROM (
+            SELECT x AS a, y AS b, 1 AS c FROM tri
+            UNION ALL SELECT y, z, 1 FROM tri
+            UNION ALL SELECT x, z, 1 FROM tri
+        ) GROUP BY a, b
+    ),
+    full_sup AS (
+        SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS sup
+        FROM edges e LEFT JOIN support s ON s.a = e.a AND s.b = e.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(count_if(sup = 0) AS BIGINT) AS support_0,
+           CAST(count_if(sup = 1) AS BIGINT) AS support_1,
+           CAST(count_if(sup >= 2) AS BIGINT) AS support_2plus,
+           CAST(MAX(sup) AS BIGINT) AS max_support
+    FROM full_sup
+    """,
+)
+def edge_support_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support census (M330): for every edge of the
+    bigram adjacency graph, how many triangles contain it — the
+    k-truss preprocessing number (Cohen 2008, public): edges with
+    support 0 are locally tree-like connectors the truss filter
+    strips before community detection, while `triangle_count` (same
+    graph) reports only the global total.  Support is also the
+    edge-level signal `near_dup_clusters`-style community cleanups
+    threshold on.
+
+    Exactness: triangles enumerated once from the ordered edge list
+    (a<b, the `triangle_count` orientation), each crediting its
+    three edges exactly once; all counts exact integers.
+
+    Scale: the wedge join fans out by oriented degree (bounded by
+    the same argument as M28's triangle count); the per-edge credit
+    union is map-side; support keys are vocabulary-bounded edges.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    n1 = F.greatest(F.size(l) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(l, 1, n1),
+        F.slice(l, 2, n1),
+        lambda x, y: F.struct(
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        ),
+    )
+    edges = (
+        docs.select(F.explode(pair).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("z")
+    )
+    tri = wedges.join(closing, ["x", "z"])
+    credit = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("sup"))
+    )
+    full = edges.join(credit, ["a", "b"], "left").select(
+        F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup")
+    )
+    return full.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.count_if(F.col("sup") == 0).cast("long").alias("support_0"),
+        F.count_if(F.col("sup") == 1).cast("long").alias("support_1"),
+        F.count_if(F.col("sup") >= 2).cast("long").alias("support_2plus"),
+        F.max("sup").cast("long").alias("max_support"),
+    )

