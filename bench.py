@@ -343,6 +343,8 @@ BENCH_QUERIES = [
     "cluster_sample_two_stage",
     "edge_support_truss",
     "rate_limit_admission_audit",
+    "stratified_att_estimate",
+    "distinctive_terms_ratio",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

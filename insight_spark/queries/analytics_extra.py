@@ -7351,3 +7351,123 @@ def midnight_boundary_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * COUNT(*)) AS BIGINT)"
         ).alias("cross_ppm"),
     )
+
+
+@query(
+    "stratified_att_estimate",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS t,
+               least(CAST(count_if(event_type = 'view') AS BIGINT), 4)
+                   AS stratum,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT stratum,
+               CAST(count_if(t = 1) AS BIGINT) AS nt,
+               CAST(count_if(t = 0) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS yt,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS yc
+        FROM per_user GROUP BY stratum
+    ),
+    kept AS (SELECT * FROM s WHERE nt > 0 AND nc > 0),
+    terms AS (
+        SELECT stratum, nt,
+               CAST(floor(1000000.0 * nt
+                    * (CAST(yt AS DOUBLE) / nt - CAST(yc AS DOUBLE) / nc)
+                    + 0.5) AS BIGINT) AS w_diff_micro
+        FROM kept
+    )
+    SELECT CAST(SUM(nt) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(w_diff_micro) AS BIGINT) AS att_num_micro,
+           CAST(SUM(w_diff_micro) AS DOUBLE) / SUM(nt) / 1000000.0
+               AS att
+    FROM terms
+    """,
+)
+def stratified_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATT estimator (M332): the average treatment effect
+    on the TREATED, estimated by exact stratification on the
+    confounder (view-count stratum, capped at 4): within each
+    stratum compare treated vs control conversion, then weight the
+    differences by the TREATED counts — the textbook
+    subclassification estimator (Cochran 1968, public) that
+    `uplift_by_exposure_bucket` displays per-bucket and this query
+    correctly AGGREGATES (the weighting is where naive averages go
+    wrong: weighting by total counts estimates ATE, by treated
+    counts ATT — the difference IS the estimand).  One-arm strata
+    are dropped (off-support — the positivity violation made
+    explicit).
+
+    Exactness: each stratum's weighted difference is one double tree
+    over exact integers, micro-quantized BEFORE the cross-stratum
+    sum (the anova/psi discipline); the final ATT is one division of
+    exact BIGINTs.
+
+    Scale: one user-keyed aggregate → ≤5-row stratum table → 1-row
+    reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.count_if(F.col("event_type") == "view").cast("long"),
+            F.lit(4),
+        ).alias("stratum"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                )
+                - 1
+            )
+            % 2
+        ).alias("t"),
+        "stratum",
+        "y",
+    )
+    s = per_user.groupBy("stratum").agg(
+        F.count_if(F.col("t") == 1).cast("long").alias("nt"),
+        F.count_if(F.col("t") == 0).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    kept = s.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    w_diff = F.floor(
+        F.lit(1000000.0)
+        * F.col("nt")
+        * (
+            F.col("yt").cast("double") / F.col("nt")
+            - F.col("yc").cast("double") / F.col("nc")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    terms = kept.select("nt", w_diff.alias("w_diff_micro"))
+    return terms.agg(
+        F.sum("nt").cast("long").alias("n_treated"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("w_diff_micro").cast("long").alias("att_num_micro"),
+        (
+            F.sum("w_diff_micro").cast("double")
+            / F.sum("nt")
+            / F.lit(1000000.0)
+        ).alias("att"),
+    )

@@ -2476,3 +2476,79 @@ def phrase_match_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_occurrences").cast("long").alias("n_occurrences"),
         F.max("n_occurrences").cast("long").alias("max_per_doc"),
     )
+
+
+@query(
+    "distinctive_terms_ratio",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    tf AS (
+        SELECT term,
+               CAST(count_if(source = 'src0') AS BIGINT) AS f0,
+               CAST(count_if(source = 'src1') AS BIGINT) AS f1
+        FROM tok GROUP BY term
+    ),
+    keyed AS (
+        SELECT term, f0, f1,
+               CAST((f0 + 1) * 1000000000000 // (f1 + 1) AS BIGINT)
+                   AS ratio_key
+        FROM tf
+    )
+    SELECT term, f0, f1, ratio_key,
+           CAST('src0' AS VARCHAR) AS distinctive_for
+    FROM keyed
+    ORDER BY ratio_key DESC, term LIMIT 10
+    """,
+)
+def distinctive_terms_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms by smoothed frequency ratio (M333): the 10
+    terms most over-represented in src0 relative to src1 by the
+    add-one-smoothed count ratio — the comparative-corpus question
+    ("what vocabulary distinguishes feed A from feed B") behind
+    Monroe et al.'s Fightin' Words, rebuilt LOG-FREE so it hashes
+    exactly: the ranking needs only the ORDER of (f0+1)/(f1+1),
+    which an exact integer key (f0+1)·10¹² div (f1+1) preserves
+    (smoothing keeps never-in-B terms finite instead of infinitely
+    distinctive — the add-one prior doing its one job).
+
+    Exactness: counts exact; the ratio key is exact integer
+    arithmetic with a term tie-break; no logs, no floats.
+
+    Scale: one conditional word-count over the two sources
+    (vocabulary-bounded keys) + TakeOrderedAndProject(10).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(
+        F.count_if(F.col("source") == "src0").cast("long").alias("f0"),
+        F.count_if(F.col("source") == "src1").cast("long").alias("f1"),
+    )
+    keyed = tf.select(
+        "term",
+        "f0",
+        "f1",
+        F.expr(
+            "CAST((CAST(f0 + 1 AS decimal(38,0)) * 1000000000000)"
+            " div (f1 + 1) AS BIGINT)"
+        ).alias("ratio_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("ratio_key"), F.asc("term"))
+        .limit(10)
+        .select(
+            "term",
+            "f0",
+            "f1",
+            "ratio_key",
+            F.lit("src0").alias("distinctive_for"),
+        )
+    )

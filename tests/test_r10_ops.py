@@ -1523,3 +1523,21 @@ def test_rate_limit_partition_bound(spark):
     assert sum(r["admitted"] for r in rows) <= 3 * cells
     for r in rows:
         assert r["admitted"] + r["rejected"] == r["n_events"]
+
+
+def test_att_lies_between_stratum_extremes(spark):
+    r = _q("stratified_att_estimate")(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["att"] <= 1.0
+    assert r["n_treated"] > 0 and r["n_strata"] >= 1
+    assert abs(
+        r["att"] - r["att_num_micro"] / r["n_treated"] / 1e6
+    ) < 1e-12
+
+
+def test_distinctive_terms_are_ratio_ordered(spark):
+    rows = _q("distinctive_terms_ratio")(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    keys = [(r["ratio_key"], r["term"]) for r in rows]
+    assert keys == sorted(keys, key=lambda k: (-k[0], k[1]))
+    for r in rows:
+        assert r["ratio_key"] == (r["f0"] + 1) * 10**12 // (r["f1"] + 1)
