@@ -345,6 +345,8 @@ BENCH_QUERIES = [
     "rate_limit_admission_audit",
     "stratified_att_estimate",
     "distinctive_terms_ratio",
+    "geo_convex_contains",
+    "median_ci_order_stats",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -332,3 +332,108 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "zcoarse")
         .limit(40)
     )
+
+
+#: Convex test polygon (micro-degrees), counter-clockwise: a quad
+#: covering a mid-latitude band.  Literal vertices shared verbatim by
+#: both engines.
+_QUAD = (
+    (-60_000_000, -120_000_000),
+    (50_000_000, -100_000_000),
+    (70_000_000, 110_000_000),
+    (-40_000_000, 130_000_000),
+)
+
+
+@query(
+    "geo_convex_contains",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS user_id,
+               {_LAT_U.replace("user_id", "c_custkey")} AS lat_u,
+               {_LON_U.replace("user_id", "c_custkey")} AS lon_u
+        FROM customer
+    ),
+    signs AS (
+        SELECT user_id,
+               CASE WHEN
+                 (CAST({_QUAD[1][0]} - {_QUAD[0][0]} AS HUGEINT))
+                   * (lon_u - {_QUAD[0][1]})
+                 - (CAST({_QUAD[1][1]} - {_QUAD[0][1]} AS HUGEINT))
+                   * (lat_u - {_QUAD[0][0]}) >= 0
+                AND
+                 (CAST({_QUAD[2][0]} - {_QUAD[1][0]} AS HUGEINT))
+                   * (lon_u - {_QUAD[1][1]})
+                 - (CAST({_QUAD[2][1]} - {_QUAD[1][1]} AS HUGEINT))
+                   * (lat_u - {_QUAD[1][0]}) >= 0
+                AND
+                 (CAST({_QUAD[3][0]} - {_QUAD[2][0]} AS HUGEINT))
+                   * (lon_u - {_QUAD[2][1]})
+                 - (CAST({_QUAD[3][1]} - {_QUAD[2][1]} AS HUGEINT))
+                   * (lat_u - {_QUAD[2][0]}) >= 0
+                AND
+                 (CAST({_QUAD[0][0]} - {_QUAD[3][0]} AS HUGEINT))
+                   * (lon_u - {_QUAD[3][1]})
+                 - (CAST({_QUAD[0][1]} - {_QUAD[3][1]} AS HUGEINT))
+                   * (lat_u - {_QUAD[3][0]}) >= 0
+               THEN 1 ELSE 0 END AS inside
+        FROM pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(inside) AS BIGINT) AS n_inside,
+           CAST(SUM(CASE WHEN inside = 1 THEN user_id ELSE 0 END)
+                AS BIGINT) AS inside_key_checksum
+    FROM signs
+    """,
+)
+def geo_convex_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon containment (M334): count points inside a
+    convex quad by the half-plane sign test — every edge's cross
+    product (v_{i+1}−v_i) × (p−v_i) must be non-negative for a CCW
+    polygon — extending the geo family's axis-aligned boxes
+    (`geo_bbox_containment`) to arbitrary convex regions
+    (geofences, delivery zones, coverage polygons) with ZERO new
+    machinery: the test is four codegen'd integer sign checks, no
+    trigonometry, no geometry library.
+
+    Exactness: coordinates are the family's exact integer
+    micro-degrees; each cross product is exact HUGEINT/DECIMAL
+    (coordinate differences reach 2.5e8; products 6e16 > int64-safe
+    only barely — widened deliberately); the boundary convention
+    (≥ 0: on-edge counts as inside) is explicit and identical.
+    The inside-key checksum rides in the hash so a single
+    misclassified point is a value mismatch.
+
+    Scale: map-only — the predicate fuses into the scan; at 100 TB
+    the grid-cell prefilter of `geo_nearest_hub` would bound
+    candidates first and this test runs only on the cell survivors.
+    """
+    dec = "decimal(38,0)"
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.expr(_LAT_U.replace("user_id", "c_custkey")).alias("lat_u"),
+        F.expr(_LON_U.replace("user_id", "c_custkey")).alias("lon_u"),
+    )
+    conds = []
+    n = len(_QUAD)
+    for i in range(n):
+        (x0, y0), (x1, y1) = _QUAD[i], _QUAD[(i + 1) % n]
+        cross = F.expr(
+            f"CAST({x1 - x0} AS {dec}) * (lon_u - {y0})"
+            f" - CAST({y1 - y0} AS {dec}) * (lat_u - {x0})"
+        )
+        conds.append(cross >= 0)
+    inside = F.when(
+        conds[0] & conds[1] & conds[2] & conds[3], 1
+    ).otherwise(0)
+    signs = pts.select("user_id", inside.alias("inside"))
+    return signs.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("inside").cast("long").alias("n_inside"),
+        F.sum(
+            F.when(F.col("inside") == 1, F.col("user_id")).otherwise(0)
+        )
+        .cast("long")
+        .alias("inside_key_checksum"),
+    )

@@ -1541,3 +1541,41 @@ def test_distinctive_terms_are_ratio_ordered(spark):
     assert keys == sorted(keys, key=lambda k: (-k[0], k[1]))
     for r in rows:
         assert r["ratio_key"] == (r["f0"] + 1) * 10**12 // (r["f1"] + 1)
+
+
+def test_convex_containment_matches_shapely_free_bruteforce(spark):
+    """Replay the half-plane test in python over all points."""
+    r = _q("geo_convex_contains")(spark, SF_DIR).collect()[0]
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    quad = [
+        (-60_000_000, -120_000_000),
+        (50_000_000, -100_000_000),
+        (70_000_000, 110_000_000),
+        (-40_000_000, 130_000_000),
+    ]
+    n_in, csum = 0, 0
+    for row in cust:
+        k = row["c_custkey"]
+        lat = ((k * 134435747 + 11) % 180000001) - 90000000
+        lon = ((k * 134435754 + 7) % 360000001) - 180000000
+        ok = True
+        for i in range(4):
+            (x0, y0), (x1, y1) = quad[i], quad[(i + 1) % 4]
+            if (x1 - x0) * (lon - y0) - (y1 - y0) * (lat - x0) < 0:
+                ok = False
+                break
+        if ok:
+            n_in += 1
+            csum += k
+    assert (r["n_points"], r["n_inside"], r["inside_key_checksum"]) == (
+        len(cust),
+        n_in,
+        csum,
+    )
+
+
+def test_median_ci_brackets_median(spark):
+    rows = _q("median_ci_order_stats")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo_micro"] <= r["median_micro"] <= r["ci_hi_micro"]
