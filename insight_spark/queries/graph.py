@@ -534,8 +534,10 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_edges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
-           CAST(mm * sxy - sx * sx AS DOUBLE)
-           / CAST(mm * sxx - sx * sx AS DOUBLE) AS assortativity
+           CASE WHEN mm * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(mm * sxy - sx * sx AS DOUBLE)
+                     / CAST(mm * sxx - sx * sx AS DOUBLE)
+           END AS assortativity
     FROM m
     """,
 )
@@ -614,10 +616,17 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     num = F.col("mm") * F.col("sxy") - F.col("sx") * F.col("sx")
     den = F.col("mm") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # REGULAR graph (every degree equal — the sf0.1 fixture saturates
+    # the 31-token bigram graph to complete): degree variance is 0 and
+    # r is undefined; the documented convention is r = 0 (no degree
+    # preference is expressible when there is no degree variation).
+    assort = F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
     return m.crossJoin(F.broadcast(n_nodes)).select(
         "n_edges",
         "n_nodes",
-        (num.cast("double") / den.cast("double")).alias("assortativity"),
+        assort.alias("assortativity"),
     )
 
 
