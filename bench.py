@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "distinctive_terms_ratio",
     "geo_convex_contains",
     "median_ci_order_stats",
+    "active_learning_margin_pick",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

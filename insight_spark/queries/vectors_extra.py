@@ -3407,3 +3407,126 @@ def triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d_neg - d_pos).cast("long").alias("margin"),
         (d_neg > d_pos).cast("int").alias("healthy"),
     )
+
+
+@query(
+    "active_learning_margin_pick",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    cdims AS (
+        SELECT label, i AS dim,
+               CAST((2 * SUM(e[i]) + COUNT(*) + 2 * COUNT(*) * 1000000)
+                    // (2 * COUNT(*)) - 1000000 AS BIGINT) AS c
+        FROM m, unnest(range(1, 65)) t(i)
+        GROUP BY label, i
+    ),
+    pt AS (
+        SELECT vec_id, m.label AS true_label, i AS dim, e[i] AS v
+        FROM m, unnest(range(1, 65)) t(i)
+    ),
+    dist AS (
+        SELECT p.vec_id, p.true_label, c.label AS cand,
+               CAST(SUM(CAST(p.v - c.c AS HUGEINT) * (p.v - c.c))
+                    AS BIGINT) AS d2
+        FROM pt p JOIN cdims c ON c.dim = p.dim
+        GROUP BY p.vec_id, p.true_label, c.label
+    ),
+    ranked AS (
+        SELECT vec_id, true_label, cand, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cand
+               ) AS r
+        FROM dist
+    ),
+    margins AS (
+        SELECT vec_id, true_label,
+               CAST(MAX(CASE WHEN r = 1 THEN cand END) AS INTEGER)
+                   AS best_label,
+               CAST(MAX(CASE WHEN r = 2 THEN d2 END)
+                    - MAX(CASE WHEN r = 1 THEN d2 END) AS BIGINT)
+                   AS margin
+        FROM ranked WHERE r <= 2
+        GROUP BY vec_id, true_label
+    )
+    SELECT vec_id, true_label, best_label, margin
+    FROM margins ORDER BY margin, vec_id LIMIT 20
+    """,
+)
+def active_learning_margin_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning margin sampling (M336): the 20 vectors whose
+    two nearest LABEL CENTROIDS are closest together — the
+    smallest-margin points are where the (centroid) classifier is
+    least certain, so they are the highest-value candidates for the
+    next labeling budget (Lewis & Gale margin sampling, public).
+    Completes the embedding-labeling loop: `label_centroids` builds
+    the model, `nearest_centroid_confusion` scores it, THIS decides
+    what to label next.
+
+    Exactness: centroids are half-up integer micro means with a
+    +10⁶ OFFSET inside the div — Σv can be NEGATIVE and the two
+    engines disagree on negative integer division (Spark div
+    truncates toward zero, DuckDB // floors); the offset keeps every
+    numerator positive where they agree (a new entry in the
+    integer-rounding discipline).  Distances are exact HUGEINT sums
+    of squared integer differences; the margin is integer
+    subtraction; selection is (margin, id)-ordered.
+
+    Scale: |labels|×64 centroid table broadcast; per-point distances
+    via the dim join (the nearest-centroid shape); top-2 rank window
+    partitioned PER POINT over |labels| rows; TakeOrdered(20).
+    """
+    from pyspark.sql.window import Window
+
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        quantize_micro(F.col("embedding")).alias("e"),
+    )
+    pt = emb.select(
+        "vec_id",
+        "true_label",
+        F.posexplode(F.col("e")).alias("dim0", "v"),
+    ).select("vec_id", "true_label", (F.col("dim0") + 1).alias("dim"), "v")
+    cdims = pt.groupBy(F.col("true_label").alias("label"), "dim").agg(
+        F.expr(
+            "CAST((2 * SUM(v) + COUNT(*) + 2 * COUNT(*) * 1000000)"
+            " div (2 * COUNT(*)) - 1000000 AS BIGINT)"
+        ).alias("c")
+    )
+    dec = "decimal(38,0)"
+    dist = (
+        pt.join(F.broadcast(cdims), "dim")
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"))
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")).cast(dec)
+                * (F.col("v") - F.col("c"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    ranked = dist.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 2
+    )
+    margins = ranked.groupBy("vec_id", "true_label").agg(
+        F.max(F.when(F.col("r") == 1, F.col("cand")))
+        .cast("int")
+        .alias("best_label"),
+        (
+            F.max(F.when(F.col("r") == 2, F.col("d2")))
+            - F.max(F.when(F.col("r") == 1, F.col("d2")))
+        )
+        .cast("long")
+        .alias("margin"),
+    )
+    return margins.orderBy("margin", "vec_id").limit(20)

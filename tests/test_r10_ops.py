@@ -1579,3 +1579,11 @@ def test_median_ci_brackets_median(spark):
     assert rows
     for r in rows:
         assert r["ci_lo_micro"] <= r["median_micro"] <= r["ci_hi_micro"]
+
+
+def test_margin_pick_margins_nonneg_and_sorted(spark):
+    rows = _q("active_learning_margin_pick")(spark, SF_DIR).collect()
+    assert rows
+    margins = [(r["margin"], r["vec_id"]) for r in rows]
+    assert margins == sorted(margins)
+    assert all(r["margin"] >= 0 for r in rows)
