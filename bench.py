@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "geo_convex_contains",
     "median_ci_order_stats",
     "active_learning_margin_pick",
+    "mv_staleness_probe",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
@@ -449,6 +450,8 @@ ITERATIVE = {
     "csv_corrupt_records_audit",
     # manifest commits + set publishes run during build
     "multi_table_publish",
+    # MV parquet write runs during build
+    "mv_staleness_probe",
 }
 
 

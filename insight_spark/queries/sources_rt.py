@@ -2260,3 +2260,75 @@ def multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg(s1).unionByName(leg(s2))
+
+
+@query(
+    "mv_staleness_probe",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(MAX(date_trunc('day', ts)) AS TIMESTAMP) AS src_max_day,
+               CAST(count_if(ts >= TIMESTAMP '2024-01-24 00:00:00')
+                    AS BIGINT) AS rows_behind
+        FROM events
+    )
+    SELECT CAST(TIMESTAMP '2024-01-24 00:00:00' AS TIMESTAMP)
+               AS mv_watermark_day,
+           src_max_day,
+           rows_behind,
+           CAST(datediff('day', TIMESTAMP '2024-01-24 00:00:00',
+                         src_max_day) AS BIGINT) AS days_stale,
+           CAST(rows_behind > 0 AS INT) AS refresh_needed
+    FROM src
+    """,
+)
+def mv_staleness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view staleness probe (M337): compare a persisted
+    daily-rollup MV's WATERMARK (the newest day it covers — read back
+    from the MV parquet itself, not from bookkeeping) against the
+    source's newest data, reporting rows-behind and days-stale — the
+    freshness SLO check every MV scheduler runs to decide refresh
+    (`mv_rollup_rewrite` proves the MV answers queries; this proves
+    it is CURRENT enough to be allowed to).  The MV here is built
+    through the 2024-01-24 cutoff, so the probe measurably lags and
+    the refresh flag fires — ground truth by construction.
+
+    Exactness: watermark and staleness are exact day/count
+    arithmetic; the flag restates an integer comparison.
+
+    Scale: the MV-side read is an aggregate over the ROLLUP (already
+    |days|-sized — metadata); the source side is one conditional
+    count under a pushed-down predicate.  A scheduler runs this at
+    audit cost, never touching the MV's full history.
+    """
+    path = _rt_path(sf_dir, "mv_stale")
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    mv = spark.read.parquet(path).agg(
+        F.max("day").alias("_mv_max_day")
+    )
+    mv_watermark = (
+        F.col("_mv_max_day") + F.expr("INTERVAL 1 DAY")
+    ).alias("mv_watermark_day")
+    src = ev.agg(
+        F.max(F.date_trunc("day", "ts")).alias("src_max_day"),
+        F.count_if(F.col("ts") >= cutoff).cast("long").alias("rows_behind"),
+    )
+    return mv.crossJoin(F.broadcast(src)).select(
+        mv_watermark,
+        "src_max_day",
+        "rows_behind",
+        F.datediff(
+            F.to_date("src_max_day"),
+            F.to_date(F.col("_mv_max_day") + F.expr("INTERVAL 1 DAY")),
+        )
+        .cast("long")
+        .alias("days_stale"),
+        (F.col("rows_behind") > 0).cast("int").alias("refresh_needed"),
+    )

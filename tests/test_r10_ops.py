@@ -1587,3 +1587,10 @@ def test_margin_pick_margins_nonneg_and_sorted(spark):
     margins = [(r["margin"], r["vec_id"]) for r in rows]
     assert margins == sorted(margins)
     assert all(r["margin"] >= 0 for r in rows)
+
+
+def test_mv_staleness_fires_by_construction(spark):
+    r = _q("mv_staleness_probe")(spark, SF_DIR).collect()[0]
+    assert r["refresh_needed"] == 1
+    assert r["rows_behind"] > 0
+    assert r["days_stale"] >= 1
