@@ -1032,10 +1032,9 @@ def test_frequency_cap_overage_bounds(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert sum(r["n_events"] for r in rows) == ev.count()
     for r in rows:
-        # overage can never exceed events minus one survivor per cell
-        assert 0 <= r["capped_events"] <= r["n_events"] - r["n_user_days"] + (
-            r["n_user_days"] * 2
-        )
+        # overage = events minus delivered; at least one event per
+        # cell is always delivered
+        assert 0 <= r["capped_events"] <= r["n_events"] - r["n_user_days"]
         assert 0 <= r["waste_ppm"] <= 1000000
         # enforcing the cap would deliver exactly n - capped events
         assert r["n_events"] - r["capped_events"] <= 3 * r["n_user_days"]
