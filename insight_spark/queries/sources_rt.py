@@ -2164,8 +2164,15 @@ def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
-        .cache()
     )
+    # Spark REQUIRES the parse to be cached before _corrupt_record can
+    # be filtered alone (SPARK-21610) — but the CacheManager matches
+    # cache entries by PLAN, and this query's fixed path makes reruns
+    # plan-identical, so a rerun would silently serve the PREVIOUS
+    # file's blocks (caught by the full suite's determinism pass).
+    # unpersist-then-cache drops any stale entry first.
+    df.unpersist(blocking=True)
+    df = df.cache()
     parsed = df.filter(F.col("_corrupt_record").isNull())
     corrupt = df.filter(F.col("_corrupt_record").isNotNull())
     return parsed.agg(
