@@ -349,6 +349,8 @@ BENCH_QUERIES = [
     "median_ci_order_stats",
     "active_learning_margin_pick",
     "mv_staleness_probe",
+    "weighted_jaccard_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

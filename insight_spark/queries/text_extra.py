@@ -2552,3 +2552,100 @@ def distinctive_terms_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("src0").alias("distinctive_for"),
         )
     )
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), t -> t <> '')) AS s
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, lang, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS rn
+        FROM toks
+    ),
+    cand AS (
+        SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                    AS BIGINT) AS u
+        FROM ordered a JOIN ordered b
+          ON b.lang = a.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(count_if(2 * i >= u) AS BIGINT) AS n_matches
+    FROM cand GROUP BY lang
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (M339): within each
+    language block, order documents by a cheap sort key (length, id)
+    and compare each doc only to its 2 sorted successors — the
+    CLASSIC record-linkage blocking alternative (Hernández-Stolfo
+    1995, public) to both equality blocking (`blocked_fuzzy_match`
+    needs an exact block key; near-dups with different keys never
+    meet) and LSH (which pays signature computation): candidates are
+    O(w·N), and near-dups with similar LENGTH meet even when no
+    token block agrees.  The match predicate is exact set Jaccard ≥
+    0.5 by integer cross-multiplication (2·|∩| ≥ |∪| — no float
+    threshold).
+
+    Exactness: the sort key is exact integers with id tie-break; the
+    window rank is the per-block ordered shape; intersections exact.
+
+    Scale: the rank window is PARTITIONED per block; the neighbor
+    join is an equi-join on block plus a ±w rank band — w·N pairs by
+    construction, never N² (the whole point of the method); at
+    100 TB the block key sharpens (lang, length-bucket) to bound
+    block sizes.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(tokenize(F.col("text"))).alias("s"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ordered = toks.withColumn("rn", F.row_number().over(w))
+    a = ordered.select(
+        "lang",
+        F.col("doc_id").alias("a_id"),
+        F.col("s").alias("sa"),
+        F.col("rn").alias("ra"),
+    )
+    # O(w·N) by construction: each successor copy is shifted to its
+    # predecessor's rank and equi-joined on (lang, rank) — never a
+    # per-block cross join with a band filter
+    b = ordered.select(
+        "lang",
+        F.col("doc_id").alias("b_id"),
+        F.col("s").alias("sb"),
+        (F.col("rn") - 1).alias("ra"),
+    ).unionAll(
+        ordered.select(
+            "lang",
+            F.col("doc_id").alias("b_id"),
+            F.col("s").alias("sb"),
+            (F.col("rn") - 2).alias("ra"),
+        )
+    )
+    cand = a.join(b, ["lang", "ra"])
+    i = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    u = F.size(F.col("sa")) + F.size(F.col("sb")) - i
+    scored = cand.select(
+        "lang", (2 * i >= u).cast("int").alias("is_match")
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("is_match").cast("long").alias("n_matches"),
+    )

@@ -3530,3 +3530,106 @@ def active_learning_margin_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("margin"),
     )
     return margins.orderBy("margin", "vec_id").limit(20)
+
+
+@query(
+    "weighted_jaccard_pairs",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY doc_id, token
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS a_id,
+               CAST(SUM(least(a.c, b.c)) AS BIGINT) AS i
+        FROM tf a JOIN tf b
+          ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+        GROUP BY a.doc_id
+    )
+    SELECT ta.doc_id AS a_id, tb.doc_id AS b_id,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_mass,
+           CAST((2000000 * COALESCE(i.i, 0)
+                 + (ta.n + tb.n - COALESCE(i.i, 0)))
+                // (2 * (ta.n + tb.n - COALESCE(i.i, 0))) AS BIGINT)
+               AS weighted_jaccard_ppm
+    FROM tot ta
+    JOIN tot tb ON tb.doc_id = ta.doc_id + 1
+    LEFT JOIN inter i ON i.a_id = ta.doc_id
+    """,
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard of adjacent doc pairs (M338):
+    Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over TERM COUNTS — the
+    bag-of-words refinement of `token_jaccard_pairs`' set Jaccard,
+    and the right near-dup metric for TEMPLATED text (two documents
+    repeating the same boilerplate 1× vs 20× are set-identical but
+    multiset-distant; set Jaccard merges them, weighted Jaccard
+    doesn't — the false-merge mode template-heavy crawls hit).
+
+    Exactness: Σmax rewritten as nₐ + n_b − Σmin, so the whole
+    measure is three exact integer aggregates and ONE half-up ppm —
+    no per-term max materialization, no floats.
+
+    Scale: term-frequency reduce (the word-count shuffle), the
+    intersection as a (doc-pair, term) equi-join — candidate pairs
+    are the bounded adjacent-id set (the J7 convention; any
+    LSH/blocking candidate generator slots into the same shape),
+    never all-pairs.
+    """
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    a = tf.select(
+        F.col("doc_id").alias("a_id"), "token", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        (F.col("doc_id") - 1).alias("a_id"),
+        "token",
+        F.col("c").alias("cb"),
+    )
+    inter = (
+        a.join(b, ["a_id", "token"])
+        .groupBy("a_id")
+        .agg(
+            F.sum(F.least(F.col("ca"), F.col("cb")))
+            .cast("long")
+            .alias("i")
+        )
+    )
+    ta = tot.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    tb = tot.select(
+        (F.col("doc_id") - 1).alias("a_id"), F.col("n").alias("n_b")
+    )
+    return (
+        ta.join(tb, "a_id")
+        .join(inter, "a_id", "left")
+        .select(
+            "a_id",
+            (F.col("a_id") + 1).alias("b_id"),
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("i"), F.lit(0))
+            .cast("long")
+            .alias("inter_mass"),
+            F.expr(
+                "CAST((2000000 * COALESCE(i, 0)"
+                " + (n_a + n_b - COALESCE(i, 0)))"
+                " div (2 * (n_a + n_b - COALESCE(i, 0))) AS BIGINT)"
+            ).alias("weighted_jaccard_ppm"),
+        )
+    )

@@ -1593,3 +1593,27 @@ def test_mv_staleness_fires_by_construction(spark):
     assert r["refresh_needed"] == 1
     assert r["rows_behind"] > 0
     assert r["days_stale"] >= 1
+
+
+def test_weighted_jaccard_bounded_by_set_jaccard_direction(spark):
+    """weighted jaccard is a valid similarity: ppm in [0, 1e6], and
+    inter_mass <= min(n_a, n_b)."""
+    rows = _q("weighted_jaccard_pairs")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["inter_mass"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["weighted_jaccard_ppm"] <= 1000000
+
+
+def test_sorted_neighborhood_candidate_budget(spark):
+    """Candidates are at most w*(N_block) with w=2 — the O(wN) claim."""
+    rows = _q("sorted_neighborhood_pairs")(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        n = sizes[r["lang"]]
+        assert r["n_candidates"] == max(0, n - 1) + max(0, n - 2)
+        assert 0 <= r["n_matches"] <= r["n_candidates"]
