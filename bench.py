@@ -351,6 +351,8 @@ BENCH_QUERIES = [
     "mv_staleness_probe",
     "weighted_jaccard_pairs",
     "sorted_neighborhood_pairs",
+    "bigram_next_token_accuracy",
+    "centroid_2fold_accuracy",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -559,3 +559,95 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "bigram_next_token_accuracy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS l
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, l[i] AS prev, l[i + 1] AS nxt
+        FROM toks, unnest(range(1, len(l))) u(i)
+    ),
+    model AS (
+        SELECT prev,
+               max(struct_pack(c := c, t := nxt))['t'] AS pred
+        FROM (
+            SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bi WHERE doc_id % 2 = 0
+            GROUP BY prev, nxt
+        ) GROUP BY prev
+    ),
+    eval_set AS (SELECT prev, nxt FROM bi WHERE doc_id % 2 = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(count_if(m.pred IS NOT NULL) AS BIGINT) AS n_covered,
+           CAST(count_if(m.pred = e.nxt) AS BIGINT) AS n_correct,
+           CAST((2000000 * count_if(m.pred = e.nxt) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS accuracy_ppm
+    FROM eval_set e LEFT JOIN model m ON m.prev = e.prev
+    """,
+)
+def bigram_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram next-token accuracy (M340): train an argmax
+    bigram table on even docs, predict each odd-doc token from its
+    predecessor, report top-1 accuracy and model coverage — the
+    TOKEN-level twin of `markov_next_event_accuracy` (events) and
+    the EVALUATION the perplexity family lacks (`bigram_lm_score`
+    scores likelihood; this measures the decision a greedy decoder
+    would actually make, with an honest train/eval split so
+    memorization can't inflate it).
+
+    Exactness: the argmax continuation is a (count, token) struct
+    max — deterministic identical tie-break both engines; all
+    counts and the half-up ppm exact.
+
+    Scale: the model is a vocabulary²-bounded bigram table reduced
+    to |vocab| argmax rows → the broadcast side of the eval join;
+    the eval scan streams map-side.  Train/eval split by doc parity
+    (the M107 leakage rule — split by DOCUMENT, never by position,
+    or adjacent bigrams leak across the split).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokenize(F.col("text"))
+    n1 = F.greatest(F.size(l) - 1, F.lit(0))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(l, 1, n1),
+                F.slice(l, 2, n1),
+                lambda x, y: F.struct(x.alias("prev"), y.alias("nxt")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.nxt")
+    model = (
+        bi.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("prev")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("nxt")))
+            .getField("nxt")
+            .alias("pred")
+        )
+    )
+    ev = bi.filter(F.col("doc_id") % 2 == 1).select("prev", "nxt")
+    j = ev.join(F.broadcast(model), "prev", "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.count_if(F.col("pred").isNotNull())
+        .cast("long")
+        .alias("n_covered"),
+        F.count_if(F.col("pred") == F.col("nxt"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((2000000 * count_if(pred = nxt) + COUNT(*))"
+            " div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

@@ -3633,3 +3633,130 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard_ppm"),
         )
     )
+
+
+@query(
+    "centroid_2fold_accuracy",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label, vec_id % 2 AS fold,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    pt AS (
+        SELECT vec_id, label, fold, i AS dim, e[i] AS v
+        FROM m, unnest(range(1, 65)) t(i)
+    ),
+    cdims AS (
+        SELECT fold AS train_fold, label, dim,
+               CAST((2 * SUM(v) + COUNT(*) + 2 * COUNT(*) * 1000000)
+                    // (2 * COUNT(*)) - 1000000 AS BIGINT) AS c
+        FROM pt GROUP BY fold, label, dim
+    ),
+    dist AS (
+        SELECT p.vec_id, p.label AS true_label, c.label AS cand,
+               CAST(SUM(CAST(p.v - c.c AS HUGEINT) * (p.v - c.c))
+                    AS BIGINT) AS d2
+        FROM pt p JOIN cdims c
+          ON c.dim = p.dim AND c.train_fold = 1 - p.fold
+        GROUP BY p.vec_id, p.label, c.label
+    ),
+    assigned AS (
+        SELECT vec_id, true_label,
+               CAST(min(struct_pack(d := d2, l := cand))['l'] AS INTEGER)
+                   AS pred
+        FROM dist GROUP BY vec_id, true_label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(count_if(pred = true_label) AS BIGINT) AS n_correct,
+           CAST((2000000 * count_if(pred = true_label) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS accuracy_ppm
+    FROM assigned
+    """,
+)
+def centroid_2fold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest 2-fold nearest-centroid accuracy (M341): each vector is
+    classified by centroids trained on the OTHER fold (vec_id
+    parity), so the score is a generalization estimate — the honest
+    complement of `nearest_centroid_confusion`, whose train==test
+    protocol flatters the model (a centroid partly built FROM the
+    test point pulls toward it; with K classes and small folds the
+    gap is measurable).  Together the two queries bracket the
+    model's optimism bias.
+
+    Exactness: fold centroids use the offset-div half-up mean (the
+    M336 negative-division rule); distances exact HUGEINT; the
+    assignment is a (distance, label) struct min — deterministic
+    tie-break; accuracy half-up ppm.
+
+    Scale: the centroid table is 2·|labels|×64 rows broadcast; per-
+    point distances via the dim join; per-point struct-min reduce —
+    the nearest-centroid shape with a fold predicate on the join.
+    """
+    from insight_spark.operators.clustering import quantize_micro
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        (F.col("vec_id") % 2).alias("fold"),
+        quantize_micro(F.col("embedding")).alias("e"),
+    )
+    pt = emb.select(
+        "vec_id",
+        "true_label",
+        "fold",
+        F.posexplode(F.col("e")).alias("dim0", "v"),
+    ).select(
+        "vec_id", "true_label", "fold", (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    cdims = pt.groupBy(
+        F.col("fold").alias("train_fold"),
+        F.col("true_label").alias("label"),
+        "dim",
+    ).agg(
+        F.expr(
+            "CAST((2 * SUM(v) + COUNT(*) + 2 * COUNT(*) * 1000000)"
+            " div (2 * COUNT(*)) - 1000000 AS BIGINT)"
+        ).alias("c")
+    )
+    dec = "decimal(38,0)"
+    cd = cdims.select(
+        "train_fold",
+        F.col("label").alias("cand"),
+        F.col("dim").alias("cdim"),
+        "c",
+    )
+    dist = (
+        pt.join(
+            F.broadcast(cd),
+            (F.col("dim") == F.col("cdim"))
+            & (F.col("train_fold") == 1 - F.col("fold")),
+        )
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")).cast(dec)
+                * (F.col("v") - F.col("c"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    assigned = dist.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct(F.col("d2"), F.col("cand")))
+        .getField("cand")
+        .cast("int")
+        .alias("pred")
+    )
+    return assigned.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.count_if(F.col("pred") == F.col("true_label"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((2000000 * count_if(pred = true_label) + COUNT(*))"
+            " div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

@@ -1617,3 +1617,18 @@ def test_sorted_neighborhood_candidate_budget(spark):
         n = sizes[r["lang"]]
         assert r["n_candidates"] == max(0, n - 1) + max(0, n - 2)
         assert 0 <= r["n_matches"] <= r["n_candidates"]
+
+
+def test_bigram_accuracy_counts_nest(spark):
+    r = _q("bigram_next_token_accuracy")(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_correct"] <= r["n_covered"] <= r["n_eval"]
+    assert 0 <= r["accuracy_ppm"] <= 1000000
+
+
+def test_2fold_accuracy_is_not_trivially_perfect(spark):
+    """Held-out accuracy covers every vector and must expose SOME
+    honest signal: bounded, and never claims more correct than n."""
+    r = _q("centroid_2fold_accuracy")(spark, SF_DIR).collect()[0]
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert r["n_vectors"] == n
+    assert 0 <= r["n_correct"] <= n
