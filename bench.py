@@ -353,6 +353,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",
     "bigram_next_token_accuracy",
     "centroid_2fold_accuracy",
+    "lexical_richness_profile",
+    "telemetry_echo_audit",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

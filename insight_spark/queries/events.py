@@ -956,3 +956,62 @@ def rate_limit_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * COUNT(*)) AS BIGINT)"
         ).alias("reject_ppm"),
     )
+
+
+@query(
+    "telemetry_echo_audit",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, user_id,
+                 CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT),
+                 date_trunc('second', ts)
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(count_if(n >= 2) AS BIGINT) AS echo_cells,
+           CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS echo_events,
+           CAST((2000000 * SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END)
+                 + SUM(n)) // (2 * SUM(n)) AS BIGINT) AS echo_ppm
+    FROM cells GROUP BY event_type
+    """,
+)
+def telemetry_echo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry echo audit (M343): events IDENTICAL in (user, type,
+    value, second) beyond the first — the double-fire/SDK-echo rate
+    (a retry loop or a double-mounted handler emits byte-identical
+    telemetry; `burst_rate_audit` counts VOLUME spikes, this counts
+    literal REPEATS — a user legitimately clicking 5 different
+    things in a second is a burst, not an echo).  echo_events is
+    exactly what an idempotency key would have suppressed — the
+    before/after table for introducing one.
+
+    Exactness: the identity cell is exact (micro value, second
+    truncation); overage per cell = n−1 exact; rate half-up ppm.
+
+    Scale: ONE map-side-combined count on the full identity key
+    (echoes collapse map-side), then a |types|-keyed reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("vu"),
+        F.date_trunc("second", "ts").alias("sec"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count_if(F.col("n") >= 2).cast("long").alias("echo_cells"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(0))
+        .cast("long")
+        .alias("echo_events"),
+        F.expr(
+            "CAST((2000000 * SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END)"
+            " + SUM(n)) div (2 * SUM(n)) AS BIGINT)"
+        ).alias("echo_ppm"),
+    )

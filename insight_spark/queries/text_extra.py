@@ -2649,3 +2649,82 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_candidates"),
         F.sum("is_match").cast("long").alias("n_matches"),
     )
+
+
+@query(
+    "lexical_richness_profile",
+    oracle=r"""
+    WITH tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY source, token
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(count_if(f = 1) AS BIGINT) AS hapax,
+               CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sum_f2
+        FROM tf GROUP BY source
+    )
+    SELECT source, vocab, n_tokens, hapax,
+           CAST((2000000 * hapax + vocab) // (2 * vocab) AS BIGINT)
+               AS hapax_ratio_ppm,
+           CAST((2 * 10000000 * (sum_f2 - n_tokens)
+                 + CAST(n_tokens AS HUGEINT) * n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+               AS yule_k_milli
+    FROM agg
+    """,
+)
+def lexical_richness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness profile (M342): per source, the hapax ratio
+    (share of vocabulary appearing exactly once) and Yule's K
+    (10⁴·(Σf²−N)/N², Yule 1944 — the repeat-rate constant designed
+    to be text-LENGTH-invariant, which raw type/token ratios are
+    not) — the corpus-linguistics pair that separates
+    vocabulary-open prose (high hapax, low K) from template spam
+    (low hapax, high K); reads alongside `simpson_diversity_index`
+    (K is essentially Simpson's collision rate rescaled) and feeds
+    the same mixture decisions as `zipf_coverage_curve`.
+
+    Exactness: both statistics are LOG-FREE rationals over exact
+    integer frequency moments (HUGEINT Σf²), emitted via the
+    half-up identity (K in milli-units) — no libm anywhere.
+
+    Scale: one (source, token) word-count shuffle + a |sources|-row
+    moment reduce.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count_if(F.col("f") == 1).cast("long").alias("hapax"),
+        F.sum(F.col("f").cast(dec) * F.col("f")).alias("sum_f2"),
+    )
+    return agg.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        "hapax",
+        F.expr(
+            "CAST((2000000 * hapax + vocab) div (2 * vocab) AS BIGINT)"
+        ).alias("hapax_ratio_ppm"),
+        F.expr(
+            f"CAST((2 * 10000000 * (sum_f2 - n_tokens)"
+            f" + CAST(n_tokens AS {dec}) * n_tokens)"
+            f" div (2 * CAST(n_tokens AS {dec}) * n_tokens) AS BIGINT)"
+        ).alias("yule_k_milli"),
+    )

@@ -1632,3 +1632,22 @@ def test_2fold_accuracy_is_not_trivially_perfect(spark):
     n = load_table(spark, SF_DIR, "embeddings").count()
     assert r["n_vectors"] == n
     assert 0 <= r["n_correct"] <= n
+
+
+def test_lexical_richness_matches_manual(spark):
+    rows = _q("lexical_richness_profile")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
+        assert 0 <= r["hapax_ratio_ppm"] <= 1000000
+        # K = 1e4*(sum_f2 - N)/N^2 with sum_f2 >= N always
+        assert r["yule_k_milli"] >= 0
+
+
+def test_echo_audit_nests(spark):
+    rows = _q("telemetry_echo_audit")(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["echo_events"] <= r["n_events"]
+        assert r["echo_cells"] <= r["echo_events"] or r["echo_events"] == 0
