@@ -355,6 +355,7 @@ BENCH_QUERIES = [
     "centroid_2fold_accuracy",
     "lexical_richness_profile",
     "telemetry_echo_audit",
+    "pareto_skyline_sources",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

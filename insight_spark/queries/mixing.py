@@ -1516,3 +1516,110 @@ def cluster_sample_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_docs) AS BIGINT)"
         ).alias("within_rate_ppm"),
     )
+
+
+@query(
+    "pareto_skyline_sources",
+    oracle=r"""
+    WITH mass AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    ),
+    vocab AS (
+        SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+        FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY source
+    ),
+    s AS (
+        SELECT m.source, m.mass, v.vocab
+        FROM mass m JOIN vocab v ON v.source = m.source
+    )
+    SELECT a.source, a.mass, a.vocab,
+           CAST(NOT EXISTS (
+               SELECT 1 FROM s b
+               WHERE (b.mass > a.mass AND b.vocab >= a.vocab)
+                  OR (b.mass >= a.mass AND b.vocab > a.vocab)
+           ) AS INT) AS on_skyline
+    FROM s a
+    """,
+)
+def pareto_skyline_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over sources (M344): which sources are
+    UNDOMINATED in (char mass, vocabulary) — the skyline operator
+    (Börzsönyi et al. 2001, public) applied to the mixture decision
+    it was made for: a dominated source offers strictly less volume
+    AND less lexical variety than some other source, so under any
+    monotone utility it never deserves marginal budget; the skyline
+    set IS the efficient frontier the mixture debate should range
+    over (detailing M321's one-number concentration view).
+
+    Note the doc-level mass sum is computed from the documents table
+    directly, NOT the exploded token rows — exploding multiplies
+    n_chars by token count (both sides share this two-aggregate
+    shape).
+
+    Exactness: both measures exact BIGINTs; dominance is strict
+    integer comparison with the standard tie rule (equal points
+    dominate nothing); flags per source.
+
+    Scale: measures come from two aggregates sharing the source
+    key; the dominance test is the |sources|²-pair comparison on a
+    BOUNDED summary table (≤400 pairs at any corpus size) — the
+    at-scale skyline over UNBOUNDED point sets would use the
+    sort-partition-merge algorithm; this query's frontier is over
+    group summaries, where the quadratic test on metadata is the
+    right call.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("mass")
+    )
+    vocab = (
+        docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("token").cast("long").alias("vocab"))
+    )
+    s = mass.join(vocab, "source")
+    a = s.select(
+        F.col("source").alias("a_source"),
+        F.col("mass").alias("a_mass"),
+        F.col("vocab").alias("a_vocab"),
+    )
+    b = s.select(
+        F.col("mass").alias("b_mass"), F.col("vocab").alias("b_vocab")
+    )
+    dominated = (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (
+                (F.col("b_mass") > F.col("a_mass"))
+                & (F.col("b_vocab") >= F.col("a_vocab"))
+            )
+            | (
+                (F.col("b_mass") >= F.col("a_mass"))
+                & (F.col("b_vocab") > F.col("a_vocab"))
+            )
+        )
+        .select(F.col("a_source").alias("source"))
+        .distinct()
+    )
+    return (
+        s.join(
+            dominated.withColumn("dom", F.lit(1)), "source", "left"
+        )
+        .select(
+            "source",
+            "mass",
+            "vocab",
+            F.when(F.col("dom").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("on_skyline"),
+        )
+    )

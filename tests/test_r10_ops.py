@@ -1651,3 +1651,15 @@ def test_echo_audit_nests(spark):
     for r in rows:
         assert 0 <= r["echo_events"] <= r["n_events"]
         assert r["echo_cells"] <= r["echo_events"] or r["echo_events"] == 0
+
+
+def test_skyline_is_correct_frontier(spark):
+    rows = _q("pareto_skyline_sources")(spark, SF_DIR).collect()
+    pts = [(r["mass"], r["vocab"], r["on_skyline"]) for r in rows]
+    for m, v, flag in pts:
+        dominated = any(
+            (m2 > m and v2 >= v) or (m2 >= m and v2 > v)
+            for m2, v2, _ in pts
+        )
+        assert flag == int(not dominated)
+    assert any(f for _, _, f in pts)  # the frontier is never empty
