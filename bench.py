@@ -356,6 +356,8 @@ BENCH_QUERIES = [
     "lexical_richness_profile",
     "telemetry_echo_audit",
     "pareto_skyline_sources",
+    "trailing_zscore_anomalies",
+    "iv_wald_estimator",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -108,10 +108,13 @@ __all__ = [
 #:   series (the acf_hourly_lags pattern — |days| rows post-agg).
 #: - hourly_peak_detection: lag/lead over the HOURLY series (the
 #:   acf_hourly_lags pattern — |hours| rows post-aggregate).
+#: - trailing_zscore_anomalies: 24-row trailing frame over the
+#:   HOURLY series (the acf_hourly_lags pattern).
 BOUNDED_GLOBAL_WINDOW_OK = frozenset(
     {
         "bottomk_mergeable_sample",
         "hourly_peak_detection",
+        "trailing_zscore_anomalies",
         "max_drawdown_daily",
         "concurrency_curve",
         "largest_remainder_allocation",

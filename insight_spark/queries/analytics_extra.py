@@ -7583,3 +7583,221 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_micro"),
     )
+
+
+@query(
+    "trailing_zscore_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    wstats AS (
+        SELECT h, n,
+               CAST(COUNT(n) OVER w AS BIGINT) AS wn,
+               CAST(SUM(n) OVER w AS BIGINT) AS ws,
+               CAST(SUM(CAST(n AS HUGEINT) * n) OVER w AS HUGEINT) AS wq
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING
+                                         AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT h, n, wn,
+               (CAST(n AS DOUBLE) - CAST(ws AS DOUBLE) / wn)
+               / sqrt((CAST(wn AS DOUBLE) * CAST(wq AS DOUBLE)
+                       - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE))
+                      / (CAST(wn AS DOUBLE) * CAST(wn - 1 AS DOUBLE)))
+                   AS zval
+        FROM wstats WHERE wn >= 12
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored_hours,
+           CAST(count_if(abs(zval) > 3.0) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(abs(zval)), 6) AS max_abs_z
+    FROM z
+    """,
+)
+def trailing_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomalies (M345): each hour scored
+    against the PRIOR 24 hours' mean/std (≥12 observed required) —
+    the production form of rate alerting that `anomalous_hours`'
+    global z cannot be: a global baseline never adapts, so a
+    week-long level shift permanently poisons it, while the trailing
+    window recovers in a day (and M298's dispersion index says how
+    wide these bands must really be).
+
+    Exactness: window moments (count, sum, sum-of-squares) are exact
+    integers accumulated by frame; z is one shared IEEE tree per
+    hour (sample variance n·Q−S² cast-before-multiply); the anomaly
+    count compares identical doubles against a literal, max |z|
+    ROUND(,6).
+
+    Scale: the trailing frame runs over the HOURLY aggregate
+    (documented BOUNDED_GLOBAL_WINDOW_OK entry — acf pattern,
+    |hours| rows); raw events never meet a window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dec = "decimal(38,0)"
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    wstats = hourly.select(
+        "h",
+        "n",
+        F.count("n").over(w).cast("long").alias("wn"),
+        F.sum("n").over(w).cast("long").alias("ws"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).over(w).alias("wq"),
+    ).filter(F.col("wn") >= 12)
+    zval = (
+        F.col("n").cast("double")
+        - F.col("ws").cast("double") / F.col("wn")
+    ) / F.sqrt(
+        (
+            F.col("wn").cast("double") * F.col("wq").cast("double")
+            - F.col("ws").cast("double") * F.col("ws").cast("double")
+        )
+        / (F.col("wn").cast("double") * (F.col("wn") - 1).cast("double"))
+    )
+    z = wstats.select(zval.alias("zval"))
+    return z.agg(
+        F.count("*").cast("long").alias("n_scored_hours"),
+        F.count_if(F.abs(F.col("zval")) > 3.0)
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.max(F.abs(F.col("zval"))), 6).alias("max_abs_z"),
+    )
+
+
+@query(
+    "iv_wald_estimator",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5('iv|' || CAST(user_id AS VARCHAR)),
+                              1, 1)) - 1) % 2 AS z,
+               CAST(CASE WHEN count_if(event_type = 'click') >= 2
+                         THEN 1 ELSE 0 END AS BIGINT) AS d,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(count_if(z = 1) AS BIGINT) AS n1,
+               CAST(count_if(z = 0) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS y1,
+               CAST(SUM(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS y0,
+               CAST(SUM(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(SUM(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT)
+                   AS d0
+        FROM per_user
+    )
+    SELECT n1, n0,
+           CAST(y1 * n0 - y0 * n1 AS BIGINT) AS itt_y_num,
+           CAST(d1 * n0 - d0 * n1 AS BIGINT) AS itt_d_num,
+           CASE WHEN d1 * n0 - d0 * n1 = 0 THEN NULL
+                ELSE CAST(y1 * n0 - y0 * n1 AS DOUBLE)
+                     / CAST(d1 * n0 - d0 * n1 AS DOUBLE)
+           END AS wald_late
+    FROM g
+    """,
+)
+def iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimator (M346): the LATE =
+    ITT-on-outcome / ITT-on-takeup ratio — the encouragement-design
+    estimator (Angrist-Imbens-Rubin, public) for when the TREATMENT
+    (here 'clicked at least twice', a behavior) cannot be randomized but an
+    ENCOURAGEMENT (the salted md5 instrument) can: users don't
+    comply perfectly, and naive treated-vs-untreated comparison is
+    confounded by WHO chooses to click — the Wald ratio rescales the
+    clean intent-to-treat contrast by the compliance contrast
+    instead.  Completes the causal shelf: stratified ATT (M332)
+    handles OBSERVED confounding, this handles UNOBSERVED
+    confounding given an instrument.
+
+    Exactness: both ITT contrasts are cross-multiplied exact
+    integers (y1·n0 − y0·n1 — no per-arm division before the
+    ratio), so the only float op is the final division; both
+    numerators ride in the hash alongside it.
+
+    Scale: one user-keyed aggregate + a 1-row reduce.  (Fixture
+    note: the md5 'instrument' is independent of behavior, so the
+    true LATE is ~0/0-noise — the ESTIMATOR's arithmetic is what
+    the oracle pins, and the property test asserts only identities,
+    not effect size.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.count_if(F.col("event_type") == "click") >= 2, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("d"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("iv|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % 2
+            ).alias("z"),
+            "d",
+            "y",
+        )
+        .agg(
+            F.count_if(F.col("z") == 1).cast("long").alias("n1"),
+            F.count_if(F.col("z") == 0).cast("long").alias("n0"),
+            F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y1"),
+            F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y0"),
+            F.sum(F.when(F.col("z") == 1, F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("z") == 0, F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("d0"),
+        )
+    )
+    itt_y = F.col("y1") * F.col("n0") - F.col("y0") * F.col("n1")
+    itt_d = F.col("d1") * F.col("n0") - F.col("d0") * F.col("n1")
+    return g.select(
+        "n1",
+        "n0",
+        itt_y.cast("long").alias("itt_y_num"),
+        itt_d.cast("long").alias("itt_d_num"),
+        # a zero compliance contrast (weak/degenerate instrument) has
+        # NO defined LATE — emit NULL, never a fake number
+        F.when(itt_d == 0, F.lit(None))
+        .otherwise(itt_y.cast("double") / itt_d.cast("double"))
+        .alias("wald_late"),
+    )

@@ -1663,3 +1663,24 @@ def test_skyline_is_correct_frontier(spark):
         )
         assert flag == int(not dominated)
     assert any(f for _, _, f in pts)  # the frontier is never empty
+
+
+def test_trailing_zscore_scored_hour_budget(spark):
+    r = _q("trailing_zscore_anomalies")(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    # hours with >= 12 trailing observations: at most n_hours - 12
+    assert 0 <= r["n_scored_hours"] <= max(0, n_hours - 12)
+    assert r["n_anomalies"] <= r["n_scored_hours"]
+    if r["n_anomalies"] == 0 and r["n_scored_hours"] > 0:
+        assert r["max_abs_z"] <= 3.0
+
+
+def test_iv_wald_identity(spark):
+    r = _q("iv_wald_estimator")(spark, SF_DIR).collect()[0]
+    if r["itt_d_num"] == 0:
+        assert r["wald_late"] is None
+    else:
+        assert abs(
+            r["wald_late"] - r["itt_y_num"] / r["itt_d_num"]
+        ) < 1e-12
