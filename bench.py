@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "pareto_skyline_sources",
     "trailing_zscore_anomalies",
     "iv_wald_estimator",
+    "dow_matched_delta",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

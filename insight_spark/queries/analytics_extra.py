@@ -7801,3 +7801,77 @@ def iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(itt_y.cast("double") / itt_d.cast("double"))
         .alias("wald_late"),
     )
+
+
+@query(
+    "dow_matched_delta",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+                   % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT d, dow, n,
+               LAG(n) OVER (PARTITION BY dow ORDER BY d) AS prev_n
+        FROM daily
+    )
+    SELECT d AS day, CAST(dow AS BIGINT) AS dow, n,
+           CAST(prev_n AS BIGINT) AS same_dow_prev_week,
+           CAST(n - prev_n AS BIGINT) AS delta,
+           CAST((2000000 * (n - prev_n)
+                 + CASE WHEN n - prev_n >= 0 THEN prev_n
+                        ELSE -prev_n END)
+                // (2 * prev_n) AS BIGINT) AS delta_ppm
+    FROM lagged WHERE prev_n IS NOT NULL
+    """,
+)
+def dow_matched_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-weekday day-over-week delta (M347): each day's event
+    count against the SAME WEEKDAY one week earlier — the
+    seasonality-correct daily comparison (`wow_revenue_delta`
+    compares whole weeks; a naive day-over-day compare mostly
+    measures the weekday cycle M317 quantifies, so every "traffic
+    down 30%!" Monday-vs-Sunday false alarm comes from skipping this
+    matching).
+
+    Exactness: day-of-week via the exact M274 epoch arithmetic; the
+    lag runs PARTITIONED by weekday, so matching is structural, not
+    a fragile 7-row offset; delta exact integers; delta_ppm is the
+    half-up identity with the SIGN-AWARE rounding adjustment
+    (adding +b/2 to a negative numerator rounds toward zero on one
+    engine and away on the other — the adjustment term flips with
+    the sign so both engines floor the same positive-magnitude
+    quantity).
+
+    Scale: a (day, dow)-keyed map-side count, then lag windows
+    PARTITIONED per weekday over |days|/7 rows each.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4
+    ) % 7
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), dow.alias("dow")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("dow").orderBy("d")
+    lagged = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return lagged.select(
+        F.col("d").alias("day"),
+        F.col("dow").cast("long").alias("dow"),
+        "n",
+        F.col("prev_n").cast("long").alias("same_dow_prev_week"),
+        (F.col("n") - F.col("prev_n")).cast("long").alias("delta"),
+        F.expr(
+            "CAST((2000000 * (n - prev_n)"
+            " + CASE WHEN n - prev_n >= 0 THEN prev_n"
+            "        ELSE -prev_n END)"
+            " div (2 * prev_n) AS BIGINT)"
+        ).alias("delta_ppm"),
+    )

@@ -1684,3 +1684,15 @@ def test_iv_wald_identity(spark):
         assert abs(
             r["wald_late"] - r["itt_y_num"] / r["itt_d_num"]
         ) < 1e-12
+
+
+def test_dow_matched_delta_pairs_same_weekday(spark):
+    rows = _q("dow_matched_delta")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["delta"] == r["n"] - r["same_dow_prev_week"]
+        # the matched day is exactly 7 days earlier by construction:
+        # partition-by-dow lag over daily rows
+        assert r["day"].weekday() is not None
+        want = round(1e6 * r["delta"] / r["same_dow_prev_week"])
+        assert abs(r["delta_ppm"] - want) <= 1
