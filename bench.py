@@ -359,6 +359,8 @@ BENCH_QUERIES = [
     "trailing_zscore_anomalies",
     "iv_wald_estimator",
     "dow_matched_delta",
+    "candidate_key_audit",
+    "overlap_coefficient_pairs",
 ]
 
 #: Iterative queries coordinate their rounds (centroid collects, rank

@@ -7875,3 +7875,80 @@ def dow_matched_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * prev_n) AS BIGINT)"
         ).alias("delta_ppm"),
     )
+
+
+@query(
+    "candidate_key_audit",
+    oracle="""
+    SELECT 'events' AS tbl, 'event_id' AS key_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) = COUNT(DISTINCT event_id) AS INT) AS is_key
+    FROM events
+    UNION ALL
+    SELECT 'events', 'user_id,ts',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (user_id, ts)) AS BIGINT),
+           CAST(COUNT(*) = COUNT(DISTINCT (user_id, ts)) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'user_id,event_type',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT),
+           CAST(COUNT(*) = COUNT(DISTINCT (user_id, event_type)) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey,l_linenumber',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber))
+                AS INT)
+    FROM lineitem
+    """,
+)
+def candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit (M348): is a declared column set UNIQUE —
+    the key-discovery side of data profiling (`fd_discovery_audit`
+    tests A→B dependencies; this tests the |distinct(K)| == |rows|
+    identity that makes K a join/upsert/dedup key), over four
+    declared candidates: a true surrogate key, the TPC-H-lore
+    composite (orderkey, linenumber) — which this synthetic fixture
+    REFUTES (4599 distinct of 6000 at sf0.001), exactly the
+    assumed-key-that-isn't every MERGE/upsert bug starts with — and
+    two behavioral non-keys whose duplicate counts quantify how
+    wrong keying on them would be.
+
+    Scale: each probe is one two-phase distinct aggregate (the
+    `distinct_exact` shape); four metadata rows out.  Exactness:
+    exact counts, integer equality flags.
+    """
+
+    def probe(tbl: str, cols: list[str], label: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl)
+        return t.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(*cols).cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(label).alias("key_cols"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") == F.col("n_distinct"))
+            .cast("int")
+            .alias("is_key"),
+        )
+
+    return (
+        probe("events", ["event_id"], "event_id")
+        .unionByName(probe("events", ["user_id", "ts"], "user_id,ts"))
+        .unionByName(
+            probe("events", ["user_id", "event_type"], "user_id,event_type")
+        )
+        .unionByName(
+            probe(
+                "lineitem",
+                ["l_orderkey", "l_linenumber"],
+                "l_orderkey,l_linenumber",
+            )
+        )
+    )

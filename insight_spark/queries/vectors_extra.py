@@ -3760,3 +3760,75 @@ def centroid_2fold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * COUNT(*)) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+@query(
+    "overlap_coefficient_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         t -> t <> '')) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+           CAST(least(len(a.s), len(b.s)) AS BIGINT) AS min_size,
+           CAST((2000000 * len(list_intersect(a.s, b.s))
+                 + least(len(a.s), len(b.s)))
+                // (2 * least(len(a.s), len(b.s))) AS BIGINT)
+               AS overlap_ppm
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap (Szymkiewicz-Simpson) coefficient pairs (M349):
+    |A∩B| / min(|A|, |B|) for candidate doc pairs — the CONTAINMENT
+    similarity completing the pairwise-set trio (Jaccard J7
+    penalizes size difference, weighted Jaccard M338 counts
+    multiplicity; overlap is 1.0 whenever one vocabulary CONTAINS
+    the other, whatever the size gap) — exactly the quote-inclusion
+    / excerpt-republication case whole-doc Jaccard scores low and
+    misses.
+
+    Exactness: exact set sizes and intersection; half-up ppm; the
+    bounded adjacent-id candidate set (the J7 convention — any
+    blocking generator slots in).
+
+    Scale: map-side distinct-token arrays, one candidate equi-join,
+    codegen'd array intersect — no shuffle of content beyond the
+    pair join key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("s")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("sa")
+    )
+    b = toks.select(
+        (F.col("doc_id") - 1).alias("a_id"),
+        F.col("doc_id").alias("b_id"),
+        F.col("s").alias("sb"),
+    )
+    j = a.join(b, "a_id")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    mn = F.least(F.size(F.col("sa")), F.size(F.col("sb")))
+    return j.select(
+        "a_id",
+        "b_id",
+        inter.cast("long").alias("inter_size"),
+        mn.cast("long").alias("min_size"),
+        (
+            (2000000 * inter + mn)
+            .cast("long")
+        ).alias("_num"),
+    ).select(
+        "a_id",
+        "b_id",
+        "inter_size",
+        "min_size",
+        F.expr("CAST(_num div (2 * min_size) AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+    )

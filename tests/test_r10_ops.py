@@ -1696,3 +1696,30 @@ def test_dow_matched_delta_pairs_same_weekday(spark):
         assert r["day"].weekday() is not None
         want = round(1e6 * r["delta"] / r["same_dow_prev_week"])
         assert abs(r["delta_ppm"] - want) <= 1
+
+
+def test_candidate_key_verdicts(spark):
+    rows = {r["key_cols"]: r for r in _q("candidate_key_audit")(spark, SF_DIR).collect()}
+    assert rows["event_id"]["is_key"] == 1
+    assert rows["user_id,event_type"]["is_key"] == 0
+    # ground truth for the composite candidate comes from the data,
+    # not TPC-H lore: the synthetic fixture does NOT honor the
+    # (orderkey, linenumber) key — which is exactly the assumed-key
+    # failure the audit exists to catch
+    li = load_table(spark, SF_DIR, "lineitem")
+    want = int(
+        li.count() == li.select("l_orderkey", "l_linenumber").distinct().count()
+    )
+    assert rows["l_orderkey,l_linenumber"]["is_key"] == want
+    for r in rows.values():
+        assert r["n_distinct"] <= r["n_rows"]
+        assert r["is_key"] == int(r["n_distinct"] == r["n_rows"])
+
+
+def test_overlap_dominates_jaccard(spark):
+    """overlap >= jaccard always (min <= union); both in [0, 1e6]."""
+    rows = _q("overlap_coefficient_pairs")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["inter_size"] <= r["min_size"]
+        assert 0 <= r["overlap_ppm"] <= 1000000
