@@ -64,112 +64,134 @@ _MODULES = (
 )
 
 #: Driver-facing registration order.  The external correctness driver
-#: records the FIRST 50 entries of ``queries()`` per round (observed in
-#: rounds 1-4: exactly the first 50 registrations got CORRECTNESS rows).
-#: Round-5 rotation (executed at round start, per the round-4 note):
-#: (a) all 34 queries that have never had a driver row — the round-4
-#: late additions: the dedup funnel + incremental/decontamination
-#: family, the ANN/sparse/hybrid search tail, the corpus-clean trio,
-#: the remaining streaming contract rows (K4/K6/K8 + stream-stream
-#: joins), multimodal decode/resize/frames, and the analytics tail
-#: (interp/seasonal/assoc/PIT/attribution/PSI/CDC/k-core/LPA/TWAP);
-#: (b) the 7 queries whose semantics/plan/oracle CHANGED this round
-#: (re-proving green status outranks pure canaries — the round-4
-#: lesson applied to round-5's own edits); (c) 9 of the 11 round-5
-#: additions (mixing/sampling/fingerprinting, language-ID, BPE
-#: trainer, bucketed join, video frames, IVM merge) — first-time
-#: evidence.  hashing_trick_features, compaction_roundtrip,
-#: bpe_apply_compression, cdc_chunk_dedup, data_prep_funnel,
-#: avro_roundtrip, k_anonymity_suppress, multimodal_image_features,
-#: dynamic_partition_overwrite, symspell_suggest,
-#: sql_text_interface, jdbc_roundtrip, ivm_join_delta,
-#: semantic_decontaminate, entity_resolution_golden,
-#: recursive_cte_walk, variant_extract_agg, xml_roundtrip, and
-#: lateral_topn_per_key, session_window_dynamic_gap,
-#: multimodal_prep_funnel, and udtf_polymorphic_ngrams are the
-#: left-over additions (local oracle evidence only) — ROUND-6
-#: ROTATION: put those twenty-two first, then fill with canaries
-#: spanning operator families.
-#: Exactly 50 names.  Unlisted queries follow in registration order.
-#: ROUND-9 rotation (VERDICT r8 tasks 1/4/7): round 8's window NEVER
-#: RAN — five of its names were registered in this list before their
-#: implementations existed, and the then-hard assert in
-#: ``all_queries()`` zeroed the whole round (CORRECTNESS_r08 = {}).
-#: This window re-runs the r8 plan with the five now-implemented:
-#: (a) the 5 queries that changed in r8 and were judge-verified but
-#:     never driver-checked (the advisor fixes + M133b) — their
-#:     spot-check greens become driver greens;
-#: (b) the round-9 additions M146–M150 — first-time evidence (all
-#:     five implemented BEFORE being listed here; test_registry.py
-#:     now pins priority ⊆ registered at build time);
-#: (c) the stalest signatures oldest-first: ALL 27 r1-era queries,
-#:     then r2-era in registration order until the window is full.
-#: The remaining r2/r3-era names continue oldest-first in the r10
-#: rotation (66 r1+r2 queries cannot fit one 50-slot window).
-#: ROUND-10 rotation (VERDICT r9 tasks 1/2):
-#: (a) the 16 queries registered AFTER the r9 window closed (M188,
-#:     M192-M206) — judge-verified green in the r9 session but never
-#:     driver-signed; first-time driver evidence outranks refresh;
-#: (b) the staleness rotation, oldest-first: ALL 27 queries whose
-#:     latest driver signature is r1-era, then r2-era in registration
-#:     order until the window fills (7 fit).  After this window no
-#:     query's driver signature is older than r2, and only 32 r2-era
-#:     remain for the r11 rotation (then 39 r3-era for r12).
+#: records the FIRST 50 entries of ``queries()`` per round.  Rotation
+#: history (r5-r10 rationales) lives in git; principle carried forward:
+#: first-time driver evidence outranks refresh, refresh goes oldest-
+#: signature-first, and a name is only listed here AFTER its
+#: implementation is registered (tests/test_registry.py pins both
+#: directions at build time -- the r8 lesson).
+#: ROUND-11 rotation (VERDICT r10 tasks 1/2/5): the registry grew by
+#: 142 in round 10 while the driver signs 50/round, so 142 queries
+#: (30% of the surface) have local-oracle + judge-sample evidence but
+#: no driver signature.  This window is ALL first-time evidence: the
+#: 50 OLDEST-ADDED of those 142, ordered by the git commit that
+#: introduced each (ties broken by registration order).  Registry
+#: growth is frozen this round (<=10 additions) until the backlog
+#: clears.  COMMITTED ROTATION PLAN for the following rounds
+#: (VERDICT r10 task 5, done-criterion "no signature older than r4
+#: by r13"):
+#:   r12 = the 32 r2-era signatures + the 18 oldest r3-era (refresh
+#:         outranks backlog there because those signatures are 9-10
+#:         rounds stale and the code has churned since);
+#:   r13 = the remaining 21 r3-era + the 29 oldest of the backlog
+#:         tail (backlog names 51-79 in the oldest-added order
+#:         recorded below);
+#:   r14 = backlog names 80-129;  r15 = backlog names 130-142 + the
+#:         oldest r4-era refresh.  After r15: zero never-signed
+#:         queries, no signature older than r5.
+#: Backlog tail (names 51-142, oldest-added first, for r13-r15):
+#:   lag_feature_matrix, stream_topk_hitters, cohort_ltv_curve,
+#:   embedding_mean_shift_audit, l_diversity_audit, conformal_interval_coverage,
+#:   experiment_cumulative_lift, quantile_treatment_effect, mann_whitney_u,
+#:   spearman_nation_segment, t_closeness_audit, file_metadata_rowcount_audit,
+#:   largest_remainder_allocation, mips_dot_topk, special_token_contamination,
+#:   manifest_disjoint_writers, manifest_restore_roundtrip, chi2_independence_rc,
+#:   degree_assortativity, ivm_delete_recompute, concurrency_curve,
+#:   ohlc_hourly_bars, uplift_by_exposure_bucket, hidden_partition_pruning,
+#:   stream_ohlc_bars, bottomk_mergeable_sample, video_keyframe_select,
+#:   markup_strip_audit, url_canonicalize_dedup, impute_group_median,
+#:   windowed_count_distinct, fd_discovery_audit, sargable_rewrite_probe,
+#:   session_gap_sweep, hierarchy_subtree_rollup, json_key_coverage,
+#:   flesch_reading_ease, frequency_cap_waste, capped_running_balance,
+#:   kpi_delta_decomposition, burst_rate_audit, dispersion_index_check,
+#:   ams_f2_sketch, triplet_margin_audit, event_type_affinity,
+#:   rendezvous_hashing_audit, bandit_replay_eval, decayed_user_activity_rank,
+#:   csv_corrupt_records_audit, max_drawdown_daily, fair_topk_interleave,
+#:   ipf_raking_weights, digest_collision_risk, lateness_horizon_audit,
+#:   conditional_quantile_profile, trend_fit_quality, leadtime_percentiles,
+#:   vwap_monthly, p99_regression_probe, weekpart_seasonality,
+#:   phrase_match_search, ab_sample_size_table, ratio_metric_delta_var,
+#:   jains_fairness_index, simpson_diversity_index, hourly_peak_detection,
+#:   topk_concentration_ratio, aa_test_null_check, midnight_boundary_artifact,
+#:   doc_prefix_dup_groups, multi_table_publish, cluster_sample_two_stage,
+#:   edge_support_truss, rate_limit_admission_audit, distinctive_terms_ratio,
+#:   stratified_att_estimate, geo_convex_contains, median_ci_order_stats,
+#:   active_learning_margin_pick, mv_staleness_probe, sorted_neighborhood_pairs,
+#:   weighted_jaccard_pairs, bigram_next_token_accuracy, centroid_2fold_accuracy,
+#:   lexical_richness_profile, telemetry_echo_audit, pareto_skyline_sources,
+#:   iv_wald_estimator, trailing_zscore_anomalies, dow_matched_delta,
+#:   candidate_key_audit, overlap_coefficient_pairs
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) post-r9-window additions — first-time driver evidence
-    "user_diversity_gini",            # M188
-    "ab_srm_check",                   # M192
-    "survival_hazard_table",          # M193
-    "bloom_fpr_audit",                # M194
-    "skipgram_pair_counts",           # M195
-    "embedding_dim_variance",         # M196
-    "zipf_coverage_curve",            # M197
-    "reshard_stability_audit",        # M198
-    "json_validity_audit",            # M199
-    "jaccard_threshold_sweep",        # M200
-    "normalization_dedup_delta",      # M201
-    "calibration_ece",                # M202
-    "pass_at_k_estimator",            # M203
-    "conversion_wilson_ci",           # M204
-    "predicate_selectivity_profile",  # M205
-    "decision_stump_split",           # M206
-    # (b) staleness rotation: the 27 r1-era signatures, oldest first
-    "anti_join_customers",
-    "asof_purchase_click",
-    "bigrams_top",
-    "cross_join_pairs",
-    "distinct_exact",
-    "doc_freq_idf",
-    "explode_variants",
-    "first_event_per_user",
-    "lang_id_heuristic",
-    "lang_profile",
-    "pivot_status_by_priority",
-    "prefix_suggest_th",
-    "self_join_order_pairs",
-    "semi_join_segments",
-    "set_ops_users",
-    "stats_moments",
-    "stopword_top_terms",
-    "table_profile",
-    "text_stats",
-    "tfidf_top",
-    "theta_join_acctbal",
-    "token_count_bpe",
-    "unpivot_status_counts",
-    "user_event_types",
-    "value_percentiles",
-    "vector_norms",
-    "window_rank_family",
-    # (b cont.) r2-era signatures in registration order — 7 fit
-    "distinct_exact_approx",
-    "events_hourly",
-    "outer_join_order_counts",
-    "approx_value_percentiles",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "sample_events",
+    # added in 72f2675
+    "suggest_from_index",
+    # added in f72c7e3
+    "manifest_log_roundtrip",
+    # added in 5ceeae6
+    "manifest_checkpoint_read",
+    "manifest_delete_roundtrip",
+    "manifest_schema_evolution",
+    "manifest_zone_map_scan",
+    # added in a607870
+    "manifest_vacuum_audit",
+    "pca_top2_closed_form",
+    "phash_image_clusters",
+    "stream_dedup_within_watermark",
+    # added in d08bf6f
+    "length_bucket_padding_sweep",
+    "pseudonym_consistency_audit",
+    "truncation_loss_audit",
+    "wav_fingerprint_clusters",
+    # added in ed52f49
+    "diff_in_diff_estimate",
+    "stream_manifest_sink_versions",
+    "window_distribution_family",
+    # added in 15f214d
+    "manifest_merge_upsert",
+    "zorder_zone_map_probe",
+    # added in eb31e68
+    "code_like_score",
+    "kwic_windows",
+    "prf_query_expansion",
+    "sentence_split_stats",
+    # added in 8003bea
+    "nearest_centroid_confusion",
+    "url_parse_stats",
+    # added in 4f146c7
+    "data_contract_audit",
+    "per_type_trend_slopes",
+    # added in 3a35056
+    "delta_index_merge_read",
+    "event_runlength_islands",
+    # added in 048e141
+    "bootstrap_mean_ci",
+    "interarrival_median_gap",
+    "trimmed_mean_robust",
+    # added in 8a146bf
+    "cuped_adjusted_lift",
+    "manifest_clone_diverge",
+    "manifest_compact_optimize",
+    # added in 327fc42
+    "manifest_version_cdc",
+    # added in 7a15263
+    "geo_bbox_containment",
+    "geo_grid_density",
+    "geo_nearest_hub",
+    # added in a646b41
+    "beta_posterior_arms",
+    "pr_curve_thresholds",
+    "xcorr_hourly_lags",
+    # added in f2e7e81
+    "kmv_set_cardinality",
+    "markov_next_event_accuracy",
+    "silhouette_simplified",
+    "term_proximity_rank",
+    # added in 298b4ec
+    "anova_f_groups",
+    "hamming_binary_rerank",
+    "manifest_constraint_gate",
+    # added in e0e492d
+    "dataset_card_profile",
 )
 
 _loaded = False
