@@ -1342,6 +1342,51 @@ def ivm_delete_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.unionByName(recomputed)
 
 
+def _capped_walk_segments(part, delta):
+    """Closed-form clamp walk over ALL groups in one shot (numpy).
+
+    Inputs are int64 arrays sorted by group key (``part``) with rows
+    in event order within each group.  The clamp recurrence
+    ``bal_t = max(0, bal_{t-1} + d_t)`` resolves to
+    ``bal_t = S_t − m_t`` where ``S`` is the group-local prefix sum
+    and ``m_t = min(0, min_{k≤t} S_k)`` — a floor hit erases exactly
+    the history below the running minimum.  Segmented running-min
+    across many groups in one array uses a strictly-decreasing
+    per-group offset so ``np.minimum.accumulate`` never carries a
+    minimum across a group boundary.  Returns a pandas DataFrame with
+    one row per group: (part, final_balance, peak_balance,
+    floor_hits).  Property-pinned against the scalar recurrence in
+    ``tests/test_r11_ops.py``."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(part)
+    bounds = np.concatenate(([True], part[1:] != part[:-1]))
+    starts = np.flatnonzero(bounds)
+    gidx = np.cumsum(bounds) - 1
+    s_raw = np.cumsum(delta)
+    base = (s_raw - delta)[starts]  # prefix sum just before the group
+    s = s_raw - base[gidx]  # group-local prefix sums S_1..S_n
+    big = int(np.abs(s).max()) + 1 if n else 1
+    off = -gidx.astype(np.int64) * big
+    m = np.minimum(off, np.minimum.accumulate(s + off)) - off
+    bal = s - m  # bal_t for every row, >= 0 by construction
+    ends = np.concatenate((starts[1:], [n])) - 1
+    # floor hit at t <=> S_t < m_{t-1}; m_{t-1} at a group start is
+    # the virtual S_0 = 0.
+    m_prev = np.concatenate(([0], m[:-1]))
+    m_prev[starts] = 0
+    hits = np.add.reduceat((s < m_prev).astype(np.int64), starts)
+    return pd.DataFrame(
+        {
+            "part": part[starts],
+            "final_balance": bal[ends],
+            "peak_balance": np.maximum.reduceat(bal, starts),
+            "floor_hits": hits,
+        }
+    )
+
+
 @query(
     "capped_running_balance",
     oracle="""
@@ -1391,20 +1436,31 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     case (c): a custom stateful operator Spark's built-ins cannot
     express.
 
-    Implemented as an Arrow-batched ``applyInPandas`` over part
-    groups — the sanctioned custom-operator escape hatch: state is
-    three scalars per group, the walk is a tight in-memory loop over
-    that part's ~30 rows, and the 100 TB shape is one shuffle on the
-    group key then embarrassingly parallel per-part work (state never
-    crosses partitions).  The DuckDB oracle replays the recurrence as
-    a RECURSIVE CTE — an INDEPENDENT formulation, so the hash checks
-    the operator, not a mirrored expression.
+    Implemented as ``repartition(part) + sortWithinPartitions +
+    mapInPandas`` with a numpy SEGMENTED walk (VERDICT r10 "what's
+    wrong" #2: the former per-group ``applyInPandas`` paid a pandas
+    DataFrame construction per ~30-row part — per-PARTITION Python
+    overhead beats per-GROUP by orders of magnitude at 40k+ groups).
+    The clamp recurrence has a closed vectorized form:
+    ``bal_t = S_t − m_t`` with ``S`` the group-local prefix sum and
+    ``m_t = min(0, min_{k≤t} S_k)`` (a reset erases exactly the
+    history below the running minimum), so peak = max(S−m), and a
+    floor hit at t ⇔ S_t < m_{t−1}.  Segmented running-min across the
+    many groups in one Arrow batch uses a strictly-decreasing
+    per-group offset, so the whole batch is O(1) numpy calls — no
+    per-row OR per-group Python.  Groups split across Arrow batch
+    boundaries are carried forward (rows of an open group buffer into
+    the next batch).  The 100 TB shape is one shuffle on the group
+    key then embarrassingly parallel per-partition work.  The DuckDB
+    oracle replays the recurrence as a RECURSIVE CTE — an INDEPENDENT
+    formulation, so the hash checks the operator, not a mirrored
+    expression.
 
     Exactness: quantities are integral (DECIMAL-cast to BIGINT —
     truncate==round); ordering has the unique (shipdate, orderkey,
     linenumber) tie-break; all outputs exact BIGINTs.
     """
-    import pandas as pd
+    import numpy as np
 
     ev = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"),
@@ -1419,27 +1475,35 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
     )
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
-        bal = peak = hits = 0
-        for d in pdf["delta"]:
-            nb = bal + int(d)
-            if nb < 0:
-                hits += 1
-                nb = 0
-            bal = nb
-            if bal > peak:
-                peak = bal
-        return pd.DataFrame(
-            {
-                "part": [int(pdf["part"].iloc[0])],
-                "final_balance": [bal],
-                "peak_balance": [peak],
-                "floor_hits": [hits],
-            }
-        )
+    def walk(batches):
+        held_p = np.empty(0, dtype=np.int64)
+        held_d = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            part = np.concatenate(
+                (held_p, pdf["part"].to_numpy(np.int64))
+            )
+            delta = np.concatenate(
+                (held_d, pdf["delta"].to_numpy(np.int64))
+            )
+            if not len(part):
+                continue
+            # hold back the last group — it may continue next batch
+            cut = np.flatnonzero(part != part[-1])
+            cut = (cut[-1] + 1) if len(cut) else 0
+            held_p, held_d = part[cut:], delta[cut:]
+            if cut:
+                yield _capped_walk_segments(part[:cut], delta[:cut])
+        if len(held_p):
+            yield _capped_walk_segments(held_p, held_d)
 
-    return ev.groupBy("part").applyInPandas(
-        walk,
-        "part long, final_balance long, peak_balance long, floor_hits long",
+    return (
+        ev.repartition("part")
+        .sortWithinPartitions(
+            "part", "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        .mapInPandas(
+            walk,
+            "part long, final_balance long, peak_balance long,"
+            " floor_hits long",
+        )
     )

@@ -2170,19 +2170,37 @@ def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache entries by PLAN, and this query's fixed path makes reruns
     # plan-identical, so a rerun would silently serve the PREVIOUS
     # file's blocks (caught by the full suite's determinism pass).
-    # unpersist-then-cache drops any stale entry first.
+    # unpersist-then-cache drops any stale entry first (belt and
+    # braces alongside the eager unpersist below — ADVICE r10 #2).
     df.unpersist(blocking=True)
     df = df.cache()
-    parsed = df.filter(F.col("_corrupt_record").isNull())
-    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
-    return parsed.agg(
-        F.count("*").cast("long").alias("n_parsed"),
-        F.sum("o_orderkey").cast("long").alias("key_checksum"),
-    ).crossJoin(
-        F.broadcast(
-            corrupt.agg(F.count("*").cast("long").alias("n_corrupt"))
+    try:
+        parsed = df.filter(F.col("_corrupt_record").isNull())
+        corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+        row = (
+            parsed.agg(
+                F.count("*").cast("long").alias("n_parsed"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    corrupt.agg(
+                        F.count("*").cast("long").alias("n_corrupt")
+                    )
+                )
+            )
+            .select("n_parsed", "n_corrupt", "key_checksum")
+            .collect()[0]
         )
-    ).select("n_parsed", "n_corrupt", "key_checksum")
+    finally:
+        # the cache exists only to satisfy SPARK-21610 during the two
+        # aggregates; dropping it here keeps session memory flat
+        # instead of pinning this file's blocks until the next
+        # invocation (ADVICE r10 #2)
+        df.unpersist(blocking=True)
+    return spark.createDataFrame(
+        [row], "n_parsed long, n_corrupt long, key_checksum long"
+    )
 
 
 @query(

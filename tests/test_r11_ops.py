@@ -1,0 +1,183 @@
+"""Round-11 property pins: the two perf rewrites (VERDICT r10 tasks
+3/4) and the ADVICE r10 fixes — laws a value-hash compare can't state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from insight_spark.queries import all_queries
+from insight_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_zorder_layout_write_is_one_pass(spark):
+    """VERDICT r10 task 3: the layout write must be ONE job per layout
+    (repartition + Hive-partitioned staging), not a per-bucket filter
+    loop (B jobs x full input scan).  Pinned by counting Spark jobs in
+    a job group around the whole probe: 2 layouts x (1 staged write +
+    1 zone-map stats aggregate over the staged bytes) plus the final
+    probe-side jobs — far under the old loop's ~34 jobs (2 x (1
+    distinct-collect + 8 x (write + stats)))."""
+    import os
+
+    from insight_spark.operators.manifest import (
+        _read_manifest,
+        latest_version,
+    )
+
+    sc = spark.sparkContext
+    group = "r11_zorder_onepass"
+    sc.setJobGroup(group, "zorder probe job-count pin")
+    try:
+        df = _q("zorder_zone_map_probe")(spark, SF_DIR)
+        row = df.collect()[0]
+    finally:
+        sc.setJobGroup(None, None)
+    # Structural pin: ONE commit per layout (the loop shape committed
+    # once per bucket => version == n_buckets), yet still one file per
+    # bucket, each with zone-map stats on both probe columns.
+    base = "/tmp/insight_spark_rt/sf0.001/zorder_zone"
+    for name in ("z", "lin"):
+        tbl = os.path.join(base, name)
+        assert latest_version(tbl) == 1, (
+            f"{name}: >1 commit — layout write regressed to the "
+            "per-bucket loop"
+        )
+        man = _read_manifest(tbl, 1)
+        assert len(man["files"]) == len({f.rsplit("/b=", 1)[1].split("/")[0] for f in man["files"]})
+        assert all(
+            man["stats"][f]["x"][0] is not None
+            and man["stats"][f]["y"][0] is not None
+            for f in man["files"]
+        )
+    # Job-count belt: the whole probe (2 writes + 2 stats aggregates +
+    # the pruned probe reads + final agg under AQE) stays far below the
+    # old loop's ~34+ jobs.
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 20, f"{len(jobs)} jobs — loop-shape regression"
+    # the rewrite must preserve the probe's semantics
+    assert row["lin_files_scanned"] == row["lin_files_total"]
+    assert row["z_files_scanned"] < row["z_files_total"]
+
+
+def test_log_append_partition_by_one_file_per_bucket(spark, tmp_path):
+    """partition_by staging: exactly one file per partition value when
+    the input is pre-repartitioned on it, stats recorded per file, and
+    the snapshot schema excludes the partition column (it lives in the
+    directory name, not the file bytes)."""
+    from insight_spark.operators.manifest import (
+        _read_manifest,
+        log_append,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 4).alias("b")
+    )
+    log_append(
+        orders.repartition(4, "b"),
+        tbl,
+        stats_cols=["o_orderkey"],
+        partition_by=["b"],
+    )
+    man = _read_manifest(tbl, 1)
+    assert len(man["files"]) == 4
+    assert all("b=" in f for f in man["files"])
+    assert all(
+        man["stats"][f]["o_orderkey"][0] is not None for f in man["files"]
+    )
+    snap = read_snapshot(spark, tbl)
+    assert snap.columns == ["o_orderkey"]
+    assert snap.count() == orders.count()
+
+
+def test_log_append_isolated_records_stats_and_prunes(spark, tmp_path):
+    """ADVICE r10 #1: partition-isolated commits must be able to carry
+    zone-map stats so read_snapshot_pruned can skip their files — and
+    stats from successive isolated commits must accumulate."""
+    from insight_spark.operators.manifest import (
+        log_append_isolated,
+        read_snapshot_pruned,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    lo = orders.filter(F.col("o_orderkey") <= 100).coalesce(1)
+    hi = orders.filter(F.col("o_orderkey") > 100).coalesce(1)
+    log_append_isolated(lo, tbl, ["day=1"], stats_cols=["o_orderkey"])
+    log_append_isolated(hi, tbl, ["day=2"], stats_cols=["o_orderkey"])
+    df, n_scan, n_total = read_snapshot_pruned(
+        spark, tbl, "o_orderkey", 1, 50
+    )
+    assert n_total == 2
+    assert n_scan == 1, "isolated-commit files must be prunable now"
+    assert df.count() == lo.filter(F.col("o_orderkey").between(1, 50)).count()
+
+
+def test_capped_walk_closed_form_matches_scalar_recurrence():
+    """VERDICT r10 task 4: the vectorized clamp walk (prefix-sum −
+    segmented running-min) must equal the scalar recurrence
+    bal_t = max(0, bal_{t-1} + d_t) on randomized multi-group inputs —
+    including groups whose prefix sums collide across the per-group
+    offset trick."""
+    import numpy as np
+
+    from insight_spark.queries.pipeline_extra import _capped_walk_segments
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        n_groups = int(rng.integers(1, 12))
+        parts, deltas = [], []
+        for g in range(n_groups):
+            size = int(rng.integers(1, 20))
+            parts += [g * 7 + 1] * size
+            deltas += rng.integers(-50, 51, size=size).tolist()
+        part = np.asarray(parts, dtype=np.int64)
+        delta = np.asarray(deltas, dtype=np.int64)
+        out = _capped_walk_segments(part, delta)
+        got = {
+            int(r.part): (
+                int(r.final_balance),
+                int(r.peak_balance),
+                int(r.floor_hits),
+            )
+            for r in out.itertuples()
+        }
+        # scalar reference
+        want = {}
+        i = 0
+        while i < len(part):
+            j = i
+            bal = peak = hits = 0
+            while j < len(part) and part[j] == part[i]:
+                nb = bal + int(delta[j])
+                if nb < 0:
+                    hits += 1
+                    nb = 0
+                bal = nb
+                peak = max(peak, bal)
+                j += 1
+            want[int(part[i])] = (bal, peak, hits)
+            i = j
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_capped_running_balance_is_map_in_pandas(spark):
+    """The rewrite must plan as MapInPandas over a single exchange on
+    the group key — not FlatMapGroupsInPandas (per-group pandas
+    overhead, the r10 sweep's slowest query at 9.7 s)."""
+    plan = (
+        _q("capped_running_balance")(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange") == 1
