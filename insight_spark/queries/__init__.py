@@ -196,6 +196,29 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 
 _loaded = False
 
+#: Registration-time plan lint default (VERDICT r10 task 8): ON, so a
+#: new query with a scale-killer plan fails the moment a dev builds it
+#: — not at the next full suite run (rounds 5 and 6 each shipped one
+#: because nothing ran the guard at write time).  The driver's timed
+#: correctness runs and bench flip this off via ``set_lint_default``
+#: (zero planning overhead there); ``SPARK_GRAFT_LINT_PLANS=1/0`` in
+#: the environment overrides in either direction.
+_LINT_DEFAULT: bool = True
+
+
+def set_lint_default(enabled: bool) -> None:
+    """Flip the build-time plan lint for paths where it must not run
+    (the external driver's timed window, bench) or must (dev loops)."""
+    global _LINT_DEFAULT
+    _LINT_DEFAULT = enabled
+
+
+def _lint_enabled() -> bool:
+    env = os.environ.get("SPARK_GRAFT_LINT_PLANS")
+    if env is not None:
+        return env not in ("", "0")
+    return _LINT_DEFAULT
+
 
 def _load() -> None:
     global _loaded
@@ -208,14 +231,15 @@ def _load() -> None:
 def query(name: str, oracle: str | None = None):
     """Register a declared query (and its DuckDB oracle, if hashable).
 
-    With ``SPARK_GRAFT_LINT_PLANS`` set in the environment, every
-    registered query lints its own physical plan at build time
+    Every registered query lints its own physical plan at build time
     (plans/audit.lint_query_plan) and raises ``PlanScaleError`` on a
     fatal scale-killer shape — the registration-time gate the
     round-5/round-6 regressions called for (both rounds shipped a
     query that failed the engine-wide test guard because nothing ran
-    the guard when the query was written).  Off by default: the
-    external driver and bench pay zero planning overhead."""
+    the guard when the query was written).  ON by default since r11
+    (VERDICT r10 task 8); the driver's timed path (__spark_entry__)
+    and bench flip it off via ``set_lint_default(False)``, and
+    ``SPARK_GRAFT_LINT_PLANS=1/0`` overrides either way."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _QUERIES:
@@ -224,7 +248,7 @@ def query(name: str, oracle: str | None = None):
         @functools.wraps(fn)
         def linted(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = fn(spark, sf_dir)
-            if os.environ.get("SPARK_GRAFT_LINT_PLANS"):
+            if _lint_enabled():
                 from insight_spark.plans.audit import lint_query_plan
 
                 lint_query_plan(name, df)

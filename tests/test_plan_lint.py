@@ -86,10 +86,13 @@ def test_clean_plan_passes(spark):
     lint_query_plan("good_query", df)  # no raise
 
 
-def test_decorator_lints_when_flag_set(spark, monkeypatch):
-    """End-to-end: a guard-breaking query registered via @query fails
-    at BUILD time when SPARK_GRAFT_LINT_PLANS is set, and builds
-    normally when it is not."""
+def test_decorator_lints_by_default_and_exempts_driver_paths(
+    spark, monkeypatch
+):
+    """End-to-end (VERDICT r10 task 8): a guard-breaking query
+    registered via @query fails at BUILD time by DEFAULT (dev loops),
+    builds normally after set_lint_default(False) (the driver/bench
+    path), and the env var overrides in both directions."""
     import insight_spark.queries as reg
 
     name = "_lint_demo_bad_query"
@@ -103,9 +106,34 @@ def test_decorator_lints_when_flag_set(spark, monkeypatch):
 
         fn = reg._QUERIES[name]
         monkeypatch.delenv("SPARK_GRAFT_LINT_PLANS", raising=False)
-        fn(spark, "unused")  # flag off: builds fine (driver path)
+        # default-on: a dev building a scale-killer fails immediately
+        with pytest.raises(PlanScaleError, match=name):
+            fn(spark, "unused")
+        # driver/bench path: timed runs pay zero lint overhead
+        reg.set_lint_default(False)
+        fn(spark, "unused")  # builds fine
+        # env overrides win either way
         monkeypatch.setenv("SPARK_GRAFT_LINT_PLANS", "1")
         with pytest.raises(PlanScaleError, match=name):
             fn(spark, "unused")
+        reg.set_lint_default(True)
+        monkeypatch.setenv("SPARK_GRAFT_LINT_PLANS", "0")
+        fn(spark, "unused")  # builds fine
     finally:
         reg._QUERIES.pop(name, None)
+        reg.set_lint_default(True)
+
+
+def test_spark_entry_disables_lint_for_driver_window(spark):
+    """__spark_entry__.queries() is the driver's import path — it must
+    flip the build-time lint off so CORRECTNESS/bench timings never
+    include (or fail on) plan linting."""
+    import insight_spark.queries as reg
+    import __spark_entry__ as contract
+
+    reg.set_lint_default(True)
+    try:
+        contract.queries()
+        assert reg._LINT_DEFAULT is False
+    finally:
+        reg.set_lint_default(True)
