@@ -224,10 +224,6 @@ BENCH_QUERIES = [
     "manifest_schema_evolution",
     "manifest_vacuum_audit",
     "pca_top2_closed_form",
-    # stream_dedup_within_watermark is EXCLUDED from the bench: its
-    # per-key eviction-timer state costs ~58 s per drain at sf0.1
-    # (measured r10), which would dominate the sweep total and mask
-    # real regressions; it keeps oracle + suite coverage.
     "phash_image_clusters",
     "wav_fingerprint_clusters",
     "truncation_loss_audit",
@@ -363,6 +359,19 @@ BENCH_QUERIES = [
     "overlap_coefficient_pairs",
 ]
 
+#: Registry queries deliberately NOT in the sweep, with the reason —
+#: the documented exclusion list the r10 verdict asked for (task 6).
+#: Anything registered and not named here runs: main() appends every
+#: remaining registry query after BENCH_QUERIES, so a new query is
+#: benched by default and an exclusion is an explicit, reviewed line.
+BENCH_EXCLUDED: dict[str, str] = {
+    "stream_dedup_within_watermark": (
+        "per-key eviction-timer state costs ~58 s per drain at sf0.1 "
+        "(measured r10) — would dominate the sweep total and mask real "
+        "regressions; keeps oracle + full-suite coverage"
+    ),
+}
+
 #: Iterative queries coordinate their rounds (centroid collects, rank
 #: checkpoints, CC convergence) while the DataFrame is being BUILT, so
 #: a fair timing must rebuild the plan inside the timed region instead
@@ -464,6 +473,29 @@ ITERATIVE = {
     "multi_table_publish",
     # MV parquet write runs during build
     "mv_staleness_probe",
+    # r11 sweep-gap closure: micro-batch drains run during build
+    "stream_dedup_counts",
+    "stream_session_append",
+    "stream_static_join_counts",
+    "stream_late_drop",
+    "stream_stream_join_pairs",
+    "stream_stateful_user_totals",
+    "stream_upsert_user_latest",
+    "stream_stream_left_join",
+    # r11 sweep-gap closure: file/JDBC sink writes run during build
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "schema_merge_roundtrip",
+    "avro_roundtrip",
+    "dynamic_partition_overwrite",
+    "jdbc_roundtrip",
+    # r11 sweep-gap closure: localCheckpoint / foreachBatch runs
+    # during build
+    "leakage_safe_split",
+    "dq_expectations",
+    # two stream drains + a checkpoint restart run during build
+    "stream_state_rescale_audit",
 }
 
 
@@ -498,6 +530,16 @@ def main() -> None:
     # clean enough that a real regression stands out in `tail`.
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
+
+    # Sweep-gap closure (VERDICT r10 task 6): every registered query
+    # runs unless it carries a documented BENCH_EXCLUDED reason.  The
+    # explicit BENCH_QUERIES list pins ordering (headline 12 first on
+    # the fresh warm JVM); everything else follows in registry order.
+    if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE"):
+        listed = set(queries_to_run) | set(BENCH_EXCLUDED)
+        queries_to_run = queries_to_run + [
+            n for n in registry if n not in listed
+        ]
 
     # warm the JVM / codegen paths
     load_table(spark, sf_dir, "lineitem").count()

@@ -1119,3 +1119,138 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_ohlc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return _drain(spark, agg, name)
+
+
+@query(
+    "stream_state_rescale_audit",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(8 AS INT) AS parts_run1,
+           CAST(8 AS INT) AS parts_run2,
+           CAST(32 AS INT) AS requested_run2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_state_keys,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS n_events,
+           (SELECT CAST(SUM(user_id * n) AS BIGINT) FROM t)
+               AS totals_checksum
+    """,
+)
+def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store rescale/migration round-trip (VERDICT r10 task 9 —
+    the streaming-ops primitive the r10 statestore-reader work stopped
+    short of): a stateful aggregation drains half its input at
+    ``spark.sql.shuffle.partitions = 8``, stops, and is RESTARTED from
+    the same checkpoint with the session requesting 32 — the ops move
+    that silently corrupts state in engines that re-hash keys on the
+    new partition count.  Spark's contract is pin-don't-rescale: the
+    checkpoint's offsets metadata carries the state partition count
+    and every restart keeps using it regardless of session config.
+    The audit proves all of it in one value-hashed row:
+
+    - ``parts_run1`` / ``parts_run2``: the shuffle-partition count
+      recorded in the LAST committed offsets metadata of each run —
+      both must be 8 (a 32 anywhere means state re-hashed under a
+      different layout: per-key totals would silently split).
+    - ``requested_run2`` pins that the restart really asked for 32.
+    - ``n_state_keys``: distinct keys the state-store READER
+      (`spark.read.format("statestore")`) finds in the checkpoint
+      after the restarted drain — must equal the batch-exact user
+      count (state survived the restart complete, none orphaned on
+      partitions the new run would not consult).
+    - ``n_users`` / ``n_events`` / ``totals_checksum``: the serving
+      table after both drains vs the batch aggregate over ALL events
+      — convergence of the upserted totals across the restart.
+
+    Scale: the real rescale procedure at 100 TB is the offline
+    migration this audit's invariants license — read every (key,
+    value) with the statestore reader, re-shuffle to the new
+    partitioning, seed a fresh checkpoint — and its correctness
+    criterion is exactly this query's: same key set, same totals,
+    conservation under re-partitioning.
+    """
+    import glob
+    import json
+
+    from insight_spark.sources.sinks import foreach_batch_upsert
+    from insight_spark.streaming.core import read_events_stream
+
+    chunks = sorted(
+        glob.glob(os.path.join(_chunk_dir(spark, sf_dir), "*.parquet"))
+    )
+    base = tempfile.mkdtemp(prefix="rescale_", dir=_RT_BASE)
+    staged = os.path.join(base, "in")
+    serving = os.path.join(base, "serve")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(staged)
+
+    def _run(n_parts: int) -> None:
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            agg = (
+                read_events_stream(spark, staged)
+                .groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n_events"))
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    foreach_batch_upsert(serving, ["user_id"])
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    def _committed_parts() -> int:
+        latest = max(
+            (
+                f
+                for f in glob.glob(os.path.join(ckpt, "offsets", "*"))
+                if os.path.basename(f).isdigit()
+            ),
+            key=lambda f: int(os.path.basename(f)),
+        )
+        for line in open(latest):
+            line = line.strip()
+            if line.startswith("{") and "conf" in line:
+                meta = json.loads(line)
+                return int(meta["conf"]["spark.sql.shuffle.partitions"])
+        raise AssertionError(f"no conf metadata in {latest}")
+
+    for c in chunks[:2]:
+        shutil.copy(c, staged)
+    _run(8)
+    parts_run1 = _committed_parts()
+    for c in chunks[2:]:
+        shutil.copy(c, staged)
+    _run(32)  # the rescale request the engine must refuse silently
+    parts_run2 = _committed_parts()
+
+    n_state_keys = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select("key.user_id")
+        .distinct()
+        .count()
+    )
+    return (
+        spark.read.parquet(os.path.join(serving, "serving"))
+        .agg(
+            F.lit(parts_run1).cast("int").alias("parts_run1"),
+            F.lit(parts_run2).cast("int").alias("parts_run2"),
+            F.lit(32).cast("int").alias("requested_run2"),
+            F.count("*").cast("long").alias("n_users"),
+            F.lit(n_state_keys).cast("long").alias("n_state_keys"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("user_id") * F.col("n_events"))
+            .cast("long")
+            .alias("totals_checksum"),
+        )
+    )

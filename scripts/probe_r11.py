@@ -1,0 +1,97 @@
+"""Round-11 10x scale probe (VERDICT r10 task 7): shifted-id fixtures
+for the r10 heavy additions — kmv_set_cardinality,
+pareto_skyline_sources, dow_matched_delta, and the manifest family's
+read paths (manifest_zone_map_scan, delta_index_merge_read).
+
+Fixture: each of 10 copies shifts user/event/doc/order ids by i*1e9
+(key-space growth, the SCALE.md r4 methodology — verbatim duplication
+would instead multiply per-key density, a different experiment).
+Sources/timestamps are unchanged so the bounded-summary claims
+(|sources| grid, |days| grid) are actually exercised: 10x rows, same
+group grid.
+
+Usage: python scripts/probe_r11.py [--rebuild]
+Prints one line per (query, tier) with warm best-of-2 seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+FIX = "/tmp/insight_spark_probe/sf0.1x10"
+
+QUERIES = [
+    "kmv_set_cardinality",
+    "pareto_skyline_sources",
+    "dow_matched_delta",
+    "manifest_zone_map_scan",
+    "delta_index_merge_read",
+]
+
+#: table -> columns to shift by i*1e9 per copy
+SHIFT = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "orders": ["o_orderkey"],
+}
+
+
+def build_fixture(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from insight_spark.sources import load_table
+
+    os.makedirs(FIX, exist_ok=True)
+    for tbl, cols in SHIFT.items():
+        out = os.path.join(FIX, f"{tbl}.parquet")
+        if os.path.exists(out):
+            continue
+        src = load_table(spark, BASE, tbl)
+        copies = []
+        for i in range(10):
+            c = src
+            for col in cols:
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(i * 1_000_000_000)).cast("long")
+                )
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(out)
+        print(f"built {out}", file=sys.stderr)
+
+
+def main() -> None:
+    from insight_spark.engine import get_spark
+    from insight_spark.queries import all_queries, set_lint_default
+
+    set_lint_default(False)
+    spark = get_spark("probe_r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv:
+        import shutil
+
+        shutil.rmtree(FIX, ignore_errors=True)
+    build_fixture(spark)
+    reg = all_queries()
+    for name in QUERIES:
+        for tier, sf_dir in (("1x", BASE), ("10x", FIX)):
+            fn = reg[name]
+            df = fn(spark, sf_dir)
+            df.toPandas()  # cold
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name} {tier} {best:.3f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

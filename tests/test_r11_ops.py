@@ -168,6 +168,67 @@ def test_capped_walk_closed_form_matches_scalar_recurrence():
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_bench_sweep_covers_registry_minus_documented_exclusions():
+    """VERDICT r10 task 6: the bench sweep must cover EVERY registered
+    query except the documented BENCH_EXCLUDED entries — a new query
+    is benched by default, and an exclusion is an explicit, reasoned
+    line, never a silent gap."""
+    import bench
+
+    registry = set(all_queries())
+    listed = set(bench.BENCH_QUERIES)
+    excluded = set(bench.BENCH_EXCLUDED)
+    # every name bench knows is real
+    assert listed <= registry, sorted(listed - registry)
+    assert excluded <= registry, sorted(excluded - registry)
+    assert not (listed & excluded), sorted(listed & excluded)
+    # main() appends (registry - listed - excluded): total coverage
+    covered = listed | (registry - listed - excluded)
+    assert covered == registry - excluded
+    # every exclusion carries a non-empty reason
+    assert all(
+        isinstance(r, str) and len(r) > 20
+        for r in bench.BENCH_EXCLUDED.values()
+    )
+    # ITERATIVE names must be real and not excluded (they'd never run)
+    assert bench.ITERATIVE <= registry - excluded, sorted(
+        bench.ITERATIVE - (registry - excluded)
+    )
+
+
+def test_state_rescale_restart_keeps_physical_layout(spark):
+    """VERDICT r10 task 9 pin: after the restart that REQUESTS 32
+    shuffle partitions, the checkpoint's physical state must still
+    live in the original 8 partitions (statestore reader partition_id
+    < 8) and the audit row must report the pin + batch-exact totals."""
+    row = _q("stream_state_rescale_audit")(spark, SF_DIR).collect()[0]
+    assert row["parts_run1"] == 8
+    assert row["parts_run2"] == 8, "restart re-hashed state!"
+    assert row["requested_run2"] == 32
+    assert row["n_users"] == row["n_state_keys"]
+    ev = load_table(spark, SF_DIR, "events")
+    assert row["n_events"] == ev.count()
+    assert row["n_users"] == ev.select("user_id").distinct().count()
+    # physical layout: the newest rescale checkpoint on disk holds
+    # state only in partitions 0..7
+    import glob
+    import os
+
+    base = max(
+        glob.glob("/tmp/insight_spark_stream_rt/rescale_*"),
+        key=os.path.getmtime,
+    )
+    pids = [
+        r["partition_id"]
+        for r in spark.read.format("statestore")
+        .load(os.path.join(base, "ckpt"))
+        .select("partition_id")
+        .distinct()
+        .collect()
+    ]
+    assert pids and max(pids) < 8, pids
+
+
 def test_capped_running_balance_is_map_in_pandas(spark):
     """The rewrite must plan as MapInPandas over a single exchange on
     the group key — not FlatMapGroupsInPandas (per-group pandas
