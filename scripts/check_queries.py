@@ -1,7 +1,12 @@
 """Oracle-check a NAMED list of registry queries (driver-style compare).
 
 Usage: python scripts/check_queries.py name1 name2 ... [--sf DIR]
-Defaults to sf0.01 (the driver's correctness tier).
+                                          [--out FILE]
+Defaults to sf0.01 (the driver's correctness tier).  --out writes a
+JSON artifact {name: {"ok": bool, "secs": float, "detail": str}} —
+the per-round standalone parity evidence ADVICE r10 #3 asked for
+(CHECK_r{N}.json), so queries the driver window does not sample still
+leave a committed, reproducible correctness record.
 """
 
 from __future__ import annotations
@@ -20,6 +25,11 @@ def main() -> int:
         i = argv.index("--sf")
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if os.path.normpath(sf_dir).endswith("sf0.1"):
         os.environ.setdefault("SPARK_GRAFT_STRESS_SUBSET", "1")
 
@@ -37,10 +47,14 @@ def main() -> int:
     queries = contract.queries()
     oracles = contract.oracle_sql()
     failures: list[str] = []
+    report: dict[str, dict] = {}
     for name in argv:
         if name not in queries:
             print(f"FAIL {name} — not registered")
             failures.append(name)
+            report[name] = {
+                "ok": False, "secs": 0.0, "detail": "not registered",
+            }
             continue
         t0 = time.perf_counter()
         try:
@@ -61,9 +75,18 @@ def main() -> int:
         dt = time.perf_counter() - t0
         print(f"{'PASS' if ok else 'FAIL'} {name} {dt:.1f}s {detail}")
         sys.stdout.flush()
+        report[name] = {"ok": ok, "secs": round(dt, 2), "detail": detail}
         if not ok:
             failures.append(name)
     print(f"SUMMARY: {len(argv) - len(failures)}/{len(argv)}; failures={failures}")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "results": report}, fh, indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
