@@ -95,6 +95,10 @@ def test_decorator_lints_by_default_and_exempts_driver_paths(
     path), and the env var overrides in both directions."""
     import insight_spark.queries as reg
 
+    # another test may have routed through __spark_entry__.queries()
+    # (which legitimately flips the default off for the driver path) —
+    # this test's subject is the DEFAULT-ON behavior, so pin it
+    reg.set_lint_default(True)
     name = "_lint_demo_bad_query"
     try:
 
