@@ -31,6 +31,11 @@ QUERIES = [
     "dow_matched_delta",
     "manifest_zone_map_scan",
     "delta_index_merge_read",
+    # the two r11 perf rewrites — the probe shows the new shapes hold
+    # a decade up (capped: 10x part keys at the same ~30 rows/group;
+    # zorder: 10x input through the one-pass partitioned write)
+    "capped_running_balance",
+    "zorder_zone_map_probe",
 ]
 
 #: table -> columns to shift by i*1e9 per copy
@@ -38,6 +43,7 @@ SHIFT = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey"],
 }
 
 
