@@ -11,7 +11,12 @@ Sources/timestamps are unchanged so the bounded-summary claims
 group grid.
 
 Usage: python scripts/probe_r11.py [--rebuild]
+       SPARK_GRAFT_PROBE_SCALE=100 python scripts/probe_r11.py
 Prints one line per (query, tier) with warm best-of-2 seconds.
+At scale 100 (two decades up) the probe narrows to the events-backed
+bounded-state claims (kmv sketch, calendar grids, sessionize) plus the
+bounded-summary skyline — the multi-gigabyte manifest/index fixtures
+add write time without testing a different claim.
 """
 
 from __future__ import annotations
@@ -23,28 +28,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
-FIX = "/tmp/insight_spark_probe/sf0.1x10"
+SCALE = int(os.environ.get("SPARK_GRAFT_PROBE_SCALE", "10"))
+FIX = f"/tmp/insight_spark_probe/sf0.1x{SCALE}"
 
-QUERIES = [
-    "kmv_set_cardinality",
-    "pareto_skyline_sources",
-    "dow_matched_delta",
-    "manifest_zone_map_scan",
-    "delta_index_merge_read",
-    # the two r11 perf rewrites — the probe shows the new shapes hold
-    # a decade up (capped: 10x part keys at the same ~30 rows/group;
-    # zorder: 10x input through the one-pass partitioned write)
-    "capped_running_balance",
-    "zorder_zone_map_probe",
-]
+QUERIES = (
+    [
+        "kmv_set_cardinality",
+        "pareto_skyline_sources",
+        "dow_matched_delta",
+        "manifest_zone_map_scan",
+        "delta_index_merge_read",
+        # the two r11 perf rewrites — the probe shows the new shapes
+        # hold a decade up (capped: 10x part keys at the same ~30
+        # rows/group; zorder: 10x input through the one-pass
+        # partitioned write)
+        "capped_running_balance",
+        "zorder_zone_map_probe",
+    ]
+    if SCALE == 10
+    else [
+        "kmv_set_cardinality",
+        "pareto_skyline_sources",
+        "dow_matched_delta",
+        "sessionize",
+        "events_hourly",
+    ]
+)
 
 #: table -> columns to shift by i*1e9 per copy
-SHIFT = {
+SHIFT_ALL = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey", "l_partkey"],
 }
+#: only build what the tier's queries read (a 60M-row lineitem write
+#: tests nothing at scale 100)
+SHIFT = (
+    SHIFT_ALL
+    if SCALE == 10
+    else {t: SHIFT_ALL[t] for t in ("events", "documents")}
+)
 
 
 def build_fixture(spark) -> None:
@@ -59,7 +83,7 @@ def build_fixture(spark) -> None:
             continue
         src = load_table(spark, BASE, tbl)
         copies = []
-        for i in range(10):
+        for i in range(SCALE):
             c = src
             for col in cols:
                 c = c.withColumn(
@@ -69,7 +93,11 @@ def build_fixture(spark) -> None:
         big = copies[0]
         for c in copies[1:]:
             big = big.unionByName(c)
-        big.write.mode("overwrite").parquet(out)
+        # keep partition count sane at scale 100 (one union leg per
+        # copy would otherwise write SCALE x input-partitions files)
+        big.repartition(max(8, 4 * SCALE // 10)).write.mode(
+            "overwrite"
+        ).parquet(out)
         print(f"built {out}", file=sys.stderr)
 
 
