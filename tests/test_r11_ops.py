@@ -97,6 +97,48 @@ def test_log_append_partition_by_one_file_per_bucket(spark, tmp_path):
     assert snap.count() == orders.count()
 
 
+def test_log_append_partition_by_survives_bucket_collisions(spark, tmp_path):
+    """Hardening for the one-pass layout write: with MORE buckets than
+    repartition tasks (forced hash collisions — several buckets share
+    a task), the Hive-partitioned staging must STILL produce exactly
+    one file per bucket value with per-bucket-tight stats, because the
+    dynamic partition writer splits a task's output by directory."""
+    from insight_spark.operators.manifest import (
+        _read_manifest,
+        log_append,
+        read_snapshot_pruned,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 20).alias("b")
+    )
+    n_buckets = orders.select("b").distinct().count()
+    log_append(
+        orders.repartition(4, "b"),  # 20 buckets -> 4 tasks: collisions
+        tbl,
+        stats_cols=["o_orderkey"],
+        partition_by=["b"],
+    )
+    man = _read_manifest(tbl, 1)
+    assert len(man["files"]) == n_buckets
+    buckets_seen = {f.rsplit("/b=", 1)[1].split("/")[0] for f in man["files"]}
+    assert len(buckets_seen) == n_buckets
+    # stats are per-bucket tight: a probe on one residue class prunes
+    # to files whose recorded range intersects [1, 20] — keys 1..20
+    # span every residue, so this probes the stats are present and
+    # consistent rather than collapsed to one file's range
+    for f in man["files"]:
+        lo, hi = man["stats"][f]["o_orderkey"]
+        assert lo is not None and lo <= hi
+    df, n_scan, n_total = read_snapshot_pruned(spark, tbl, "o_orderkey", 1, 5)
+    assert n_total == n_buckets
+    assert n_scan <= n_buckets  # stats present => pruning decision ran
+    assert df.count() == orders.filter(
+        F.col("o_orderkey").between(1, 5)
+    ).count()
+
+
 def test_log_append_isolated_records_stats_and_prunes(spark, tmp_path):
     """ADVICE r10 #1: partition-isolated commits must be able to carry
     zone-map stats so read_snapshot_pruned can skip their files — and
