@@ -496,6 +496,8 @@ ITERATIVE = {
     "dq_expectations",
     # two stream drains + a checkpoint restart run during build
     "stream_state_rescale_audit",
+    # two stream drains + state export/re-ingest run during build
+    "stream_state_migration_roundtrip",
 }
 
 

@@ -89,7 +89,10 @@ _MODULES = (
 #:   r14 = backlog names 80-129;  r15 = backlog names 130-142 + the
 #:         oldest r4-era refresh.  After r15: zero never-signed
 #:         queries, no signature older than r5.
-#: Backlog tail (names 51-142, oldest-added first, for r13-r15):
+#: Backlog tail (names 51-142, oldest-added first, for r13-r15; the
+#: two r11 additions stream_state_rescale_audit and
+#: stream_state_migration_roundtrip append after name 142, landing in
+#: the r15 window alongside the r4-era refresh):
 #:   lag_feature_matrix, stream_topk_hitters, cohort_ltv_curve,
 #:   embedding_mean_shift_audit, l_diversity_audit, conformal_interval_coverage,
 #:   experiment_cumulative_lift, quantile_treatment_effect, mann_whitney_u,

@@ -1254,3 +1254,187 @@ def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totals_checksum"),
         )
     )
+
+
+@query(
+    "stream_state_migration_roundtrip",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)) * 1000000)
+                    AS BIGINT) AS vu
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(8 AS INT) AS parts_before,
+           CAST(16 AS INT) AS parts_after,
+           CAST(1 AS INT) AS beyond_old_layout,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_migrated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_users,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS n_events,
+           (SELECT CAST(SUM(user_id * n) AS BIGINT) FROM t)
+               AS totals_checksum,
+           (SELECT CAST(SUM(vu) AS BIGINT) FROM t) AS sum_micro
+    """,
+)
+def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL state-store rescale migration the rescale audit
+    (M348) licenses — executed end to end (M349): drain half the input
+    at ``shuffle.partitions = 8``, EXPORT the typed aggregation state
+    with the statestore reader, re-encode it as WEIGHTED SEED RECORDS,
+    and re-ingest seed + remaining input into a FRESH checkpoint at 16
+    partitions.  The trick that makes this portable to any engine and
+    any monoid-state operator: the running totals are kept as
+    ``SUM(w)`` / ``SUM(vu)`` rather than ``COUNT(*)`` — a real event
+    carries w=1, a migrated key's seed record carries w=n_migrated —
+    so the new checkpoint's agg state absorbs an entire old key's
+    history from one record, and the migration is exactly-once by
+    construction (the seed parquet is staged before the new stream
+    starts).  At 100 TB this is the offline reader → transform →
+    re-shuffle-by-new-partitioning → re-ingest pipeline; state never
+    transits the driver (the seed write is a distributed job).
+
+    The value-hashed row proves every leg:
+    - ``parts_before`` / ``parts_after``: committed offsets metadata
+      of the two checkpoints — 8 then genuinely 16 (unlike M348's
+      pin-don't-rescale refusal, the new checkpoint RUNS at the new
+      count);
+    - ``beyond_old_layout``: the new checkpoint's statestore reader
+      finds state on partition ids >= 8 — physical proof the layout
+      actually changed;
+    - ``n_migrated``: state rows exported from the old checkpoint =
+      exact user count (nothing orphaned);
+    - totals (count / user-weighted checksum / exact micro sum) from
+      the final serving view equal the batch aggregate over ALL
+      events — no loss, no double count across the migration.
+    """
+    import glob as _glob
+    import json as _json
+
+    chunks = sorted(
+        _glob.glob(os.path.join(_chunk_dir(spark, sf_dir), "*.parquet"))
+    )
+    base = tempfile.mkdtemp(prefix="migrate_", dir=_RT_BASE)
+    in1 = os.path.join(base, "in1")
+    in2 = os.path.join(base, "in2")
+    os.makedirs(in1)
+    os.makedirs(in2)
+    tag = hashlib.md5((sf_dir + base).encode()).hexdigest()[:8]
+
+    def _weighted(src_df):
+        return src_df.select(
+            "user_id",
+            F.lit(1).cast("long").alias("w"),
+            (F.col("value").cast("decimal(38,6)") * 1000000)
+            .cast("long")
+            .alias("vu"),
+        )
+
+    def _stage(df, dest_dir, name):
+        tmp = os.path.join(base, "stage_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        for f in _glob.glob(os.path.join(tmp, "*.parquet")):
+            shutil.copy(f, os.path.join(dest_dir, name + ".parquet"))
+
+    for i, c in enumerate(chunks[:2]):
+        _stage(_weighted(spark.read.parquet(c)), in1, f"c{i}")
+
+    def _run(src_dir: str, ckpt: str, n_parts: int, sink: str) -> None:
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            agg = (
+                spark.readStream.schema("user_id long, w long, vu long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("w").cast("long").alias("n"),
+                    F.sum("vu").cast("long").alias("vu"),
+                )
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    def _committed_parts(ckpt: str) -> int:
+        latest = max(
+            (
+                f
+                for f in _glob.glob(os.path.join(ckpt, "offsets", "*"))
+                if os.path.basename(f).isdigit()
+            ),
+            key=lambda f: int(os.path.basename(f)),
+        )
+        for line in open(latest):
+            line = line.strip()
+            if line.startswith("{") and "conf" in line:
+                meta = _json.loads(line)
+                return int(meta["conf"]["spark.sql.shuffle.partitions"])
+        raise AssertionError(f"no conf metadata in {latest}")
+
+    ck1 = os.path.join(base, "ck1")
+    _run(in1, ck1, 8, "mig1_" + tag)
+    parts_before = _committed_parts(ck1)
+
+    # EXPORT: typed agg state (key.user_id, buffer sums in declaration
+    # order) re-encoded as weighted seed records.  BOTH buffer fields
+    # are literally named "sum", so name-based access is ambiguous
+    # (value.* + toDF silently resolves both to one field) — a struct
+    # CAST renames POSITIONALLY, which is the only safe access path.
+    seed = (
+        spark.read.format("statestore")
+        .load(ck1)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value").cast("struct<n:long,vu:long>").alias("v"),
+        )
+        .select(
+            "user_id",
+            F.col("v.n").alias("w"),
+            F.col("v.vu").alias("vu"),
+        )
+    )
+    n_migrated = seed.count()
+    _stage(seed, in2, "seed")
+    for i, c in enumerate(chunks[2:]):
+        _stage(_weighted(spark.read.parquet(c)), in2, f"c{i + 2}")
+
+    ck2 = os.path.join(base, "ck2")
+    _run(in2, ck2, 16, "mig2_" + tag)
+    parts_after = _committed_parts(ck2)
+    beyond = (
+        spark.read.format("statestore")
+        .load(ck2)
+        .agg(F.max("partition_id").alias("mx"))
+        .collect()[0]["mx"]
+    )
+
+    final = (
+        spark.table("mig2_" + tag)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),  # n = SUM(w) is strictly monotone
+            F.max_by("vu", "n").alias("vu"),
+        )
+    )
+    return final.agg(
+        F.lit(parts_before).cast("int").alias("parts_before"),
+        F.lit(parts_after).cast("int").alias("parts_after"),
+        F.lit(int(beyond >= 8)).cast("int").alias("beyond_old_layout"),
+        F.lit(n_migrated).cast("long").alias("n_migrated"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.col("user_id") * F.col("n"))
+        .cast("long")
+        .alias("totals_checksum"),
+        F.sum("vu").cast("long").alias("sum_micro"),
+    )

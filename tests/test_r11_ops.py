@@ -293,6 +293,62 @@ def test_state_rescale_restart_keeps_physical_layout(spark):
     assert pids and max(pids) < 8, pids
 
 
+def test_state_migration_lands_on_the_new_layout(spark):
+    """M349 pin: after the export → seed → re-ingest migration, the
+    NEW checkpoint must genuinely run at 16 partitions (committed
+    offsets metadata, physical state beyond partition 7) and the
+    migrated totals must equal the batch truth."""
+    import glob
+    import json
+    import os
+
+    row = _q("stream_state_migration_roundtrip")(spark, SF_DIR).collect()[0]
+    assert row["parts_before"] == 8
+    assert row["parts_after"] == 16, "migration did not rescale!"
+    assert row["beyond_old_layout"] == 1
+    ev = load_table(spark, SF_DIR, "events")
+    assert row["n_events"] == ev.count()
+    assert (
+        row["n_users"]
+        == row["n_migrated"]
+        == ev.select("user_id").distinct().count()
+    )
+    base = max(
+        glob.glob("/tmp/insight_spark_stream_rt/migrate_*"),
+        key=os.path.getmtime,
+    )
+    # the seed records must carry the run-1 totals exactly (the
+    # struct-cast positional access — name access silently aliases
+    # the duplicate 'sum' buffer fields, the bug this pin guards)
+    seed = spark.read.parquet(os.path.join(base, "in2", "seed.parquet"))
+    run1 = spark.read.parquet(os.path.join(base, "in1"))
+    got = {
+        r["user_id"]: (r["w"], r["vu"]) for r in seed.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["vu"])
+        for r in run1.groupBy("user_id")
+        .agg(F.sum("w").alias("n"), F.sum("vu").alias("vu"))
+        .collect()
+    }
+    assert got == want
+    # committed metadata of the new checkpoint reads 16
+    latest = max(
+        (
+            f
+            for f in glob.glob(os.path.join(base, "ck2", "offsets", "*"))
+            if os.path.basename(f).isdigit()
+        ),
+        key=lambda f: int(os.path.basename(f)),
+    )
+    meta = next(
+        json.loads(line)
+        for line in open(latest)
+        if line.strip().startswith("{") and "conf" in line
+    )
+    assert meta["conf"]["spark.sql.shuffle.partitions"] == "16"
+
+
 def test_capped_running_balance_is_map_in_pandas(spark):
     """The rewrite must plan as MapInPandas over a single exchange on
     the group key — not FlatMapGroupsInPandas (per-group pandas
