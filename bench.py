@@ -498,6 +498,8 @@ ITERATIVE = {
     "stream_state_rescale_audit",
     # two stream drains + state export/re-ingest run during build
     "stream_state_migration_roundtrip",
+    # range-stage localCheckpoint + P-row partition stats run during build
+    "skyline_users_scalable",
 }
 
 

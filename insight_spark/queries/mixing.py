@@ -1623,3 +1623,102 @@ def pareto_skyline_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("on_skyline"),
         )
     )
+
+
+@query(
+    "skyline_users_scalable",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)) * 1000000)
+                    AS BIGINT) AS vu
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.n, a.vu
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE (b.vu > a.vu AND b.n >= a.n)
+           OR (b.vu >= a.vu AND b.n > a.n)
+    )
+    """,
+)
+def skyline_users_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over an UNBOUNDED point set (M350) — the
+    sort-partition-merge algorithm `pareto_skyline_sources` (M344)
+    defers to when the points are data-scale, here users ranked by
+    (total value, event count): a user is on the frontier iff nobody
+    both spent more AND did more.  M344's quadratic dominance test is
+    right for a ≤|sources|² summary; at |users| = data scale it is
+    O(N²) — this query is the scalable form (Börzsönyi 2001's
+    sort-filter, distributed):
+
+    1. reduce to one row per distinct x (``max y`` per x) — dominance
+       within an x-column is just the column max;
+    2. ``repartitionByRange(x DESC) + sortWithinPartitions(x DESC)``
+       — range partition ids are ordered, so everything with larger x
+       than partition p lives in partitions < p plus p's own prefix;
+    3. per partition, one vectorized numpy pass: keep x iff its y
+       exceeds the running max of all previous (larger-x) y — seeded
+       with the CROSS-PARTITION prefix max, computed driver-side from
+       the ≤P per-partition maxima (bounded metadata, the only
+       collect);
+    4. equi-join the surviving (x, ymax) points back to recover the
+       user rows (ties at the same point all survive — equal points
+       dominate nothing, matching the oracle's strict-dominance rule).
+
+    Scale: two keyed aggregates + one range exchange + one equi-join;
+    per-partition work is a single linear scan; driver state is P
+    numbers.  No global window, no all-pairs comparison, no
+    data-scale collect — the same answer the O(N²) oracle computes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("vu"),
+    )
+    xs = pts.groupBy("vu").agg(F.max("n").alias("ymax"))
+    n_parts = 8
+    ranged = (
+        xs.repartitionByRange(n_parts, F.col("vu").desc())
+        .sortWithinPartitions(F.col("vu").desc())
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint()  # stats + filter share one scan
+    stats = ranged.groupBy("pid").agg(F.max("ymax").alias("pmax")).collect()
+    pmax = {int(r["pid"]): int(r["pmax"]) for r in stats}
+    prefix: dict[int, int] = {}
+    run = None
+    for pid in sorted(pmax):
+        if run is not None:
+            prefix[pid] = run
+        run = pmax[pid] if run is None else max(run, pmax[pid])
+
+    def keep_frontier(batches):
+        import numpy as np
+
+        m = None  # running max of y over all larger-x rows seen
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if m is None:
+                m = prefix.get(int(pdf["pid"].iloc[0]), None)
+            ys = pdf["ymax"].to_numpy(np.int64)
+            seed = np.int64(m) if m is not None else np.iinfo(np.int64).min
+            prev = np.maximum.accumulate(
+                np.concatenate(([seed], ys))
+            )[:-1]
+            mask = ys > prev
+            m = int(max(int(prev[-1]), int(ys[-1])))
+            out = pdf.loc[mask, ["vu", "ymax"]]
+            if len(out):
+                yield out
+
+    sky = ranged.mapInPandas(keep_frontier, "vu long, ymax long")
+    return pts.join(
+        sky,
+        (pts["vu"] == sky["vu"]) & (pts["n"] == sky["ymax"]),
+    ).select(pts["user_id"], pts["n"], pts["vu"])

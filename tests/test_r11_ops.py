@@ -184,6 +184,50 @@ def test_plan_shape_inventory_is_fresh_and_clean():
         assert s["batch_eval_python"] == 0, name
 
 
+def test_skyline_scalable_matches_bruteforce_and_is_antichain(spark):
+    """M350 laws the value hash can't state structurally: the returned
+    frontier must (a) be an antichain under strict dominance, (b)
+    contain the coordinate maxima, and (c) equal the brute-force
+    skyline — checked on the real fixture, which exercises the range
+    partition seams and the cross-partition prefix seed."""
+    rows = _q("skyline_users_scalable")(spark, SF_DIR).collect()
+    sky = {(r["vu"], r["n"]) for r in rows}
+    assert rows and len(rows) == len({r["user_id"] for r in rows})
+
+    def dominates(b, a):
+        return (b[0] > a[0] and b[1] >= a[1]) or (
+            b[0] >= a[0] and b[1] > a[1]
+        )
+
+    for a in sky:
+        assert not any(dominates(b, a) for b in sky if b != a), a
+    pts = [
+        (r["vu"], r["n"], r["user_id"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+            .cast("long")
+            .alias("vu"),
+        )
+        .collect()
+    ]
+    brute = {
+        (vu, n, uid)
+        for vu, n, uid in pts
+        if not any(
+            dominates((bvu, bn), (vu, n))
+            for bvu, bn, _ in pts
+            if (bvu, bn) != (vu, n)
+        )
+    }
+    got = {(r["vu"], r["n"], r["user_id"]) for r in rows}
+    assert got == brute
+    assert max(p[0] for p in pts) in {p[0] for p in got}  # max-x point
+    assert max(p[1] for p in pts) in {p[1] for p in got}  # max-y point
+
+
 def test_capped_walk_closed_form_matches_scalar_recurrence():
     """VERDICT r10 task 4: the vectorized clamp walk (prefix-sum −
     segmented running-min) must equal the scalar recurrence
