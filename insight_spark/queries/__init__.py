@@ -70,29 +70,31 @@ _MODULES = (
 #: signature-first, and a name is only listed here AFTER its
 #: implementation is registered (tests/test_registry.py pins both
 #: directions at build time -- the r8 lesson).
-#: ROUND-11 rotation (VERDICT r10 tasks 1/2/5): the registry grew by
-#: 142 in round 10 while the driver signs 50/round, so 142 queries
-#: (30% of the surface) have local-oracle + judge-sample evidence but
-#: no driver signature.  This window is ALL first-time evidence: the
-#: 50 OLDEST-ADDED of those 142, ordered by the git commit that
-#: introduced each (ties broken by registration order).  Registry
-#: growth is frozen this round (<=10 additions) until the backlog
-#: clears.  COMMITTED ROTATION PLAN for the following rounds
-#: (VERDICT r10 task 5, done-criterion "no signature older than r4
-#: by r13"):
-#:   r12 = the 32 r2-era signatures + the 18 oldest r3-era (refresh
-#:         outranks backlog there because those signatures are 9-10
-#:         rounds stale and the code has churned since);
-#:   r13 = the remaining 21 r3-era + the 29 oldest of the backlog
-#:         tail (backlog names 51-79 in the oldest-added order
-#:         recorded below);
+#: ROUND-12 rotation (VERDICT r11 task 1, executing the plan committed
+#: in r11): this window is the STALE-SIGNATURE REFRESH — the 32 names
+#: whose latest driver signature is round 2 plus the 18 oldest-signed
+#: r3-era names (ordered by their position inside CORRECTNESS_r03).
+#: Those signatures are 9-10 rounds old and the code has churned since;
+#: all 50 were pre-verified green at sf0.01 on the r11 final tree, so a
+#: failure in this window means NEW drift, not pre-existing breakage.
+#: After r12: no driver signature older than round 3 remains.
+#: COMMITTED ROTATION PLAN for the following rounds (unchanged from
+#: r11 except shifted one round by execution):
+#:   r13 = the remaining 21 r3-era signatures (jaccard_threshold_join,
+#:         doc_chunk_windows, cms_heavy_hitters, unigram_surprisal_score,
+#:         bpe_merge_pairs, ngram_decontaminate, dup_span_ratio,
+#:         weighted_sample, funnel_steps, retention_cohorts,
+#:         gap_fill_hourly, merge_upsert_orders, join_key_skew_profile,
+#:         kmeans_lloyd, pagerank_tokens, bloom_semi_agg,
+#:         z_order_code_top, group_sample_fixed_k, cooccurrence_top,
+#:         array_ops, doc_fingerprint) + backlog names 51-79 in the
+#:         oldest-added order recorded below;
 #:   r14 = backlog names 80-129;  r15 = backlog names 130-142 + the
-#:         oldest r4-era refresh.  After r15: zero never-signed
-#:         queries, no signature older than r5.
-#: Backlog tail (names 51-142, oldest-added first, for r13-r15; the
-#: two r11 additions stream_state_rescale_audit and
-#: stream_state_migration_roundtrip append after name 142, landing in
-#: the r15 window alongside the r4-era refresh):
+#:         two r11 additions (stream_state_rescale_audit,
+#:         stream_state_migration_roundtrip) + the oldest r4-era
+#:         refresh.  After r15: zero never-signed queries, no
+#:         signature older than r5.
+#: Backlog tail (names 51-142, oldest-added first, for r13-r15):
 #:   lag_feature_matrix, stream_topk_hitters, cohort_ltv_curve,
 #:   embedding_mean_shift_audit, l_diversity_audit, conformal_interval_coverage,
 #:   experiment_cumulative_lift, quantile_treatment_effect, mann_whitney_u,
@@ -126,75 +128,60 @@ _MODULES = (
 #:   candidate_key_audit, overlap_coefficient_pairs
 #: Exactly 50 names.  Unlisted queries follow in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # added in 72f2675
-    "suggest_from_index",
-    # added in f72c7e3
-    "manifest_log_roundtrip",
-    # added in 5ceeae6
-    "manifest_checkpoint_read",
-    "manifest_delete_roundtrip",
-    "manifest_schema_evolution",
-    "manifest_zone_map_scan",
-    # added in a607870
-    "manifest_vacuum_audit",
-    "pca_top2_closed_form",
-    "phash_image_clusters",
-    "stream_dedup_within_watermark",
-    # added in d08bf6f
-    "length_bucket_padding_sweep",
-    "pseudonym_consistency_audit",
-    "truncation_loss_audit",
-    "wav_fingerprint_clusters",
-    # added in ed52f49
-    "diff_in_diff_estimate",
-    "stream_manifest_sink_versions",
-    "window_distribution_family",
-    # added in 15f214d
-    "manifest_merge_upsert",
-    "zorder_zone_map_probe",
-    # added in eb31e68
-    "code_like_score",
-    "kwic_windows",
-    "prf_query_expansion",
-    "sentence_split_stats",
-    # added in 8003bea
-    "nearest_centroid_confusion",
-    "url_parse_stats",
-    # added in 4f146c7
-    "data_contract_audit",
-    "per_type_trend_slopes",
-    # added in 3a35056
-    "delta_index_merge_read",
-    "event_runlength_islands",
-    # added in 048e141
-    "bootstrap_mean_ci",
-    "interarrival_median_gap",
-    "trimmed_mean_robust",
-    # added in 8a146bf
-    "cuped_adjusted_lift",
-    "manifest_clone_diverge",
-    "manifest_compact_optimize",
-    # added in 327fc42
-    "manifest_version_cdc",
-    # added in 7a15263
-    "geo_bbox_containment",
-    "geo_grid_density",
-    "geo_nearest_hub",
-    # added in a646b41
-    "beta_posterior_arms",
-    "pr_curve_thresholds",
-    "xcorr_hourly_lags",
-    # added in f2e7e81
-    "kmv_set_cardinality",
-    "markov_next_event_accuracy",
-    "silhouette_simplified",
-    "term_proximity_rank",
-    # added in 298b4ec
-    "anova_f_groups",
-    "hamming_binary_rerank",
-    "manifest_constraint_gate",
-    # added in e0e492d
-    "dataset_card_profile",
+    # -- the 32 r2-era signatures (latest driver evidence: round 2),
+    #    in their CORRECTNESS_r02 signing order --
+    "value_histogram",
+    "window_frames",
+    "udf_quality_score",
+    "grouped_agg_udf",
+    "grouped_map_stats",
+    "multimodal_decode",
+    "udtf_tokens",
+    "sql_registered_udf",
+    "scalar_subquery_avg",
+    "exists_subquery",
+    "in_subquery",
+    "train_test_split",
+    "stratified_sample",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "ngram_jaccard",
+    "date_functions",
+    "string_functions",
+    "math_functions",
+    "map_ops",
+    "json_struct_extract",
+    "levenshtein_names",
+    "doc_quality_signals",
+    "token_jaccard_pairs",
+    "embed_label_profile",
+    "label_centroids",
+    "range_join_clicks",
+    "offset_page",
+    "sliding_window_counts",
+    "session_window_agg",
+    "nulls_ordering",
+    "grouping_sets_agg",
+    # -- the 18 oldest r3-era signatures (latest driver evidence:
+    #    round 3), in their CORRECTNESS_r03 signing order --
+    "range_frame_hour",
+    "interval_join_global",
+    "event_type_sequences",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "gopher_quality_filter",
+    "hll_merge_distinct",
+    "top_ngram_repetition",
 )
 
 _loaded = False
