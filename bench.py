@@ -364,13 +364,12 @@ BENCH_QUERIES = [
 #: Anything registered and not named here runs: main() appends every
 #: remaining registry query after BENCH_QUERIES, so a new query is
 #: benched by default and an exclusion is an explicit, reviewed line.
-BENCH_EXCLUDED: dict[str, str] = {
-    "stream_dedup_within_watermark": (
-        "per-key eviction-timer state costs ~58 s per drain at sf0.1 "
-        "(measured r10) — would dominate the sweep total and mask real "
-        "regressions; keeps oracle + full-suite coverage"
-    ),
-}
+#: Empty since r12 (VERDICT r11 task 4): the one prior entry,
+#: stream_dedup_within_watermark, measured ~58 s/drain in r10 but that
+#: cost no longer reproduces (4.7 s/drain at sf0.1 measured r12, 4
+#: micro-batches at maxFilesPerTrigger=2) — every registry query is in
+#: the sweep.
+BENCH_EXCLUDED: dict[str, str] = {}
 
 #: Iterative queries coordinate their rounds (centroid collects, rank
 #: checkpoints, CC convergence) while the DataFrame is being BUILT, so
@@ -473,6 +472,8 @@ ITERATIVE = {
     "multi_table_publish",
     # MV parquet write runs during build
     "mv_staleness_probe",
+    # r12: unexcluded — micro-batch drain runs during build
+    "stream_dedup_within_watermark",
     # r11 sweep-gap closure: micro-batch drains run during build
     "stream_dedup_counts",
     "stream_session_append",

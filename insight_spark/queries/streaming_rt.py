@@ -124,14 +124,23 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 through the streaming engine: every chunk file arrives TWICE
-    (8 micro-batches); ``dropDuplicates("event_id")`` keyed state
-    discards the replayed rows across batch boundaries, so the counts
-    equal the batch counts over the original events — exactly-once
-    semantics under at-least-once delivery, driver-checked."""
+    """K5 through the streaming engine: every chunk file arrives TWICE;
+    ``dropDuplicates("event_id")`` keyed state discards the replayed
+    rows across batch boundaries, so the counts equal the batch counts
+    over the original events — exactly-once semantics under
+    at-least-once delivery, driver-checked.
+
+    2 files per trigger (4 micro-batches over the 8 files): keyed
+    dedup is batch-slicing-invariant, and the dup copies carry fresh
+    mtimes so the file source (mtime order) delivers EVERY replay in a
+    later batch than its original — cross-batch replay dedup is still
+    what the hash proves; the coarser slicing only amortizes the
+    ~0.6 s fixed per-trigger drain cost (measured r12)."""
     from insight_spark.streaming.core import read_events_stream
 
-    events = read_events_stream(spark, _chunk_dir(spark, sf_dir, dup=True))
+    events = read_events_stream(
+        spark, _chunk_dir(spark, sf_dir, dup=True), max_files_per_trigger=2
+    )
     deduped = (
         events.withWatermark("ts", "24 hours")
         .dropDuplicates(["event_id"])
@@ -224,8 +233,12 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
+    # 2 files per trigger (3 micro-batches over 4 chunks + sentinel):
+    # session-window state still merges across batch boundaries and
+    # append-mode eviction still fires on the sentinel's watermark
+    # advance; the coarser slicing only amortizes per-trigger cost.
     events = read_events_stream(
-        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+        spark, _chunk_dir_with_sentinel(spark, sf_dir), max_files_per_trigger=2
     )
     agg = (
         events.withWatermark("ts", "1 minute")
@@ -268,8 +281,9 @@ def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
+    # 2 files per trigger — same slicing argument as the session query.
     events = read_events_stream(
-        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+        spark, _chunk_dir_with_sentinel(spark, sf_dir), max_files_per_trigger=2
     )
     agg = (
         events.withWatermark("ts", "1 minute")
@@ -387,7 +401,14 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     once), and THEN the first chunk is re-delivered — every row of it
     now days behind the watermark.  Correct K4 semantics drop the
     re-delivery entirely: the drained table equals the batch hourly
-    counts over the original events.  A leak would either re-emit
+    counts over the original events.
+
+    2 files per trigger (3 micro-batches: chunks 1-2, chunks 3-4,
+    sentinel + re-delivery): the re-delivered rows are DAYS behind
+    even the pre-sentinel watermark (max ts of chunk 4 − 1 min), so
+    the drop invariant is slicing-independent, and the last real
+    window still closes via the sentinel's advance (emitted in the
+    trailing no-data batch).  A leak would either re-emit
     closed windows (duplicate rows -> row-count mismatch) or inflate
     counts (value-hash mismatch)."""
     from insight_spark.streaming.core import (
@@ -395,7 +416,9 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
-    events = read_events_stream(spark, _chunk_dir_with_late(spark, sf_dir))
+    events = read_events_stream(
+        spark, _chunk_dir_with_late(spark, sf_dir), max_files_per_trigger=2
+    )
     agg = (
         events.withWatermark("ts", "1 minute")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -462,6 +485,10 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded state); the delivered leg is a metadata-cheap count over
     the same files (in production, the source's per-batch input-row
     metrics); the audit join is |windows|-sized.
+
+    2 files per trigger (3 micro-batches), same slicing argument as
+    K4 ``stream_late_drop``: the redelivery is days behind even the
+    pre-sentinel watermark, so ``n_late`` is slicing-independent.
     """
     from insight_spark.streaming.core import (
         read_events_stream,
@@ -469,7 +496,7 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     in_dir = _chunk_dir_with_late(spark, sf_dir)
-    events = read_events_stream(spark, in_dir)
+    events = read_events_stream(spark, in_dir, max_files_per_trigger=2)
     agg = (
         events.withWatermark("ts", "1 minute")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -527,14 +554,24 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides arrive, so the drained pair SET must equal the batch
     interval join — the oracle is that batch join.  A state-eviction
     bug (too eager) would drop pairs that span micro-batch
-    boundaries; a join-dispatch bug would duplicate them."""
+    boundaries; a join-dispatch bug would duplicate them.
+
+    2 files per trigger (2 micro-batches over the 4 ts-ordered
+    chunks): an inner stream-stream join is batch-slicing-invariant
+    (a pair emits once whenever its later side arrives, whichever
+    batch that is), and clicks preceding purchases across the
+    remaining boundary still exercise the cross-batch buffered-state
+    path; the coarser slicing only amortizes the fixed per-trigger
+    cost of the two join-state commits per batch."""
     from insight_spark.streaming.core import (
         purchase_click_join_stream,
         read_events_stream,
         run_stream_to_memory,
     )
 
-    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    events = read_events_stream(
+        spark, _chunk_dir(spark, sf_dir), max_files_per_trigger=2
+    )
     joined = purchase_click_join_stream(events)
     name = "mem_ssj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
@@ -565,7 +602,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float note: the state accumulates value in chunk-arrival order
     (deterministic — the chunk cache fixes arrival order), and the
     oracle sums in DECIMAL then rounds; at fixture magnitudes the
-    two agree at 6 decimals.
+    two agree at 6 decimals (float64 error ~1e-11 at the fixture's
+    1e4-scale totals, far inside the 6-decimal round).
+
+    2 files per trigger (2 micro-batches over the 4 ts-ordered
+    chunks): running totals are a commutative monoid, so the final
+    per-key state is slicing-invariant; cross-batch state round-trip
+    is still exercised across the remaining boundary.
     """
     from insight_spark.streaming.core import (
         read_events_stream,
@@ -573,7 +616,9 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_totals_stateful,
     )
 
-    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    events = read_events_stream(
+        spark, _chunk_dir(spark, sf_dir), max_files_per_trigger=2
+    )
     totals = user_totals_stateful(events)
     name = "mem_state_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_RT_BASE)
@@ -612,11 +657,19 @@ def stream_upsert_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's final totals — which must equal the batch aggregate.  This
     is the sink-side half of K8 the memory-sink queries don't cover:
     a partial upsert, a dropped key, or a non-idempotent merge breaks
-    row count or hash."""
+    row count or hash.
+
+    2 files per trigger (2 micro-batches over the 4 ts-ordered
+    chunks): COUNT and MAX(ts) are batch-slicing-invariant, and the
+    read-merge-write upsert path is still exercised across a batch
+    boundary (batch 2 overwrites keys batch 1 served); the coarser
+    slicing only amortizes the fixed per-trigger drain cost."""
     from insight_spark.sources.sinks import foreach_batch_upsert
     from insight_spark.streaming.core import read_events_stream
 
-    events = read_events_stream(spark, _chunk_dir(spark, sf_dir))
+    events = read_events_stream(
+        spark, _chunk_dir(spark, sf_dir), max_files_per_trigger=2
+    )
     agg = (
         events.withWatermark("ts", "24 hours")
         .groupBy("user_id")
@@ -664,6 +717,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null-side click_id is coalesced to -1 IN-PLAN (a nullable int
     column would reach pandas as float64 and break the driver's value
     hash); the sentinel's own self-match is filtered from the result.
+
+    2 files per trigger (3 micro-batches over 4 chunks + sentinel;
+    the sentinel file's mtime is newest so it stays LAST): the inner
+    path is slicing-invariant, and the eviction path still runs after
+    the sentinel batch advances both watermarks (null emissions land
+    in the trailing no-data micro-batch, which
+    ``processAllAvailable`` drains); the coarser slicing only
+    amortizes the fixed per-trigger cost of the two join-state
+    commits per batch.
     """
     from insight_spark.streaming.core import (
         read_events_stream,
@@ -671,7 +733,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = read_events_stream(
-        spark, _chunk_dir_with_sentinel(spark, sf_dir)
+        spark, _chunk_dir_with_sentinel(spark, sf_dir), max_files_per_trigger=2
     )
     clicks = (
         events.filter(F.col("event_type").isin("click", "sentinel"))
@@ -862,13 +924,19 @@ def stream_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     health metric (a dup rate that jumps from its baseline means the
     upstream producer is retrying, before anything downstream breaks).
 
-    Same fixture as K5: every chunk file arrives TWICE (8 micro-
-    batches).  ``n_accepted`` comes from the REAL streaming execution
-    (``dropDuplicates`` on event_id across batch boundaries);
-    ``n_delivered`` from a batch scan of the exact files the stream
-    source saw; the difference is the dropped-duplicate count — here
-    exactly one per event, which the oracle states in closed form
-    (delivered = 2× accepted).
+    Same fixture as K5: every chunk file arrives TWICE.  ``n_accepted``
+    comes from the REAL streaming execution (``dropDuplicates`` on
+    event_id across batch boundaries); ``n_delivered`` from a batch
+    scan of the exact files the stream source saw; the difference is
+    the dropped-duplicate count — here exactly one per event, which
+    the oracle states in closed form (delivered = 2× accepted).
+
+    2 files per trigger (4 micro-batches over the 8 files), same
+    argument as K5: dedup is slicing-invariant and the dup copies'
+    fresh mtimes put every replay in a later batch than its original,
+    so the hash still proves CROSS-BATCH replay dedup; the r11 sweep
+    entry (12 s) was 8 triggers × fixed cost under end-of-round
+    contention — see SCALE.md r12.
 
     Scale: the streaming leg is the production keyed dedup state
     (watermark-bounded); the delivered leg is a metadata-cheap count
@@ -877,7 +945,7 @@ def stream_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insight_spark.streaming.core import read_events_stream
 
     in_dir = _chunk_dir(spark, sf_dir, dup=True)
-    events = read_events_stream(spark, in_dir)
+    events = read_events_stream(spark, in_dir, max_files_per_trigger=2)
     deduped = (
         events.withWatermark("ts", "24 hours")
         .dropDuplicates(["event_id"])
@@ -919,14 +987,22 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     survives unbounded ingestion.
 
     Same duplicated-chunk input as ``stream_dedup_counts`` (every file
-    arrives twice across 8 micro-batches); replays land well inside
-    the 24 h delay, so the deduped counts must equal the batch counts
-    over the original events — the value hash proves eviction never
-    fired EARLY (a dropped key would let a replay through and inflate
-    a count)."""
+    arrives twice, replays in later batches than originals — fresh dup
+    mtimes under the file source's mtime ordering); replays land well
+    inside the 24 h delay, so the deduped counts must equal the batch
+    counts over the original events — the value hash proves eviction
+    never fired EARLY (a dropped key would let a replay through and
+    inflate a count).
+
+    2 files per trigger (4 micro-batches over the 8 files), same
+    slicing-invariance argument as K5.  Benched since r12: the r10
+    exclusion measured ~58 s/drain, which no longer reproduces
+    (4.7 s/drain measured r12 at sf0.1 — see SCALE.md)."""
     from insight_spark.streaming.core import read_events_stream
 
-    events = read_events_stream(spark, _chunk_dir(spark, sf_dir, dup=True))
+    events = read_events_stream(
+        spark, _chunk_dir(spark, sf_dir, dup=True), max_files_per_trigger=2
+    )
     deduped = (
         events.withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -1190,8 +1266,12 @@ def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         try:
+            # 2 files per trigger: the count monoid is slicing-
+            # invariant and the audit's invariants (committed conf,
+            # state-key conservation across the restart) are
+            # batch-count-independent.
             agg = (
-                read_events_stream(spark, staged)
+                read_events_stream(spark, staged, max_files_per_trigger=2)
                 .groupBy("user_id")
                 .agg(F.count("*").cast("long").alias("n_events"))
             )
@@ -1209,6 +1289,9 @@ def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", before)
 
     def _committed_parts() -> int:
+        # OffsetSeq file layout (positional, ADVICE r11): line 1 is the
+        # format version tag, line 2 is the metadata JSON carrying the
+        # pinned conf, line 3+ are per-source offsets.
         latest = max(
             (
                 f
@@ -1217,12 +1300,9 @@ def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             key=lambda f: int(os.path.basename(f)),
         )
-        for line in open(latest):
-            line = line.strip()
-            if line.startswith("{") and "conf" in line:
-                meta = json.loads(line)
-                return int(meta["conf"]["spark.sql.shuffle.partitions"])
-        raise AssertionError(f"no conf metadata in {latest}")
+        lines = open(latest).read().splitlines()
+        meta = json.loads(lines[1])
+        return int(meta["conf"]["spark.sql.shuffle.partitions"])
 
     for c in chunks[:2]:
         shutil.copy(c, staged)
@@ -1343,9 +1423,11 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         try:
+            # 2 files per trigger: SUM(w)/SUM(vu) are commutative
+            # monoids, so the migrated totals are slicing-invariant.
             agg = (
                 spark.readStream.schema("user_id long, w long, vu long")
-                .option("maxFilesPerTrigger", "1")
+                .option("maxFilesPerTrigger", "2")
                 .parquet(src_dir)
                 .groupBy("user_id")
                 .agg(
@@ -1366,6 +1448,8 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
             spark.conf.set("spark.sql.shuffle.partitions", before)
 
     def _committed_parts(ckpt: str) -> int:
+        # OffsetSeq file layout (positional, ADVICE r11): line 1 =
+        # version tag, line 2 = metadata JSON with the pinned conf.
         latest = max(
             (
                 f
@@ -1374,12 +1458,9 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
             ),
             key=lambda f: int(os.path.basename(f)),
         )
-        for line in open(latest):
-            line = line.strip()
-            if line.startswith("{") and "conf" in line:
-                meta = _json.loads(line)
-                return int(meta["conf"]["spark.sql.shuffle.partitions"])
-        raise AssertionError(f"no conf metadata in {latest}")
+        lines = open(latest).read().splitlines()
+        meta = _json.loads(lines[1])
+        return int(meta["conf"]["spark.sql.shuffle.partitions"])
 
     ck1 = os.path.join(base, "ck1")
     _run(in1, ck1, 8, "mig1_" + tag)
@@ -1411,6 +1492,12 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     ck2 = os.path.join(base, "ck2")
     _run(in2, ck2, 16, "mig2_" + tag)
     parts_after = _committed_parts(ck2)
+    # beyond_old_layout assumes SOME user key hashes to a partition id
+    # >= 8 of the 16 — certain for the fixture tiers (hundreds+ of
+    # distinct user_ids; P(all on partitions 0-7) = 0.5^n_users), but a
+    # toy fixture with only a handful of users could legitimately land
+    # all keys low and flip this bit (ADVICE r11 — documented minimum:
+    # ~20 distinct users makes a false 0 a <1e-6 event).
     beyond = (
         spark.read.format("statestore")
         .load(ck2)
