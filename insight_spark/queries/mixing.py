@@ -1645,7 +1645,7 @@ def pareto_skyline_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def skyline_users_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D Pareto skyline over an UNBOUNDED point set (M350) — the
+    """2-D Pareto skyline over an UNBOUNDED point set (M353) — the
     sort-partition-merge algorithm `pareto_skyline_sources` (M344)
     defers to when the points are data-scale, here users ranked by
     (total value, event count): a user is on the frontier iff nobody

@@ -1359,7 +1359,7 @@ def stream_state_rescale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL state-store rescale migration the rescale audit
-    (M348) licenses — executed end to end (M349): drain half the input
+    (M351) licenses — executed end to end (M352): drain half the input
     at ``shuffle.partitions = 8``, EXPORT the typed aggregation state
     with the statestore reader, re-encode it as WEIGHTED SEED RECORDS,
     and re-ingest seed + remaining input into a FRESH checkpoint at 16
@@ -1376,7 +1376,7 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
     The value-hashed row proves every leg:
     - ``parts_before`` / ``parts_after``: committed offsets metadata
-      of the two checkpoints — 8 then genuinely 16 (unlike M348's
+      of the two checkpoints — 8 then genuinely 16 (unlike M351's
       pin-don't-rescale refusal, the new checkpoint RUNS at the new
       count);
     - ``beyond_old_layout``: the new checkpoint's statestore reader

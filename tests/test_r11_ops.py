@@ -185,7 +185,7 @@ def test_plan_shape_inventory_is_fresh_and_clean():
 
 
 def test_skyline_scalable_matches_bruteforce_and_is_antichain(spark):
-    """M350 laws the value hash can't state structurally: the returned
+    """M353 laws the value hash can't state structurally: the returned
     frontier must (a) be an antichain under strict dominance, (b)
     contain the coordinate maxima, and (c) equal the brute-force
     skyline — checked on the real fixture, which exercises the range
@@ -338,7 +338,7 @@ def test_state_rescale_restart_keeps_physical_layout(spark):
 
 
 def test_state_migration_lands_on_the_new_layout(spark):
-    """M349 pin: after the export → seed → re-ingest migration, the
+    """M352 pin: after the export → seed → re-ingest migration, the
     NEW checkpoint must genuinely run at 16 partitions (committed
     offsets metadata, physical state beyond partition 7) and the
     migrated totals must equal the batch truth."""
