@@ -46,12 +46,14 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "BOUNDED_GLOBAL_WINDOW_OK",
+    "BOUNDED_GLOBAL_WINDOW_OPAQUE",
     "Finding",
     "PlanScaleError",
     "is_unpartitioned",
     "lint_query_plan",
     "physical_plan",
     "scale_audit",
+    "unproven_window_paths",
     "window_specs",
 ]
 
@@ -60,7 +62,13 @@ __all__ = [
 #: task holds metadata-scale rows, not data.  ONE list, shared by the
 #: engine-wide test guard (tests/test_plans.py) and the
 #: registration-time lint below — a new query earns an entry only with
-#: a documented bound:
+#: a documented bound.  Since r12 an entry here is a CLAIM, not a
+#: pass: ``unproven_window_paths`` machine-verifies from the physical
+#: plan that every root-to-leaf path under the global window crosses a
+#: bounding node (TakeOrdered / Limit / Aggregate); all 24 current
+#: entries PROVE their bound, and a claim the plan cannot prove fails
+#: the lint unless the query carries the separate documented
+#: ``BOUNDED_GLOBAL_WINDOW_OPAQUE`` waiver (empty today):
 #: - ks_distribution_shift: prefix-offset rollup over the 32 explicit
 #:   range partitions (<= 32 rows; data-scale CDF windows are
 #:   partitioned by pid).
@@ -140,6 +148,118 @@ BOUNDED_GLOBAL_WINDOW_OK = frozenset(
 )
 
 
+#: Queries whose unpartitioned window reads a SHAPE-OPAQUE input — a
+#: ``Scan ExistingRDD`` (localCheckpoint) whose row bound the plan
+#: string cannot show.  The machine check below proves boundedness
+#: from the plan for every BOUNDED_GLOBAL_WINDOW_OK entry; an entry
+#: lands HERE only when the bound is real but materialized behind a
+#: checkpoint, with the bound documented per name.  Kept separate so
+#: "provable" never silently degrades to "waived".
+BOUNDED_GLOBAL_WINDOW_OPAQUE: frozenset[str] = frozenset()
+
+#: Plan nodes that BOUND the rows flowing up through them: anything
+#: above one of these sees at most k / |group-domain| rows, not data.
+_BOUNDING_NODES = (
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+)
+
+#: Leaf scans that are data-scale (unbounded unless a bounder sits
+#: between them and the window).
+_DATA_LEAVES = (
+    "FileScan",
+    "BatchScan",
+    "Scan parquet",
+    "Scan csv",
+    "Scan json",
+    "Scan orc",
+    "Scan text",
+    "Scan JDBCRelation",
+    "Range (",
+)
+
+#: Leaf scans whose row count the plan cannot show (localCheckpoint /
+#: cached RDD) — bounded only by out-of-band knowledge, so they need a
+#: BOUNDED_GLOBAL_WINDOW_OPAQUE waiver.
+_OPAQUE_LEAVES = ("Scan ExistingRDD",)
+
+
+def _node_column(line: str) -> int:
+    """Tree depth of a physical-plan line = the column where its node
+    text starts (children print 3 columns deeper than their parent;
+    the leading markers are drawn from ``' '``, ``':'``, ``'+'``,
+    ``'-'``)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _node_text(line: str) -> str:
+    """Node text with tree markers and the WholeStageCodegen ``*(n)``
+    tag stripped."""
+    s = line.lstrip(" :+-")
+    if s.startswith("*("):
+        s = s.split(") ", 1)[-1]
+    return s
+
+
+def unproven_window_paths(plan: str) -> list[str]:
+    """Machine check for the bounded-window exemptions (VERDICT r11
+    task 8): for every UNPARTITIONED Window node, walk its subtree and
+    require that each root-to-leaf path passes a bounding node
+    (TakeOrdered / Limit / Aggregate) before reaching a data-scale
+    leaf scan.  Returns one detail string per window that fails the
+    proof — empty means every global window in this plan is provably
+    bounded from the plan alone.
+
+    Pass-through nodes (Sort, Project, Filter, Exchange, joins,
+    Generate) neither bound nor fail: a join/explode under an
+    already-bounded leg stays bounded by the waiver's documented
+    argument (calendar grids, k×k fusions), while an UNBOUNDED leg
+    below them is still caught at its own leaf.  Opaque leaves
+    (``Scan ExistingRDD`` — localCheckpoint) fail the proof; a query
+    whose bound is real but checkpoint-hidden belongs in
+    ``BOUNDED_GLOBAL_WINDOW_OPAQUE``."""
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    failures: list[str] = []
+    for i, ln in enumerate(lines):
+        text = _node_text(ln)
+        if not text.startswith("Window "):
+            continue
+        specs = window_specs(ln)
+        if not specs or not any(is_unpartitioned(s) for s in specs):
+            continue
+        base = _node_column(ln)
+        bounder_cols: list[int] = []
+        verdict: str | None = None
+        for sub in lines[i + 1 :]:
+            col = _node_column(sub)
+            if col <= base:
+                break
+            # a bounder covers exactly its own subtree (columns deeper
+            # than its own); leaving that subtree pops it
+            bounder_cols = [c for c in bounder_cols if col > c]
+            name = _node_text(sub)
+            if name.startswith(_BOUNDING_NODES):
+                bounder_cols.append(col)
+                continue
+            if name.startswith(_OPAQUE_LEAVES) and not bounder_cols:
+                verdict = f"opaque leaf under global window: {name[:80]}"
+                break
+            if name.startswith(_DATA_LEAVES) and not bounder_cols:
+                verdict = (
+                    f"data-scale leaf under global window with no "
+                    f"bounding node on the path: {name[:80]}"
+                )
+                break
+        if verdict:
+            failures.append(verdict)
+    return failures
+
+
 class PlanScaleError(AssertionError):
     """A declared query planned a fatal scale-killer shape.
 
@@ -170,6 +290,20 @@ def lint_query_plan(name: str, df: DataFrame) -> None:
     if fatal:
         detail = "; ".join(f"{f.rule}: {f.detail}" for f in fatal)
         raise PlanScaleError(f"query '{name}' plans a scale-killer — {detail}")
+    # An allowlist entry is a CLAIM of boundedness, not a blanket pass
+    # (VERDICT r11 task 8): machine-verify the claim from the plan —
+    # every root-to-leaf path under each global window must cross a
+    # bounding node.  Shape-opaque inputs need the separate documented
+    # waiver; nothing else gets through unproven.
+    if name in BOUNDED_GLOBAL_WINDOW_OK and (
+        name not in BOUNDED_GLOBAL_WINDOW_OPAQUE
+    ):
+        unproven = unproven_window_paths(physical_plan(df))
+        if unproven:
+            raise PlanScaleError(
+                f"query '{name}' is on the bounded-window allowlist but "
+                f"its plan does not PROVE the bound — {unproven[0]}"
+            )
 
 
 @dataclass(frozen=True)

@@ -460,7 +460,9 @@ def test_no_rowwise_python_anywhere_in_bench_surface(spark):
 # same code and the same exemption list.
 from insight_spark.plans.audit import (  # noqa: E402
     BOUNDED_GLOBAL_WINDOW_OK as _SHARED_WINDOW_OK,
+    BOUNDED_GLOBAL_WINDOW_OPAQUE as _SHARED_WINDOW_OPAQUE,
     is_unpartitioned as _is_unpartitioned,
+    unproven_window_paths as _unproven_window_paths,
     window_specs as _window_specs,
 )
 
@@ -479,14 +481,61 @@ def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
     regression at test time instead of in a 100 TB run."""
     offenders = {}
     for name, fn in all_queries().items():
-        if name in _BOUNDED_GLOBAL_WINDOW_OK:
-            continue
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        if name in _BOUNDED_GLOBAL_WINDOW_OK:
+            # an allowlist entry is a boundedness CLAIM, machine-
+            # verified from the plan (VERDICT r11 task 8): every
+            # root-to-leaf path under each global window must cross a
+            # bounding node, unless the query carries the documented
+            # shape-opaque waiver
+            if name in _SHARED_WINDOW_OPAQUE:
+                continue
+            unproven = _unproven_window_paths(plan)
+            if unproven:
+                offenders[name] = "UNPROVEN waiver: " + unproven[0][:120]
+            continue
         bad = [s for s in _window_specs(plan) if _is_unpartitioned(s)]
         if bad:
             offenders[name] = bad[0][:120]
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_unproven_window_checker_catches_unbounded_shape(spark):
+    """Negative control for the bounded-window machine check: a global
+    rank window directly over the full parquet scan must FAIL the
+    proof, and the same window over a TakeOrdered head or a
+    post-aggregate grid must PASS it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from insight_spark.plans.audit import unproven_window_paths
+    from insight_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    w = Window.orderBy("ts", "event_id")
+
+    bad = ev.withColumn("rn", F.row_number().over(w))
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert unproven_window_paths(plan), "unbounded global window passed"
+
+    good_limit = (
+        ev.orderBy("ts", "event_id")
+        .limit(5)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    plan = good_limit._jdf.queryExecution().executedPlan().toString()
+    assert not unproven_window_paths(plan), "limit-bounded window failed"
+
+    good_agg = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("event_type"))
+        )
+    )
+    plan = good_agg._jdf.queryExecution().executedPlan().toString()
+    assert not unproven_window_paths(plan), "agg-bounded window failed"
 
 
 def test_winnowing_map_only(spark):
