@@ -528,7 +528,11 @@ def main() -> None:
     # JSON line as "stress_subset".  Must be set before the query
     # modules import (they read it at module load).
     if os.path.normpath(sf_dir).endswith("sf0.1"):
-        os.environ.setdefault("SPARK_GRAFT_STRESS_SUBSET", "1")
+        # fails loudly if the frozen-at-import modules already loaded
+        # with the flag unset (ADVICE r11)
+        from insight_spark.queries import require_stress_subset
+
+        require_stress_subset()
     stress_subset = bool(os.environ.get("SPARK_GRAFT_STRESS_SUBSET"))
 
     from insight_spark.engine import get_spark

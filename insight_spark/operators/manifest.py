@@ -146,6 +146,24 @@ def log_append(
     staged_schema = (
         df.drop(*partition_by).schema if partition_by else df.schema
     )
+    # A PARTITIONED append onto a table with committed plain appends
+    # (or vice versa) would record a table-level schema inconsistent
+    # with the PHYSICAL bytes of the earlier files, because the
+    # partition columns move out of the leaf files (ADVICE r11):
+    # require the partition-dropped staged schema to match the prior
+    # manifest's, so mixing layouts fails at commit, not at read.
+    # Plain appends stay free to evolve additively (mergeSchema reads
+    # — see manifest_schema_evolution).
+    if partition_by and expected_version > 0:
+        prior_schema = prior["schema"]
+        if staged_schema.jsonValue() != prior_schema:
+            raise ValueError(
+                "partitioned append's leaf-file schema differs from "
+                "the table's committed manifest schema (mixing "
+                "partition_by and plain appends on one table?) — "
+                "migrate via log_overwrite instead: "
+                f"staged={staged_schema.simpleString()}"
+            )
     manifest = {
         "version": new_version,
         "op": op,

@@ -186,6 +186,39 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 
 _loaded = False
 
+#: Query modules that freeze SPARK_GRAFT_STRESS_SUBSET at import time
+#: (their O(n²)-baseline oracle SQL is an f-string baked then).
+_SUBSET_FROZEN_MODULES = (
+    "insight_spark.queries.pipeline_extra",
+    "insight_spark.queries.text_extra",
+    "insight_spark.queries.corpus_extra",
+)
+
+
+def require_stress_subset() -> None:
+    """Turn on the stress-tier md5-sample subset for the three
+    O(n²)-by-design exact baselines — FAILING LOUDLY if their modules
+    already imported with the flag unset (ADVICE r11: the subset
+    choice freezes at module import, so a late flag flip would
+    silently run the full quadratic form at sf0.1 — answers stay
+    right, wall clock blows up).  Entry points (bench, driver_sim,
+    check_queries) call this BEFORE touching the registry."""
+    import sys
+
+    if os.environ.get("SPARK_GRAFT_STRESS_SUBSET"):
+        return  # set before any import — modules saw/will see it
+    frozen = [m for m in _SUBSET_FROZEN_MODULES if m in sys.modules]
+    if frozen:
+        raise RuntimeError(
+            "SPARK_GRAFT_STRESS_SUBSET requested after these modules "
+            f"already imported with it unset: {frozen} — the subset "
+            "is frozen at import, so this run would silently execute "
+            "the full O(n²) baselines.  Set the env var before the "
+            "first insight_spark.queries import (or start a fresh "
+            "process)."
+        )
+    os.environ["SPARK_GRAFT_STRESS_SUBSET"] = "1"
+
 #: Registration-time plan lint default (VERDICT r10 task 8): ON, so a
 #: new query with a scale-killer plan fails the moment a dev builds it
 #: — not at the next full suite run (rounds 5 and 6 each shipped one

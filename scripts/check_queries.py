@@ -31,7 +31,11 @@ def main() -> int:
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     if os.path.normpath(sf_dir).endswith("sf0.1"):
-        os.environ.setdefault("SPARK_GRAFT_STRESS_SUBSET", "1")
+        # loud-failure form: refuses if the frozen-at-import modules
+        # already loaded with the flag unset (ADVICE r11)
+        from insight_spark.queries import require_stress_subset
+
+        require_stress_subset()
 
     from pyspark.sql import SparkSession
 

@@ -27,7 +27,11 @@ def main() -> int:
     # oracle SQL is rendered at import time).  The driver tier
     # (sf0.01/sf0.001) keeps exact full-corpus oracles.
     if os.path.normpath(sf_dir).endswith("sf0.1"):
-        os.environ.setdefault("SPARK_GRAFT_STRESS_SUBSET", "1")
+        # loud-failure form: refuses if the frozen-at-import modules
+        # already loaded with the flag unset (ADVICE r11)
+        from insight_spark.queries import require_stress_subset
+
+        require_stress_subset()
 
     from pyspark.sql import SparkSession
 

@@ -43,6 +43,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: Queries whose RETURNED DataFrame is deliberately a driver-local
+#: result (collected inside the build for resource-lifetime reasons),
+#: so the recorded shape is a trivial LocalTableScan and says nothing
+#: about the query's real read path (ADVICE r11).  The shape
+#: regression gate does not see these queries' plans; their read-path
+#: coverage lives in their oracle + docstring.
+SHAPE_OPAQUE = {
+    "csv_corrupt_records_audit": (
+        "collects eagerly at build time (cached corrupt-record CSV "
+        "must be unpersisted in a finally) and returns a local 1-row "
+        "frame — the real CSV-read plan never reaches this inventory"
+    ),
+}
+
 _ARROW_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -96,7 +110,7 @@ def main() -> int:
         if s["cartesian"] or s["batch_eval_python"]
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    doc = {"sf_dir": SF_DIR, "shapes": out}
+    doc = {"sf_dir": SF_DIR, "shapes": out, "shape_opaque": SHAPE_OPAQUE}
     if errors:
         doc["errors"] = errors
     if not sys.argv[1:]:  # full runs own the committed artifact

@@ -375,3 +375,34 @@ def test_publish_set_pins_versions_and_rejects_unknown(spark, tmp_path):
     # pinning a version that doesn't exist refuses
     with pytest.raises(ValueError):
         publish_set(meta, {t1: 99})
+
+
+def test_partitioned_append_layout_mixing_fails_at_commit(spark, tmp_path):
+    """ADVICE r11 guard: a partitioned append onto a table whose
+    committed manifests carry a different leaf-file schema (plain
+    appends keep all columns in the bytes; partitioned appends move
+    the partition columns into the path) must fail AT COMMIT — the
+    table-level schema would otherwise misdescribe the earlier files.
+    Same-layout partitioned appends stay allowed; plain appends keep
+    their additive-evolution freedom."""
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    a = orders.filter(F.col("o_orderkey") <= 100)
+    b = orders.filter(
+        (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+    )
+
+    # plain then partitioned: leaf schema shrinks -> commit refused
+    tbl = str(tmp_path / "mixed")
+    log_append(a, tbl)
+    with pytest.raises(ValueError, match="partitioned append"):
+        log_append(b, tbl, partition_by=["o_orderstatus"])
+    assert latest_version(tbl) == 1  # nothing committed by the failure
+
+    # partitioned then SAME-layout partitioned: fine
+    tbl2 = str(tmp_path / "parts")
+    log_append(a, tbl2, partition_by=["o_orderstatus"])
+    log_append(b, tbl2, partition_by=["o_orderstatus"])
+    got = read_snapshot(spark, tbl2)
+    assert got.count() == a.count() + b.count()
