@@ -499,6 +499,10 @@ ITERATIVE = {
     "stream_state_rescale_audit",
     # two stream drains + state export/re-ingest run during build
     "stream_state_migration_roundtrip",
+    # r12 additions: RocksDB drain / metadata+reader scans run during
+    # build
+    "stream_rocksdb_state_audit",
+    "stream_state_metadata_audit",
     # range-stage localCheckpoint + P-row partition stats run during build
     "skyline_users_scalable",
 }

@@ -91,9 +91,10 @@ _MODULES = (
 #:         oldest-added order recorded below;
 #:   r14 = backlog names 80-129;  r15 = backlog names 130-142 + the
 #:         two r11 additions (stream_state_rescale_audit,
-#:         stream_state_migration_roundtrip) + the oldest r4-era
-#:         refresh.  After r15: zero never-signed queries, no
-#:         signature older than r5.
+#:         stream_state_migration_roundtrip) + the two r12 additions
+#:         (stream_rocksdb_state_audit, stream_state_metadata_audit)
+#:         + the oldest r4-era refresh.  After r15: zero never-signed
+#:         queries, no signature older than r5.
 #: Backlog tail (names 51-142, oldest-added first, for r13-r15):
 #:   lag_feature_matrix, stream_topk_hitters, cohort_ltv_curve,
 #:   embedding_mean_shift_audit, l_diversity_audit, conformal_interval_coverage,

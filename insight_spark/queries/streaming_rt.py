@@ -1525,3 +1525,219 @@ def stream_state_migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("totals_checksum"),
         F.sum("vu").cast("long").alias("sum_micro"),
     )
+
+
+@query(
+    "stream_rocksdb_state_audit",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT 'RocksDBStateStoreProvider' AS provider,
+           CAST(8 AS INT) AS state_partitions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_state_keys,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS n_events,
+           (SELECT CAST(SUM(user_id * n) AS BIGINT) FROM t)
+               AS totals_checksum
+    """,
+)
+def stream_rocksdb_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB state backend, executed (M354): the same keyed
+    aggregation the K-surface drains everywhere, run under
+    ``RocksDBStateStoreProvider`` instead of the default HDFS-backed
+    in-memory provider — the backend every stateful Spark job at real
+    scale uses, because HDFSBackedStateStore keeps each partition's
+    ENTIRE key map on-heap (state size is bounded by executor memory)
+    while RocksDB spills to local SSD and holds only the working set.
+    streaming/core.py has carried this as a posture note since K1
+    ("at real scale the state store backend is RocksDB"); this query
+    turns the posture into driver-checked evidence.
+
+    The value-hashed row proves the full contract:
+    - ``provider``: parsed from the checkpoint's committed OFFSETS
+      METADATA (``conf["spark.sql.streaming.stateStore.providerClass"]``
+      basename) — physical proof the drain really ran RocksDB, not a
+      config echo (Spark pins the provider in the checkpoint exactly
+      like the shuffle-partition count the rescale audit leans on);
+    - ``state_partitions``: pinned to 8 inside the query so the row
+      is session-independent (the driver's vanilla session runs 16);
+    - ``n_state_keys``: distinct keys the statestore READER finds in
+      the RocksDB checkpoint after the drain — the reader is
+      provider-agnostic, so this also proves cross-provider read
+      compatibility (export tooling written against the default
+      provider keeps working on RocksDB checkpoints);
+    - ``n_users`` / ``n_events`` / ``totals_checksum``: the drained
+      totals equal the batch aggregate — backend swap changes no
+      semantics.
+
+    2 files per trigger (2 micro-batches over the 4 ts-ordered
+    chunks): the count monoid is slicing-invariant; cross-batch
+    RocksDB state round-trip (put → commit → get at the next batch)
+    is exercised across the remaining boundary.
+    """
+    import glob as _glob
+    import json as _json
+
+    from insight_spark.streaming.core import read_events_stream
+
+    in_dir = _chunk_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rocks_", dir=_RT_BASE)
+    name = "mem_rocks_" + hashlib.md5((sf_dir + ckpt).encode()).hexdigest()[:8]
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(provider_conf, None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        agg = (
+            read_events_stream(spark, in_dir, max_files_per_trigger=2)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+
+    # committed offsets metadata (positional: line 2) — the engine's
+    # own record of the provider the state was written with
+    latest = max(
+        (
+            f
+            for f in _glob.glob(os.path.join(ckpt, "offsets", "*"))
+            if os.path.basename(f).isdigit()
+        ),
+        key=lambda f: int(os.path.basename(f)),
+    )
+    meta = _json.loads(open(latest).read().splitlines()[1])
+    provider = meta["conf"][provider_conf].rsplit(".", 1)[-1]
+    parts = int(meta["conf"]["spark.sql.shuffle.partitions"])
+    n_state_keys = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select("key.user_id")
+        .distinct()
+        .count()
+    )
+    return spark.table(name).agg(
+        F.lit(provider).alias("provider"),
+        F.lit(parts).cast("int").alias("state_partitions"),
+        F.count("*").cast("long").alias("n_users"),
+        F.lit(n_state_keys).cast("long").alias("n_state_keys"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.col("user_id") * F.col("n"))
+        .cast("long")
+        .alias("totals_checksum"),
+    )
+
+
+@query(
+    "stream_state_metadata_audit",
+    oracle="""
+    SELECT 'dedupe' AS operator_name,
+           'default' AS state_store_name,
+           CAST(8 AS INT) AS num_partitions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_state_keys
+    UNION ALL
+    SELECT 'stateStoreSave', 'default', CAST(8 AS INT),
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events)
+    """,
+)
+def stream_state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint OPERATOR-METADATA inventory (M355): Spark 4's
+    ``state-metadata`` reader over a two-stateful-operator checkpoint
+    (keyed dedup feeding a keyed aggregation) — the ops-facing
+    catalog of WHAT state a checkpoint holds, which every state
+    procedure in this engine (the rescale audit, the typed-export
+    migration, any retention/debug tooling) needs before it can read
+    a single row: operator ids to address the statestore reader,
+    partition counts to size the work, store names for multi-store
+    operators (stream-stream joins keep four).
+
+    One row per stateful operator, joined to the per-operator key
+    count the statestore reader finds at that ``operatorId`` — so the
+    hash proves (a) the planner registered exactly the two operators
+    the query declares, dedup ABOVE the agg (its state is the full
+    event_id set; the agg's is the |event_type| grid), (b) both run
+    at the pinned 8 partitions regardless of session config (the
+    driver's vanilla session runs 16 — same session-independence trick
+    as the rescale audit), and (c) metadata operator ids really
+    address the matching stores (a swapped id would cross the key
+    counts).
+
+    Scale: the metadata read is one row per (operator, store) —
+    catalog-sized; the per-operator counts are distributed reader
+    scans keyed by the metadata's ids.  2 files per trigger, same
+    slicing argument as K5.
+    """
+    from insight_spark.streaming.core import read_events_stream
+
+    in_dir = _chunk_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_md_", dir=_RT_BASE)
+    name = "mem_md_" + hashlib.md5((sf_dir + ckpt).encode()).hexdigest()[:8]
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        deduped = (
+            read_events_stream(spark, in_dir, max_files_per_trigger=2)
+            .withWatermark("ts", "24 hours")
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    ops = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select("operatorId", "operatorName", "stateStoreName", "numPartitions")
+        .collect()
+    )  # catalog-sized: one row per stateful operator
+    rows = []
+    for op in ops:
+        n_keys = (
+            spark.read.format("statestore")
+            .option("operatorId", op["operatorId"])
+            .load(ckpt)
+            .count()
+        )
+        rows.append(
+            (
+                op["operatorName"],
+                op["stateStoreName"],
+                op["numPartitions"],
+                n_keys,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "operator_name string, state_store_name string, "
+        "num_partitions int, n_state_keys long",
+    )
