@@ -505,6 +505,10 @@ ITERATIVE = {
     "stream_state_metadata_audit",
     # range-stage localCheckpoint + P-row partition stats run during build
     "skyline_users_scalable",
+    # AQE plan-probe collects (skew split / SMJ->BHJ switch are only
+    # observable from an EXECUTED adaptive plan) run during build
+    "aqe_skew_join_audit",
+    "aqe_bhj_switch_audit",
 }
 
 

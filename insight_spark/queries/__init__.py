@@ -61,6 +61,7 @@ _MODULES = (
     "insight_spark.queries.mixing",
     "insight_spark.queries.langtok",
     "insight_spark.queries.geo",
+    "insight_spark.queries.optimizer_rt",
 )
 
 #: Driver-facing registration order.  The external correctness driver
@@ -91,8 +92,10 @@ _MODULES = (
 #:         oldest-added order recorded below;
 #:   r14 = backlog names 80-129;  r15 = backlog names 130-142 + the
 #:         two r11 additions (stream_state_rescale_audit,
-#:         stream_state_migration_roundtrip) + the two r12 additions
-#:         (stream_rocksdb_state_audit, stream_state_metadata_audit)
+#:         stream_state_migration_roundtrip) + the five r12 additions
+#:         (stream_rocksdb_state_audit, stream_state_metadata_audit,
+#:         aqe_skew_join_audit, aqe_bhj_switch_audit,
+#:         runtime_bloom_join_audit)
 #:         + the oldest r4-era refresh.  After r15: zero never-signed
 #:         queries, no signature older than r5.
 #: Backlog tail (names 51-142, oldest-added first, for r13-r15):

@@ -11,10 +11,45 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as contract
+from insight_spark.engine import LOCAL_PERF_CONF, SEMANTIC_CONF
 from tests.oracle_harness import canonical_rows, compare_query
 
 ALL = sorted(contract.queries().keys())
 ORACLED = sorted(contract.oracle_sql().keys())
+
+#: Planner-relevant session confs no query may leave modified — every
+#: query shares ONE session, so a leaked threshold (a plan probe's
+#: 256-byte advisory partition size, a streaming drain's partition
+#: pin, a RocksDB provider switch) silently re-plans every query that
+#: runs after it.  The engine's own contract confs plus every knob the
+#: in-query probes touch.
+_GUARDED_CONFS = sorted(
+    set(SEMANTIC_CONF)
+    | set(LOCAL_PERF_CONF)
+    | {
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.files.maxPartitionBytes",
+    }
+)
+
+
+def _conf_snapshot(spark):
+    out = {}
+    for k in _GUARDED_CONFS:
+        try:
+            out[k] = spark.conf.get(k)
+        except Exception:
+            out[k] = None
+    return out
 
 
 def test_every_oracle_has_query():
@@ -37,11 +72,22 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 @pytest.mark.parametrize("name", ALL)
 def test_determinism(spark, sf_dir, name):
     fn = contract.queries()[name]
+    conf_before = _conf_snapshot(spark)
     a = fn(spark, sf_dir)
     rows_a = canonical_rows(a.columns, [tuple(r) for r in a.collect()])
     b = fn(spark, sf_dir)
     rows_b = canonical_rows(b.columns, [tuple(r) for r in b.collect()])
     assert rows_a == rows_b, f"{name} is nondeterministic across runs"
+    conf_after = _conf_snapshot(spark)
+    drift = {
+        k: (conf_before[k], conf_after[k])
+        for k in _GUARDED_CONFS
+        if conf_before[k] != conf_after[k]
+    }
+    assert not drift, (
+        f"{name} leaked session confs (every later query in the shared "
+        f"session would re-plan under them): {drift}"
+    )
 
 
 def test_entry_smoke(spark):
