@@ -77,13 +77,41 @@ COLLECT_ALLOWLIST: dict[str, tuple[int, str]] = {
     ),
 }
 
+#: file -> (single-partition-site count, why it is not a scale-killer).
+#: ``coalesce(1)`` / ``repartition(1)`` funnels a whole dataset through
+#: one task — fatal on real data, legitimate only for writing small
+#: bounded slices as single files (fixture staging, manifest commit
+#: chunks).  Same contract as the collect list: a count bump must land
+#: with its reason.
+SINGLE_PARTITION_ALLOWLIST: dict[str, tuple[int, str]] = {
+    "queries/sources_rt.py": (
+        5,
+        "compaction demo input + manifest commit chunks + corrupt-CSV "
+        "feed staging: each a filtered <=200-row slice written as one "
+        "file; the compaction docstring carries the at-scale "
+        "repartition(target_file_count) form",
+    ),
+    "queries/streaming_rt.py": (
+        1,
+        "stream file-source staging: one parquet file per micro-batch "
+        "chunk (chunk = bounded slice, the file IS the trigger unit)",
+    ),
+    "streaming/core.py": (
+        1,
+        "single-file staging for the file-source fixture writer (same "
+        "chunk-per-trigger contract)",
+    ),
+}
+
 _COLLECT = re.compile(r"\.collect\(\)")
 _PANDAS = re.compile(r"\.toPandas\(\)|\.toLocalIterator\(\)")
+_ONE_PART = re.compile(r"\.(?:coalesce|repartition)\(1\)")
 
 
-def _scan() -> tuple[dict[str, int], dict[str, int]]:
+def _scan() -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
     collects: dict[str, int] = {}
     pandas: dict[str, int] = {}
+    one_part: dict[str, int] = {}
     for root, _dirs, files in os.walk(PKG):
         for f in files:
             if not f.endswith(".py"):
@@ -97,11 +125,14 @@ def _scan() -> tuple[dict[str, int], dict[str, int]]:
             m = len(_PANDAS.findall(src))
             if m:
                 pandas[rel] = m
-    return collects, pandas
+            p = len(_ONE_PART.findall(src))
+            if p:
+                one_part[rel] = p
+    return collects, pandas, one_part
 
 
 def test_collect_sites_match_documented_allowlist():
-    actual, _ = _scan()
+    actual, _, _ = _scan()
     expected = {k: v[0] for k, v in COLLECT_ALLOWLIST.items()}
     new_files = sorted(set(actual) - set(expected))
     gone_files = sorted(set(expected) - set(actual))
@@ -120,10 +151,27 @@ def test_collect_sites_match_documented_allowlist():
 
 
 def test_no_topandas_in_engine_code():
-    _, pandas = _scan()
+    _, pandas, _ = _scan()
     assert not pandas, (
         f"toPandas()/toLocalIterator() in engine code: {pandas} — "
         "driver materialization in operators must go through the "
         "documented collect() allowlist (bench and tests may use "
         "toPandas; the engine package may not)."
+    )
+
+
+def test_single_partition_sites_match_documented_allowlist():
+    _, _, actual = _scan()
+    expected = {k: v[0] for k, v in SINGLE_PARTITION_ALLOWLIST.items()}
+    drift = {
+        k: (expected.get(k), actual.get(k))
+        for k in set(actual) | set(expected)
+        if expected.get(k) != actual.get(k)
+    }
+    assert not drift, (
+        f"coalesce(1)/repartition(1) inventory drifted (expected, "
+        f"actual): {drift}. A single-partition funnel is fatal on real "
+        "data; only bounded single-file fixture/commit writes are "
+        "allowed, documented in SINGLE_PARTITION_ALLOWLIST in the "
+        "same commit."
     )
