@@ -17,8 +17,12 @@ Fixture: 10 shifted-id copies of sf0.1 events (user_id/event_id
 count ACTUALLY grows 10x (verbatim duplication would only densify
 per-key traffic, leaving the state surface untested).
 
-Usage: python scripts/probe_r12.py [--rebuild]
+Usage: python scripts/probe_r12.py [--rebuild] [--x100]
 Prints one line per (query, tier) with warm best-of-2 seconds.
+``--x100`` adds a second decade (100 shifted-id copies = 10 M events
+AND 10 M distinct state keys) so the state-surface cost curve is
+measured across two decades, matching the optimizer-family probe
+(probe_r12b).
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
 FIX = "/tmp/insight_spark_probe/sf0.1x10_state"
+FIX100 = "/tmp/insight_spark_probe/sf0.1x100_state"
 
 QUERIES = (
     "stream_state_rescale_audit",
@@ -38,18 +43,18 @@ QUERIES = (
 )
 
 
-def build_fixture(spark) -> None:
+def build_fixture(spark, fix: str, mult: int) -> None:
     from pyspark.sql import functions as F
 
     from insight_spark.sources import load_table
 
-    os.makedirs(FIX, exist_ok=True)
-    out = os.path.join(FIX, "events.parquet")
+    os.makedirs(fix, exist_ok=True)
+    out = os.path.join(fix, "events.parquet")
     if os.path.exists(out):
         return
     src = load_table(spark, BASE, "events")
     copies = []
-    for i in range(10):
+    for i in range(mult):
         copies.append(
             src.withColumn(
                 "event_id",
@@ -62,8 +67,8 @@ def build_fixture(spark) -> None:
     big = copies[0]
     for c in copies[1:]:
         big = big.unionByName(c)
-    big.repartition(8).write.mode("overwrite").parquet(out)
-    print(f"built {out}", file=sys.stderr)
+    big.repartition(max(8, mult // 2)).write.mode("overwrite").parquet(out)
+    print(f"built {out} (x{mult})", file=sys.stderr)
 
 
 def main() -> None:
@@ -77,10 +82,15 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(FIX, ignore_errors=True)
-    build_fixture(spark)
+        shutil.rmtree(FIX100, ignore_errors=True)
+    build_fixture(spark, FIX, 10)
+    tiers = [("1x", BASE), ("10x", FIX)]
+    if "--x100" in sys.argv:
+        build_fixture(spark, FIX100, 100)
+        tiers.append(("100x", FIX100))
     reg = all_queries()
     for name in QUERIES:
-        for tier, sf_dir in (("1x", BASE), ("10x", FIX)):
+        for tier, sf_dir in tiers:
             fn = reg[name]
             fn(spark, sf_dir).toPandas()  # cold (builds chunk cache)
             best = float("inf")
