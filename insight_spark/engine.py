@@ -22,6 +22,7 @@ the engine assumes a partition count.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -92,3 +93,44 @@ def get_spark(app_name: str = "insight_spark") -> SparkSession:
         except Exception:
             pass  # static conf on an existing session; builder path covers it
     return spark
+
+
+@contextmanager
+def conf_override(spark: SparkSession, conf: dict[str, str]):
+    """Set session confs for a scoped probe and ALWAYS restore them.
+
+    The whole registry shares one session, so a leaked threshold (a
+    256-byte advisory partition size, a disabled broadcast threshold)
+    would silently re-plan every query that runs later — the defect
+    class the determinism gate's conf-isolation leg pins.  One shared
+    implementation so the try/except-None/unset restore contract lives
+    in exactly one place (used by queries/optimizer_rt.py and the
+    probe-restoration tests)."""
+    old: dict[str, str | None] = {}
+    for k in conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def conf_snapshot(spark: SparkSession, keys) -> dict[str, str | None]:
+    """Read the named confs, None for unresolvable keys — the compare
+    form the conf-isolation tests diff before/after a query."""
+    out: dict[str, str | None] = {}
+    for k in keys:
+        try:
+            out[k] = spark.conf.get(k)
+        except Exception:
+            out[k] = None
+    return out

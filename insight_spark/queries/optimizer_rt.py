@@ -22,37 +22,40 @@ of SURVEY §2 are the graded contract for this module.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from insight_spark.engine import conf_override
 from insight_spark.operators.relational import money, money_out
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
+#: Probe confs, exported so the restoration tests iterate EXACTLY the
+#: keys each probe touches (a hand-copied list drifted once — review
+#: finding, r12 session 2).
+SKEW_PROBE_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "16",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256b",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256b",
+}
 
-@contextmanager
-def _conf_override(spark: SparkSession, conf: dict[str, str]):
-    """Set session confs for a plan probe and ALWAYS restore them —
-    queries share one session with the whole registry, so a leaked
-    threshold would silently re-plan every later query."""
-    old: dict[str, str | None] = {}
-    for k in conf:
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    try:
-        for k, v in conf.items():
-            spark.conf.set(k, v)
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+BHJ_PROBE_CONF: dict[str, str] = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "8m",
+}
+
+BLOOM_PROBE_CONF: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "1b",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
 
 
 def _executed_plan(df: DataFrame) -> str:
@@ -105,19 +108,13 @@ def aqe_skew_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast is disabled for the probe because a broadcast join has
     no skewed shuffle to rescue — the audit targets the plan family
     where skew actually hurts.  The oracle is mechanism-blind SQL:
-    splitting is physical, so values must not move.
+    splitting is physical, so values must not move.  The audit
+    deliberately re-executes at the caller's collect instead of
+    persisting the K-row aggregate: the registry stays cache-free, and
+    the re-run is the same finalized adaptive plan (bench lists the
+    query as ITERATIVE so timings charge the whole operation).
     """
-    probe_conf = {
-        "spark.sql.shuffle.partitions": "16",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256b",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256b",
-    }
-    with _conf_override(spark, probe_conf):
+    with conf_override(spark, SKEW_PROBE_CONF):
         fact = (
             load_table(spark, sf_dir, "events")
             .select(
@@ -182,11 +179,7 @@ def aqe_bhj_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     either way); revenue accumulates in DECIMAL(38,6) before the
     rounded-double projection, per the engine-wide hash-parity rule.
     """
-    probe_conf = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "8m",
-    }
-    with _conf_override(spark, probe_conf):
+    with conf_override(spark, BHJ_PROBE_CONF):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
         )
@@ -243,24 +236,26 @@ def runtime_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join still runs on top, which is also why the oracle is the plain
     join SQL.
 
-    The assertion reads THIS dataframe's cached optimized plan (the
-    probe thresholds are active when the plan first materializes, and
-    QueryExecution memoizes it, so the driver's later collect executes
-    the asserted plan).  Spark 4.1 renders the pair as
-    ``might_contain(scalar-subquery ...)`` over ``bloom_filter_agg`` —
-    both substrings are asserted.  Probe confs: broadcast disabled
-    (the rule targets shuffle joins) and the application-side scan
-    threshold floored to 1 byte so the injection condition is scale
-    -tier-independent; a cluster keeps the 10 GiB default.
+    Plan-freezing detail (review finding, r12 session 2): BOTH the
+    optimized plan and the PHYSICAL plan are touched inside the conf
+    override.  QueryExecution memoizes each stage lazily, and physical
+    planning (JoinSelection) happens at whichever moment the physical
+    plan is first accessed — asserting only the optimized plan would
+    leave the caller's later collect to plan the join under the
+    RESTORED 32 MiB broadcast threshold, executing a broadcast join
+    that carries the injected filter redundantly.  With the physical
+    plan frozen here, the executed strategy is the shuffle join the
+    injection was licensed for (AQE may still locally re-optimize the
+    frozen adaptive plan; the injected filter rides along either way
+    and can only cost the K-sized dim subquery).  Spark 4.1 renders
+    the pair as ``might_contain(scalar-subquery ...)`` over
+    ``bloom_filter_agg`` — asserted in both plan stages.  Probe confs:
+    broadcast disabled (the injection rule targets shuffle joins) and
+    the application-side scan threshold floored to 1 byte so the
+    injection condition is scale-tier-independent; a cluster keeps the
+    10 GiB default.
     """
-    probe_conf = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "1b",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    }
-    with _conf_override(spark, probe_conf):
+    with conf_override(spark, BLOOM_PROBE_CONF):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_partkey", "l_quantity"
         )
@@ -278,10 +273,17 @@ def runtime_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p_brand", "n_rows", money_out("_sq").alias("sum_qty"))
         )
-        # force (and memoize) optimization under the probe thresholds
+        # force (and memoize) BOTH plan stages under the probe
+        # thresholds — optimization for the injection, physical
+        # planning for the shuffle-join strategy the caller executes
         oplan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in oplan and "bloom_filter_agg" in oplan, (
             "InjectRuntimeFilter did not plant a bloom filter on the "
             "fact side:\n" + oplan[:2000]
+        )
+        pplan = _executed_plan(out)
+        assert "might_contain" in pplan, (
+            "injected bloom filter missing from the physical plan:\n"
+            + pplan[:2000]
         )
     return out

@@ -19,10 +19,11 @@ per-key traffic, leaving the state surface untested).
 
 Usage: python scripts/probe_r12.py [--rebuild] [--x100]
 Prints one line per (query, tier) with warm best-of-2 seconds.
-``--x100`` adds a second decade (100 shifted-id copies = 10 M events
-AND 10 M distinct state keys) so the state-surface cost curve is
-measured across two decades, matching the optimizer-family probe
-(probe_r12b).
+``--x100`` adds a second decade: 100 shifted-id copies = 10 M events
+and 100× the distinct state keys (sf0.1 has 1,500 distinct users, so
+the key space grows 1.5 k → 15 k → 150 k — growth RATIO is the
+measured variable; absolute key counts stay fixture-sized).  Matches
+the optimizer-family probe (probe_r12b).
 """
 
 from __future__ import annotations

@@ -1,44 +1,44 @@
 """Runtime-reoptimization audit pins (M356-M358): the in-build plan
-assertions must be NON-VACUOUS (the mechanism is absent without the
-probe posture), and the probes must not leak confs into the shared
-session."""
+assertions must be NON-VACUOUS (the mechanism must be absent on the
+same SHUFFLE join without the probe posture — not merely absent
+because a broadcast join left nothing to optimize), and the probes
+must not leak confs into the shared session."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from insight_spark.engine import conf_override, conf_snapshot
 from insight_spark.queries import all_queries
+from insight_spark.queries.optimizer_rt import (
+    BHJ_PROBE_CONF,
+    BLOOM_PROBE_CONF,
+    SKEW_PROBE_CONF,
+)
 from insight_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
-_PROBE_CONFS = (
-    "spark.sql.shuffle.partitions",
-    "spark.sql.autoBroadcastJoinThreshold",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    "spark.sql.adaptive.forceOptimizeSkewedJoin",
-    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-    "spark.sql.optimizer.runtime.bloomFilter.enabled",
-    "spark.sql.optimizer.runtime.bloomFilter."
-    "applicationSideScanSizeThreshold",
+#: Exactly the keys the in-query probes touch — imported from the
+#: query module so this list cannot drift from the probes (review
+#: finding: a hand-copied list omitted skewJoin.enabled).
+_PROBE_CONFS = tuple(
+    sorted({*SKEW_PROBE_CONF, *BHJ_PROBE_CONF, *BLOOM_PROBE_CONF})
 )
+
+#: Shuffle-join posture for the non-vacuity controls: broadcast off,
+#: every skew/bloom threshold left at its DEFAULT — so the mechanism
+#: has a real sort-merge join to act on and its absence is due to the
+#: thresholds, which is the thing the controls must prove.
+_SHUFFLE_ONLY = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
 
 
 def _q(name):
     return all_queries()[name]
-
-
-def _snapshot(spark):
-    out = {}
-    for k in _PROBE_CONFS:
-        try:
-            out[k] = spark.conf.get(k)
-        except Exception:
-            out[k] = None
-    return out
 
 
 @pytest.mark.parametrize(
@@ -50,9 +50,11 @@ def test_probe_confs_restored(spark, name):
     """Queries share one session with the whole registry — a leaked
     256-byte advisory partition size or a disabled broadcast threshold
     would silently re-plan every later query."""
-    before = _snapshot(spark)
+    before = conf_snapshot(spark, _PROBE_CONFS)
     _q(name)(spark, SF_DIR).collect()
-    assert _snapshot(spark) == before, f"{name} leaked session confs"
+    assert conf_snapshot(spark, _PROBE_CONFS) == before, (
+        f"{name} leaked session confs"
+    )
 
 
 def test_skew_audit_values_and_whale_mass(spark):
@@ -73,44 +75,72 @@ def test_skew_audit_values_and_whale_mass(spark):
     assert by_seg[whale_seg] >= n // 2, "fixture lost its hot key"
 
 
-def test_skew_split_is_absent_without_probe_posture(spark):
-    """Non-vacuity control for M356: the SAME join under the session's
-    normal confs (32 MiB static broadcast, default skew thresholds)
-    must NOT carry skew=true — so the in-query assertion can only be
-    satisfied by the probe posture actually engaging AQE's splitter."""
-    ev = load_table(spark, SF_DIR, "events").select(
-        F.when(F.col("event_id") % 2 == 0, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-        .alias("acct"),
-    ).repartition(8)
-    dim = load_table(spark, SF_DIR, "customer").select(
-        F.col("c_custkey").alias("acct"), "c_mktsegment"
+def test_skew_split_absent_on_same_shuffle_join_at_default_thresholds(
+    spark,
+):
+    """Non-vacuity control for M356: the SAME join forced onto the
+    shuffle path (broadcast disabled) but with DEFAULT skew thresholds
+    (256 MiB partition threshold, factor 5) must plan a plain
+    SortMergeJoin with no skew=true — so the in-query assertion can
+    only be satisfied by the probe thresholds actually engaging AQE's
+    splitter on a sort-merge join, not by plan text that is always
+    there."""
+    with conf_override(spark, _SHUFFLE_ONLY):
+        ev = load_table(spark, SF_DIR, "events").select(
+            F.when(F.col("event_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("acct"),
+        ).repartition(8)
+        dim = load_table(spark, SF_DIR, "customer").select(
+            F.col("c_custkey").alias("acct"), "c_mktsegment"
+        )
+        out = ev.join(dim, "acct").groupBy("c_mktsegment").count()
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, (
+        "control invalid: the join did not take the shuffle path"
     )
-    out = ev.join(dim, "acct").groupBy("c_mktsegment").count()
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" not in plan
 
 
-def test_bloom_injection_absent_at_default_thresholds(spark):
-    """Non-vacuity control for M358: at the default 10 GiB
-    application-side threshold the test-tier scan is far too small, so
-    no might_contain may appear — proving the in-query assertion
-    detects the injection, not some always-present plan text."""
-    li = load_table(spark, SF_DIR, "lineitem").select(
-        "l_partkey", "l_quantity"
+def test_bloom_injection_absent_on_same_shuffle_join_at_default_thresholds(
+    spark,
+):
+    """Non-vacuity control for M358: the SAME join forced onto the
+    shuffle path but with the DEFAULT 10 GiB application-side scan
+    threshold (far above any test-tier scan) must optimize WITHOUT a
+    might_contain — proving the in-query assertion detects the
+    injection, not some always-present plan text."""
+    with conf_override(spark, _SHUFFLE_ONLY):
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_partkey", "l_quantity"
+        )
+        brand = (
+            load_table(spark, SF_DIR, "part")
+            .filter(F.col("p_brand") == "Brand#11")
+            .select("p_partkey", "p_brand")
+        )
+        out = li.join(brand, li.l_partkey == brand.p_partkey).groupBy(
+            "p_brand"
+        ).count()
+        oplan = out._jdf.queryExecution().optimizedPlan().toString()
+        pplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in pplan or "ShuffledHashJoin" in pplan, (
+        "control invalid: the join did not take the shuffle path"
     )
-    brand = (
-        load_table(spark, SF_DIR, "part")
-        .filter(F.col("p_brand") == "Brand#11")
-        .select("p_partkey", "p_brand")
-    )
-    out = li.join(brand, li.l_partkey == brand.p_partkey).groupBy(
-        "p_brand"
-    ).count()
-    oplan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" not in oplan
+
+
+def test_bloom_audit_physical_plan_keeps_shuffle_join_and_filter(spark):
+    """M358 pins the plan-freezing contract: the dataframe the audit
+    returns must carry the injected filter in its PHYSICAL plan and
+    must not have silently re-planned to a broadcast join after conf
+    restore (physical planning is memoized inside the probe posture)."""
+    df = _q("runtime_bloom_join_audit")(spark, SF_DIR)
+    pplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in pplan
+    assert "SortMergeJoin" in pplan or "ShuffledHashJoin" in pplan
 
 
 def test_bhj_switch_rowcount_matches_plain_join(spark):

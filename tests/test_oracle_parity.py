@@ -11,7 +11,16 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as contract
-from insight_spark.engine import LOCAL_PERF_CONF, SEMANTIC_CONF
+from insight_spark.engine import (
+    LOCAL_PERF_CONF,
+    SEMANTIC_CONF,
+    conf_snapshot,
+)
+from insight_spark.queries.optimizer_rt import (
+    BHJ_PROBE_CONF,
+    BLOOM_PROBE_CONF,
+    SKEW_PROBE_CONF,
+)
 from tests.oracle_harness import canonical_rows, compare_query
 
 ALL = sorted(contract.queries().keys())
@@ -21,21 +30,17 @@ ORACLED = sorted(contract.oracle_sql().keys())
 #: query shares ONE session, so a leaked threshold (a plan probe's
 #: 256-byte advisory partition size, a streaming drain's partition
 #: pin, a RocksDB provider switch) silently re-plans every query that
-#: runs after it.  The engine's own contract confs plus every knob the
-#: in-query probes touch.
+#: runs after it.  The engine's own contract confs, every knob the
+#: optimizer_rt plan probes touch (imported, so the list cannot drift
+#: from the probes), plus the streaming/scan knobs other queries pin
+#: and restore inline.
 _GUARDED_CONFS = sorted(
     set(SEMANTIC_CONF)
     | set(LOCAL_PERF_CONF)
+    | set(SKEW_PROBE_CONF)
+    | set(BHJ_PROBE_CONF)
+    | set(BLOOM_PROBE_CONF)
     | {
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin",
-        "spark.sql.adaptive.skewJoin.enabled",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "spark.sql.optimizer.runtime.bloomFilter.enabled",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold",
         "spark.sql.streaming.stateStore.providerClass",
         "spark.sql.files.maxPartitionBytes",
     }
@@ -43,13 +48,7 @@ _GUARDED_CONFS = sorted(
 
 
 def _conf_snapshot(spark):
-    out = {}
-    for k in _GUARDED_CONFS:
-        try:
-            out[k] = spark.conf.get(k)
-        except Exception:
-            out[k] = None
-    return out
+    return conf_snapshot(spark, _GUARDED_CONFS)
 
 
 def test_every_oracle_has_query():
