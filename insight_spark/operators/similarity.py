@@ -527,8 +527,16 @@ def ivf_assign_blas(
     Tie-break parity with ``ivf_assign``: the centroid matrix is
     ordered by cell_id and ``np.argmin`` returns the FIRST minimum, so
     equal distances resolve to the lowest cell_id — the same
-    (dist, cell_id) total order (asserted row-for-row equal in
-    tests/test_similarity_blas.py).
+    (dist, cell_id) total order; NaN scores are mapped to +inf so a
+    non-finite centroid sorts LAST exactly as Spark's NaN-is-largest
+    ordering places it in ``array_sort``.  Parity caveat (shared with
+    any kernel swap): the two formulations round differently —
+    sequential fold-of-squares + sqrt vs a rearranged GEMM — so two
+    centroids whose true distances agree to within ~1 ulp can in
+    principle rank in opposite order.  The fixture pin
+    (tests/test_similarity_blas.py) catches drift; at production the
+    contract that matters is the measured-recall gate, not bit-parity
+    between index variants.
 
     The centroid collect is bounded model state (K rows — the same
     driver-resident-quantizer contract as ``_centroid_scores``;
@@ -537,12 +545,7 @@ def ivf_assign_blas(
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    rows = centroids.select("cell_id", "centroid").orderBy("cell_id").collect()
-    cmat = np.asarray(
-        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
-    )
-    cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
-    c_norm2 = (cmat * cmat).sum(axis=1)
+    cmat, cell_ids, c_norm2 = _centroid_matrix(centroids)
 
     out_schema = StructType(
         list(corpus.schema.fields) + [StructField("cell_id", IntegerType())]
@@ -556,6 +559,7 @@ def ivf_assign_blas(
             # ||x||^2 is constant per row — drop it; scores are
             # monotone in true distance, argmin unchanged.
             scores = c_norm2[None, :] - 2.0 * (x @ cmat.T)
+            scores = np.where(np.isnan(scores), np.inf, scores)
             pdf = pdf.copy()
             pdf["cell_id"] = cell_ids[np.argmin(scores, axis=1)].astype(
                 "int32"
@@ -563,6 +567,20 @@ def ivf_assign_blas(
             yield pdf
 
     return corpus.mapInPandas(assign, schema=out_schema)
+
+
+def _centroid_matrix(centroids: DataFrame):
+    """Collect the quantizer once as (K×d matrix, cell_ids, ||c||²) —
+    shared by the BLAS assignment and probe-selection kernels.  Bounded
+    model state: K rows, the same contract as ``_centroid_scores``."""
+    import numpy as np
+
+    rows = centroids.select("cell_id", "centroid").orderBy("cell_id").collect()
+    cmat = np.asarray(
+        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
+    )
+    cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    return cmat, cell_ids, (cmat * cmat).sum(axis=1)
 
 
 def lsh_buckets_blas(
@@ -599,7 +617,6 @@ def lsh_buckets_blas(
     smats = [
         np.asarray(tbl, dtype=np.int64).T for tbl in plane_signs
     ]  # each (D, P)
-    n_tables = len(smats)
     pw2 = 1 << np.arange(smats[0].shape[1], dtype=np.int64)  # (P,)
 
     id_field = next(f for f in df.schema.fields if f.name == id_col)
@@ -697,19 +714,16 @@ def ivf_topk_blas(
     lowest cell_id, the same (dist, cell_id) order as the literal
     form — and the probe list joins exactly like ``ivf_topk``'s
     (broadcast, equi-join on cell_id, identical scoring + tie-break).
-    Pinned result-equal to ``ivf_topk`` in tests/test_similarity_blas.py.
+    Pinned result-equal to ``ivf_topk`` in tests/test_similarity_blas.py
+    (see ``ivf_assign_blas`` for the NaN mapping and the ~1-ulp
+    near-tie parity caveat, both shared by this kernel).
     """
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    rows = centroids.select("cell_id", "centroid").orderBy("cell_id").collect()
-    cmat = np.asarray(
-        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
-    )
-    cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
-    c_norm2 = (cmat * cmat).sum(axis=1)
-    n_probe = min(n_probe, len(rows))
+    cmat, cell_ids, c_norm2 = _centroid_matrix(centroids)
+    n_probe = min(n_probe, len(cell_ids))
 
     out_schema = StructType(
         list(queries.schema.fields) + [StructField("cell_id", IntegerType())]
@@ -721,6 +735,7 @@ def ivf_topk_blas(
                 [np.asarray(v, dtype=np.float64) for v in pdf["q_embedding"]]
             )
             scores = c_norm2[None, :] - 2.0 * (x @ cmat.T)
+            scores = np.where(np.isnan(scores), np.inf, scores)
             # stable sort: equal scores keep matrix order = cell_id order
             order = np.argsort(scores, axis=1, kind="stable")[:, :n_probe]
             reps = pdf.iloc[

@@ -11,8 +11,6 @@ correctness oracle" contract the ANN recall gates use.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from insight_spark.operators.similarity import (
@@ -26,10 +24,7 @@ from insight_spark.operators.similarity import (
     seeded_centroids,
 )
 from insight_spark.sources import load_table
-
-#: sf0.01 — enough vectors (200) that a 16-cell quantizer and the
-#: 4x6-plane bucket map are non-trivially populated.
-SF_DIR_T2 = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+from tests.conftest import SF_DIR_T2
 
 
 def _emb(spark, sf_dir):
