@@ -121,6 +121,7 @@ def lloyd(
     n_iter: int,
     vec_col: str = "e",
     id_col: str = "vec_id",
+    kernel: str = "literal",
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd rounds from the deterministic seed (the k
     smallest-id vectors) and return the final assignment with dists.
@@ -129,7 +130,16 @@ def lloyd(
     total driver traffic is n_iter·K·d integers.  Empty cells keep
     their previous centroid (cells absent from ``update_centroids`` are
     carried forward).
+
+    ``kernel`` picks the assignment implementation: ``"literal"`` (the
+    default — inlined centroid array, codegen'd, fastest at the
+    registered K=8 and what the DuckDB oracle replays) or ``"blas"``
+    (``assign_cells_blas`` — bit-identical by exact integer arithmetic,
+    the K ~ sqrt(N) scale path).  Because the swap is exact, the whole
+    training trajectory (every intermediate centroid) is identical
+    between kernels, not just the final assignment.
     """
+    assign = assign_cells if kernel == "literal" else assign_cells_blas
     seed_rows = (
         corpus.orderBy(id_col)
         .limit(k)
@@ -140,7 +150,68 @@ def lloyd(
     # reindex seed cells 0..k-1 by id order for stable cell ids
     cents = [(i, c) for i, (_, c) in enumerate(sorted(cents))]
     for _ in range(n_iter):
-        assigned = assign_cells(corpus, cents, vec_col)
+        assigned = assign(corpus, cents, vec_col)
         new = dict(update_centroids(assigned, vec_col))
         cents = [(cid, new.get(cid, c)) for cid, c in cents]
-    return assign_cells(corpus, cents, vec_col)
+    return assign(corpus, cents, vec_col)
+
+
+def assign_cells_blas(
+    df: DataFrame, cents: list[tuple[int, list[int]]], vec_col: str = "e"
+) -> DataFrame:
+    """Scale-tier assignment: the same (dist, cid) argmin as
+    ``assign_cells``, computed as one GEMM per Arrow batch instead of a
+    K·d literal expression tree per row.
+
+    Unlike the float ANN kernels (``similarity.ivf_assign_blas``) this
+    swap is EXACT at any K, with no near-tie caveat: coordinates are
+    micro-ints, so every product ``|x_i·c_i| <= (2e6)^2 = 4e12``, every
+    64-term dot ``<= 2.6e14``, and the full squared distance
+    ``|x|^2 - 2x·c + |c|^2 <= ~1e15`` — all far below 2^53, where
+    float64 arithmetic IS integer arithmetic (the semantic_dedup
+    BLAS-exactness argument).  Ties resolve to the lowest cid because
+    the centroid matrix is cid-ordered and ``np.argmin`` takes the
+    first minimum — the same total order as ``array_sort`` on
+    (dist, cid) structs.  Bit-equality with ``assign_cells`` is pinned
+    in tests/test_similarity_blas.py.
+
+    Why it exists: at the production K ~ sqrt(N) quantizer rule the
+    literal form's O(K·d) per-row expression tree leaves codegen and
+    wall clock grows N^1.5 (the probe_r12c finding on ivf_assign,
+    which shares the pattern); headroom note — per-batch score blocks
+    are B×K float64 (~100 MB at B=10k, K=1250), so raise
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` DOWN if K grows
+    past ~10k.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cents = sorted(cents)
+    cmat = np.asarray([c for _, c in cents], dtype=np.float64)  # (K, d)
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    c_norm2 = (cmat * cmat).sum(axis=1)  # exact: <= 64·4e12
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("cell", IntegerType()), StructField("dist", LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            x_norm2 = (x * x).sum(axis=1)
+            d2 = x_norm2[:, None] - 2.0 * (x @ cmat.T) + c_norm2[None, :]
+            best = np.argmin(d2, axis=1)
+            pdf = pdf.copy()
+            pdf["cell"] = cids[best].astype("int32")
+            pdf["dist"] = d2[np.arange(len(best)), best].astype("int64")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)

@@ -155,10 +155,37 @@ def lsh_scaled_blas(spark, sf_dir: str, n_corpus: int):
     )
 
 
+def _kmeans_scaled(kernel):
+    def run(spark, sf_dir: str, n_corpus: int):
+        """Leg 2d/2e: the quantizer TRAINER at K = sqrt(N), 2 Lloyd
+        rounds — literal vs BLAS assignment kernel.  Unlike the ANN
+        float kernels the swap is exact integer arithmetic, so the two
+        legs compute the identical model (pinned by
+        test_lloyd_blas_kernel_bit_identical)."""
+        from pyspark.sql import functions as F
+
+        from insight_spark.operators.clustering import lloyd, quantize_micro
+        from insight_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize_micro(F.col("embedding")).alias("e")
+        )
+        k = max(8, int(math.sqrt(n_corpus)))
+        final = lloyd(emb, k=k, n_iter=2, kernel=kernel)
+        return final.groupBy(F.col("cell").cast("int").alias("cell_id")).agg(
+            F.count("*").alias("n_points"),
+            F.sum("dist").alias("inertia_micro2"),
+        )
+
+    return run
+
+
 SCALED = {
     "ann_ivf_sqrtN_literal": ivf_scaled_literal,
     "ann_ivf_sqrtN_blas": ivf_scaled_blas,
     "ann_lsh_logN_blas": lsh_scaled_blas,
+    "kmeans_sqrtN_literal": _kmeans_scaled("literal"),
+    "kmeans_sqrtN_blas": _kmeans_scaled("blas"),
 }
 
 
@@ -179,8 +206,13 @@ def main() -> None:
     if "--x100" in sys.argv:
         build_fixture(spark, FIX100, 100)
         tiers.append(("100x", FIX100, 200000))
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     reg = all_queries()
     for name in QUERIES:
+        if only and only not in name:
+            continue
         fn = reg[name]
         for tier, sf_dir, _n in tiers:
             fn(spark, sf_dir).toPandas()  # cold
@@ -191,11 +223,13 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             print(f"{name} {tier} {best:.3f}s", flush=True)
     for name, fn in SCALED.items():
+        if only and only not in name:
+            continue
         for tier, sf_dir, n_corpus in tiers:
-            if name == "ann_ivf_sqrtN_literal" and tier == "100x":
-                # negative control only: N^1.5 measured over the first
-                # two decades (5.5 -> 19 s) projects ~10 min here —
-                # the point is already made at 10x.
+            if name.endswith("_literal") and tier == "100x":
+                # negative controls only: N^1.5 measured over the first
+                # two decades projects ~10 min per leg here — the
+                # point is already made at 10x.
                 print(f"{name} {tier} skipped (N^1.5 control)", flush=True)
                 continue
             fn(spark, sf_dir, n_corpus).toPandas()  # cold

@@ -152,3 +152,27 @@ def test_ivf_topk_blas_matches_literal_probe(spark):
         ).collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_lloyd_blas_kernel_bit_identical(spark):
+    """k-means: the BLAS assignment kernel is EXACT (micro-int products
+    stay under 2^53 in float64), so the full 2-round training
+    trajectory — every (vec_id, cell, dist) — is bit-identical to the
+    literal kernel, at a K above the literal form's codegen comfort
+    zone.  Unlike the float ANN parity pins, a mismatch here is a hard
+    bug, never rounding."""
+    from insight_spark.operators.clustering import lloyd, quantize_micro
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings").select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("e")
+    )
+    cols = ("vec_id", "cell", "dist")
+    a = sorted(
+        tuple(r[c] for c in cols)
+        for r in lloyd(emb, k=20, n_iter=2, kernel="literal").collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in cols)
+        for r in lloyd(emb, k=20, n_iter=2, kernel="blas").collect()
+    )
+    assert a == b and len(a) == emb.count()
