@@ -36,10 +36,16 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from insight_spark.engine import scratch_base
 from insight_spark.queries import query
 from insight_spark.sources import load_table
 
-_RT_BASE = "/tmp/insight_spark_stream_rt"
+#: Stream fixtures + checkpoints live on the node-local scratch root
+#: (tmpfs when available — the drains' fixed cost is small-file churn,
+#: see engine.scratch_base); created eagerly so every mkdtemp(dir=...)
+#: below has a parent.
+_RT_BASE = os.path.join(scratch_base(), "stream_rt")
+os.makedirs(_RT_BASE, exist_ok=True)
 
 
 def _chunk_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> str:

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from insight_spark.queries import all_queries
+from insight_spark.queries.streaming_rt import _RT_BASE
 from insight_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -323,7 +324,7 @@ def test_state_rescale_restart_keeps_physical_layout(spark):
     import os
 
     base = max(
-        glob.glob("/tmp/insight_spark_stream_rt/rescale_*"),
+        glob.glob(os.path.join(_RT_BASE, "rescale_*")),
         key=os.path.getmtime,
     )
     pids = [
@@ -358,7 +359,7 @@ def test_state_migration_lands_on_the_new_layout(spark):
         == ev.select("user_id").distinct().count()
     )
     base = max(
-        glob.glob("/tmp/insight_spark_stream_rt/migrate_*"),
+        glob.glob(os.path.join(_RT_BASE, "migrate_*")),
         key=os.path.getmtime,
     )
     # the seed records must carry the run-1 totals exactly (the

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from insight_spark.queries import all_queries
+from insight_spark.queries.streaming_rt import _RT_BASE
 from insight_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -44,7 +45,7 @@ def test_rocksdb_audit_leaves_a_real_rocksdb_checkpoint(spark):
     assert spark.conf.get(provider_conf, None) == before, "conf leaked"
 
     base = max(
-        glob.glob("/tmp/insight_spark_stream_rt/ckpt_rocks_*"),
+        glob.glob(os.path.join(_RT_BASE, "ckpt_rocks_*")),
         key=os.path.getmtime,
     )
     state_files = [
