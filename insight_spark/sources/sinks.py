@@ -216,10 +216,20 @@ def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
             ).unionByName(new)
         except Exception:
             merged = new
-        tmp = os.path.join(out_dir, f"_staging_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        # The merge reads the very files it is about to replace, so the
+        # overwrite needs a barrier.  r12 (guide §1.2/§6): that barrier
+        # used to be a full staging WRITE + read-back + REWRITE — three
+        # jobs and 2× the serving bytes per micro-batch.  A serving
+        # upsert table is key-bounded (one row per key), so an eager
+        # localCheckpoint materializes the merge off the old files in
+        # one pass and the overwrite becomes the only write job.
+        # coalesce(1) sizes the output for a key-bounded table (guide
+        # §6 small-files: the 8-shuffle-partition agg otherwise leaves
+        # 8 tiny files per version for every later batch/reader to
+        # re-open); a cluster serving a large key space would
+        # repartition to a target file size here instead.
+        merged = merged.coalesce(1).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
 
     return upsert
 
