@@ -55,21 +55,44 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
-    ranks = nodes.select(
-        "node", F.lit(SCALE // n).cast("long").alias("p")
-    )
-    for _ in range(n_iter):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                F.expr(
-                    f"({DAMP_NUM} * p * w) div ({DAMP_DEN} * wout)"
-                ).alias("c"),
+    # n_iter == 0 keeps the old contract: the uniform init table.
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("p"))
+    for it in range(n_iter):
+        if it == 0:
+            # Round 0 is join-free (r12, the components.py round-0
+            # lesson): the init rank is the SAME constant SCALE div n
+            # for every node, so joining edges to a |V|-row rank table
+            # only to read that constant back is a wasted V-sized
+            # shuffle — substitute the literal into the identical
+            # integer expression and aggregate straight off the edges.
+            # Bit-equal by construction: same `(85·p·w) div (100·wout)`
+            # arithmetic with p bound to the same value.
+            contribs = (
+                edges.select(
+                    "dst",
+                    F.expr(
+                        # BIGINT literal: the old `p` column was long,
+                        # so 85·p promoted; a bare int literal overflows
+                        # under ANSI at constant folding.
+                        f"({DAMP_NUM} * CAST({SCALE // n} AS BIGINT) * w)"
+                        f" div ({DAMP_DEN} * wout)"
+                    ).alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
-        )
+        else:
+            contribs = (
+                edges.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    "dst",
+                    F.expr(
+                        f"({DAMP_NUM} * p * w) div ({DAMP_DEN} * wout)"
+                    ).alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
+            )
         ranks = (
             nodes.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left"
