@@ -102,6 +102,13 @@ SINGLE_PARTITION_ALLOWLIST: dict[str, tuple[int, str]] = {
         "single-file staging for the file-source fixture writer (same "
         "chunk-per-trigger contract)",
     ),
+    "sources/sinks.py": (
+        1,
+        "foreachBatch upsert serving version: the merged table is "
+        "key-bounded (one row per upsert key), so each version is a "
+        "small bounded slice written as one file; the in-line comment "
+        "carries the at-scale repartition(target_file_size) form",
+    ),
 }
 
 _COLLECT = re.compile(r"\.collect\(\)")
