@@ -291,7 +291,15 @@ def foreach_batch_additive_merge(
                 .agg(*[F.sum(c).alias(c) for c in add_cols])
             )
         vdir = f"serving_b{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(out_dir, vdir))
+        # One file per MV version (guide §6 small-files): the merged
+        # table is key-bounded (one row per rollup key), and every
+        # later batch re-reads the live version — 8 shuffle-partition
+        # shards per version were pure open overhead.  A cluster
+        # serving a large key space repartitions to a target file
+        # size here instead.
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, vdir)
+        )
         tmp_ptr = os.path.join(out_dir, f"_ptr_{batch_id}")
         with open(tmp_ptr, "w") as fh:
             json.dump({"dir": vdir, "last_applied": batch_id}, fh)
