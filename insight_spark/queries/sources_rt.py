@@ -1534,20 +1534,31 @@ def delta_index_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
     )
     docs = load_table(spark, sf_dir, "documents")
-    base_tables = write_search_index(
-        spark,
-        docs.filter(F.col("doc_id") % 10 != 0),
-        _rt_path(sf_dir, "delta_idx_base"),
-        n_buckets=8,
-        table_prefix=f"delta_idx_base_{tag}",
-    )
-    delta_tables = write_search_index(
-        spark,
-        docs.filter(F.col("doc_id") % 10 == 0),
-        _rt_path(sf_dir, "delta_idx_delta"),
-        n_buckets=8,
-        table_prefix=f"delta_idx_delta_{tag}",
-    )
+    # The base and delta segment builds are fully independent (disjoint
+    # doc subsets, distinct tables/paths) — overlapped from two driver
+    # threads so the delta's tasks back-fill the base write's tail
+    # (guide §2.6); offline segment builds on a real cluster run as
+    # concurrent jobs for the same reason.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        base_fut = pool.submit(
+            write_search_index,
+            spark,
+            docs.filter(F.col("doc_id") % 10 != 0),
+            _rt_path(sf_dir, "delta_idx_base"),
+            8,
+            f"delta_idx_base_{tag}",
+        )
+        delta_fut = pool.submit(
+            write_search_index,
+            spark,
+            docs.filter(F.col("doc_id") % 10 == 0),
+            _rt_path(sf_dir, "delta_idx_delta"),
+            8,
+            f"delta_idx_delta_{tag}",
+        )
+        base_tables, delta_tables = base_fut.result(), delta_fut.result()
     base = search_term_lookup(spark, base_tables["postings"], "join")
     delta = search_term_lookup(spark, delta_tables["postings"], "join")
     merged = base.select(
