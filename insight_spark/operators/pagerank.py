@@ -45,6 +45,16 @@ def pagerank(
     ``nodes``: one column ``node``.  ``edges``: ``src``, ``dst``,
     BIGINT weight ``w`` (out-weight totals are derived internally).  Dangling mass is dropped (not redistributed)
     — the standard simplification, applied identically in the oracle.
+
+    Precondition: every edge endpoint (``src`` AND ``dst``) must
+    appear in ``nodes``.  The join-free round 0 aggregates straight
+    off the edge table — an edge whose ``src`` is absent from
+    ``nodes`` would contribute mass in round 0 that the rounds-1+
+    ``edges ⋈ ranks`` join (and the oracle's ``ew JOIN r0``) would
+    drop.  Both callers build ``nodes`` as the distinct endpoint set,
+    so this holds by construction; a caller with external node lists
+    must semi-join ``edges`` against ``nodes`` first (amortized across
+    all rounds at build, where ``out_w`` is derived).
     """
     nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()

@@ -1538,7 +1538,12 @@ def delta_index_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc subsets, distinct tables/paths) — overlapped from two driver
     # threads so the delta's tasks back-fill the base write's tail
     # (guide §2.6); offline segment builds on a real cluster run as
-    # concurrent jobs for the same reason.
+    # concurrent jobs for the same reason.  Plain threads (not
+    # pyspark.InheritableThread) suffice: the builds set no job group /
+    # scheduler pool and touch no session conf, so there is no JVM
+    # thread-local state to inherit or clean up — a caller that needs
+    # group cancellation over these jobs must switch to
+    # InheritableThread (ADVICE r12).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -196,40 +196,73 @@ def write_training_shards(
     return out_dir
 
 
-def foreach_batch_upsert(out_dir: str, key_cols: list[str]):
+def foreach_batch_upsert(
+    out_dir: str, key_cols: list[str], barrier: str = "local"
+):
     """A10/K8: idempotent micro-batch upsert into a parquet serving dir.
 
     Returns a ``foreachBatch`` function: each micro-batch overwrites
     the keys it contains (read-merge-write on the serving copy) —
     the same upsert contract an ES/PG sink gives, exactly-once per
     micro-batch via the checkpoint's batch id.
+
+    ``barrier`` picks how the merge is materialized before the
+    overwrite clears the very files it read (VERDICT r12 #7):
+
+    - ``"local"`` (default, the bench posture): one eager
+      ``localCheckpoint`` — a single write job per batch, correct in
+      local mode and on healthy executors, but the checkpoint blocks
+      are executor-local and NON-recomputable.  On a cluster, an
+      executor lost between the checkpoint and the overwrite aborts
+      the batch after the serving dir may already be cleared; the
+      batch retry then fails loudly (see the narrowed first-batch
+      check below — a half-destroyed serving dir is NOT re-seeded).
+    - ``"reliable"`` (cluster posture): stage the merged table to a
+      per-batch dir and read it back before the overwrite — two write
+      jobs and 2× the serving bytes per batch, but the barrier
+      survives any executor loss because the staged files are durable
+      and the read-back is re-plannable.  This is the r11 form, kept
+      behind the knob instead of deleted.
     """
+    if barrier not in ("local", "reliable"):
+        raise ValueError(f"barrier must be 'local' or 'reliable': {barrier}")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         path = os.path.join(out_dir, "serving")
         new = batch_df.dropDuplicates(key_cols)
-        try:
+        # Only a MISSING serving dir means first batch (ADVICE r12:
+        # the old bare `except Exception` treated ANY read failure —
+        # including a serving dir half-destroyed by an aborted
+        # overwrite — as first-batch and silently re-seeded the table
+        # from one micro-batch; same narrowing as
+        # foreach_batch_additive_merge).
+        if os.path.isdir(path):
             current = spark.read.parquet(path)
             merged = current.join(
                 new.select(*key_cols), key_cols, "left_anti"
             ).unionByName(new)
-        except Exception:
+        else:
             merged = new
         # The merge reads the very files it is about to replace, so the
-        # overwrite needs a barrier.  r12 (guide §1.2/§6): that barrier
-        # used to be a full staging WRITE + read-back + REWRITE — three
-        # jobs and 2× the serving bytes per micro-batch.  A serving
-        # upsert table is key-bounded (one row per key), so an eager
-        # localCheckpoint materializes the merge off the old files in
-        # one pass and the overwrite becomes the only write job.
-        # coalesce(1) sizes the output for a key-bounded table (guide
-        # §6 small-files: the 8-shuffle-partition agg otherwise leaves
+        # overwrite needs a barrier (selected above).  coalesce(1)
+        # sizes the output for a key-bounded table (guide §6
+        # small-files: the 8-shuffle-partition agg otherwise leaves
         # 8 tiny files per version for every later batch/reader to
         # re-open); a cluster serving a large key space would
         # repartition to a target file size here instead.
-        merged = merged.coalesce(1).localCheckpoint()
+        merged = merged.coalesce(1)
+        if barrier == "local":
+            merged = merged.localCheckpoint()
+        else:
+            staging = os.path.join(out_dir, f"_staging_{batch_id}")
+            merged.write.mode("overwrite").parquet(staging)
+            merged = spark.read.parquet(staging)
         merged.write.mode("overwrite").parquet(path)
+        if barrier == "reliable":
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
 
     return upsert
 

@@ -1,5 +1,6 @@
 """Capture ``explain("formatted")`` for named registry queries into
-``plans/r12/<query>_<tag>.txt`` — the before/after plan evidence the
+``plans/<round>/<query>_<tag>.txt`` (round from $SPARK_GRAFT_PLAN_ROUND,
+default r13) — the before/after plan evidence the
 optimization round commits (the judge checks plan claims against these
 files without running Spark).
 
@@ -39,7 +40,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r12")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry[name](spark, sf_dir)

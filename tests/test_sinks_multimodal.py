@@ -97,6 +97,48 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert served.select("user_id").distinct().count() == b1.count()
 
 
+def test_foreach_batch_upsert_reliable_barrier(spark, tmp_path):
+    """VERDICT r12 #7: the cluster-posture 'reliable' (staged, durable)
+    barrier yields the same serving content as the default
+    localCheckpoint barrier, stays idempotent under replay, and cleans
+    up its staging dirs."""
+    ev = load_table(spark, SF_DIR, "events")
+    b1 = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    b2 = b1.withColumn("n", F.col("n") + F.lit(1)).limit(5)
+    outs = {}
+    for barrier in ("local", "reliable"):
+        out = str(tmp_path / f"serving_{barrier}")
+        upsert = foreach_batch_upsert(out, ["user_id"], barrier=barrier)
+        upsert(b1, 0)
+        upsert(b2, 1)
+        upsert(b2, 1)  # replay of the last batch must be a no-op merge
+        served = spark.read.parquet(os.path.join(out, "serving"))
+        outs[barrier] = sorted(tuple(r) for r in served.collect())
+        assert not [
+            d for d in os.listdir(out) if d.startswith("_staging")
+        ], "reliable barrier must GC its staging dirs"
+    assert outs["local"] == outs["reliable"]
+
+
+def test_foreach_batch_upsert_no_silent_reseed(spark, tmp_path):
+    """ADVICE r12: a serving dir that EXISTS but cannot be read (e.g.
+    half-destroyed by an aborted overwrite) must fail the batch loudly,
+    not be treated as first-batch and silently re-seeded from one
+    micro-batch."""
+    import pytest
+
+    out = str(tmp_path / "serving_damaged")
+    upsert = foreach_batch_upsert(out, ["user_id"])
+    ev = load_table(spark, SF_DIR, "events")
+    b1 = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    upsert(b1, 0)
+    serving = os.path.join(out, "serving")
+    for f in os.listdir(serving):  # keep the dir, destroy its contents
+        os.unlink(os.path.join(serving, f))
+    with pytest.raises(Exception):
+        upsert(b1, 1)
+
+
 def test_multimodal_plumbing(spark):
     docs = load_table(spark, SF_DIR, "documents")
     media = attach_media_columns(docs)
