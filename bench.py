@@ -571,6 +571,37 @@ def main() -> None:
     # warm the JVM / codegen paths
     load_table(spark, sf_dir, "lineitem").count()
 
+    # A/A calibration probe (VERDICT r12 task 2, guide §1): constant
+    # work whose cost depends only on the box, never on the engine, so
+    # a PERF comparison across rounds can separate machine drift from
+    # plan drift (r12's 12 false "regressions" were a uniform ~2.5×
+    # box-speed shift that nothing in the JSON line could expose).
+    # Two components, each best-of-3 like the queries they calibrate:
+    #  - cpu: a fixed 2M-iteration pure-Python integer loop — scales
+    #    with single-core speed (hypervisor steal, frequency).
+    #  - noop_job: one 1-task Spark job over a constant range with a
+    #    noop sink — scales with JVM task-dispatch + codegen fixed
+    #    overhead, the floor under every sub-second query.
+    calib: dict[str, float] = {}
+    best_cpu = best_job = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best_cpu = min(best_cpu, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, numPartitions=1)
+            .selectExpr("sum(id % 1000) as s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best_job = min(best_job, time.perf_counter() - t0)
+    calib["cpu"] = round(best_cpu, 4)
+    calib["noop_job"] = round(best_job, 4)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in queries_to_run:
@@ -659,6 +690,7 @@ def main() -> None:
         "queries": timings,
         "funnel_stages": stages,
         "stress_subset": stress_subset,
+        "calib_s": calib,
         "sf": sf,
     }
     if errors:
@@ -673,6 +705,7 @@ def main() -> None:
         "n_errors": len(errors),
         "funnel_stages": stages,
         "stress_subset": stress_subset,
+        "calib_s": calib,
         "full": "BENCH_full.json",
         "sf": sf,
     }
