@@ -30,3 +30,31 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def registry_builds(spark):
+    """Every declared query built ONCE per test session, cached as
+    ``name -> (DataFrame, executed-plan string)``.
+
+    The registry-wide structural gates (the collect lint, the decimal
+    lint, the unpartitioned-window lint, the rowwise-Python lint, the
+    oracle result-type lint) each used to build all 480 queries
+    themselves — five separate full-registry builds, and a build is
+    not free: the side-effecting queries (stream drains, manifest
+    commits, iterative rounds) EXECUTE while their DataFrame is being
+    built.  Those five tests were 17 of the non-parity suite's 26
+    minutes (r13 measurement), which is what pushed the suite past the
+    driver's pytest window (VERDICT r12 task 1).  One shared build per
+    session keeps every gate's full-registry coverage at a fifth of
+    the cost."""
+    from insight_spark.queries import all_queries
+
+    builds = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        builds[name] = (
+            df,
+            df._jdf.queryExecution().executedPlan().toString(),
+        )
+    return builds

@@ -78,11 +78,12 @@ def test_groupby_has_map_side_combine(spark):
     )
 
 
-def test_no_query_collects_in_plan_building(spark):
+def test_no_query_collects_in_plan_building(registry_builds):
     """Operators must stay lazy: building every declared plan triggers
-    no Spark job except explicitly documented driver-side lookups."""
-    for name, fn in all_queries().items():
-        df = fn(spark, SF)  # must not raise, must return a DataFrame
+    no Spark job except explicitly documented driver-side lookups.
+    (Build happens once per session in the registry_builds fixture —
+    a failing build fails there, with the query name in the trace.)"""
+    for name, (df, _) in registry_builds.items():
         assert df.columns, f"{name} returned no columns"
 
 
@@ -437,7 +438,7 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert set(rows) == {"purchase"}
 
 
-def test_no_rowwise_python_anywhere_in_bench_surface(spark):
+def test_no_rowwise_python_anywhere_in_bench_surface(registry_builds):
     """Engine-wide guard: no benched query may plan a row-at-a-time
     Python eval (BatchEvalPython).  Arrow-batched forms
     (ArrowEvalPython, FlatMapGroupsInPandas, MapInPandas/Arrow) are the
@@ -449,7 +450,7 @@ def test_no_rowwise_python_anywhere_in_bench_surface(spark):
     for name in bench.BENCH_QUERIES:
         if name in bench.ITERATIVE:
             continue
-        plan = _plan(spark, name)
+        plan = registry_builds[name][1]
         assert "BatchEvalPython" not in plan, f"{name} plans rowwise Python"
 
 
@@ -472,7 +473,7 @@ from insight_spark.plans.audit import (  # noqa: E402
 _BOUNDED_GLOBAL_WINDOW_OK = _SHARED_WINDOW_OK
 
 
-def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
+def test_no_unpartitioned_window_anywhere_in_declared_surface(registry_builds):
     """Engine-wide guard (companion to the rowwise-Python guard): no
     declared query may plan a Window whose partition spec is empty —
     the shape that serializes the whole input onto ONE task at scale —
@@ -480,9 +481,7 @@ def test_no_unpartitioned_window_anywhere_in_declared_surface(spark):
     Catches the `WARN WindowExec: No Partition Defined` class of
     regression at test time instead of in a 100 TB run."""
     offenders = {}
-    for name, fn in all_queries().items():
-        df = fn(spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, (_, plan) in registry_builds.items():
         if name in _BOUNDED_GLOBAL_WINDOW_OK:
             # an allowlist entry is a boundedness CLAIM, machine-
             # verified from the plan (VERDICT r11 task 8): every

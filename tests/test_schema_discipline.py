@@ -26,15 +26,13 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql.types import DecimalType, TimestampType
 
-from insight_spark.queries import all_queries
 from insight_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
-def test_no_decimal_output_columns(spark):
+def test_no_decimal_output_columns(registry_builds):
     offenders = {}
-    for name, fn in all_queries().items():
-        df = fn(spark, SF_DIR)
+    for name, (df, _) in registry_builds.items():
         dec = [
             f.name
             for f in df.schema.fields
@@ -192,16 +190,15 @@ def _classes_compatible(duck: str, spark: str) -> bool:
     return False
 
 
-def test_oracle_result_types_match_spark(spark):
+def test_oracle_result_types_match_spark(registry_builds):
     con = _duckdb.connect()
     for t in _TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    queries = all_queries()
     offenders: dict[str, list[str]] = {}
     for name, sql in all_oracle_sql().items():
         rel = con.sql(sql)
-        sdf = queries[name](spark, SF_DIR)
+        sdf = registry_builds[name][0]
         sfields = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
         problems = []
         if sorted(rel.columns) != sorted(sfields):
