@@ -407,6 +407,10 @@ ITERATIVE = {
     "compaction_roundtrip",
     # candidate-set localCheckpoint runs during build
     "jaccard_threshold_sweep",
+    # r13: the prefix-filter operator materializes its token and
+    # prefix tables during build (the double-evaluation fix), so the
+    # timed region must rebuild
+    "jaccard_threshold_join",
     # CC convergence loop runs during build
     "entity_resolution_golden",
     # eval-matrix collect runs during build

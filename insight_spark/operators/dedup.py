@@ -336,10 +336,23 @@ def prefix_filtered_jaccard_join(
     makes corpus-wide similarity join feasible without |docs|².
     """
     t_num, t_den = threshold_num, threshold_den
+    # The token table feeds FIVE subplan evaluations downstream (the
+    # vocabulary-frequency aggregate, both sides of the ranked join,
+    # and both verification set joins) and the tokenizer is the
+    # expensive part of each — materialize it once (guide §1.2: don't
+    # compute things twice; §3.3: materializing an intermediate
+    # truncates the repeated subtree).  r12 measured the
+    # double-evaluation but could not separate this fix from machine
+    # noise on a degraded box; re-measured r13 on a quiet box (see
+    # OPTIMIZATION_r13.md).  localCheckpoint is executor-local and
+    # non-recomputable — fine for a batch analytics job where a lost
+    # executor fails the query and the caller re-runs; a long-lived
+    # cluster pipeline would swap in reliable checkpointing or a
+    # write + read-back at the same two points.
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(tokenize(F.col(text_col))).alias("_s"),
-    ).where(F.size("_s") > 0)
+    ).where(F.size("_s") > 0).localCheckpoint()
     freq = (
         toks.select(F.explode("_s").alias("_tok"))
         .groupBy("_tok")
@@ -360,6 +373,12 @@ def prefix_filtered_jaccard_join(
                 )
             ).alias("_tok"),
         )
+        # Both sides of the candidate self-join below are THIS subplan;
+        # without a barrier the frequency aggregate + per-doc sort run
+        # twice (r12's measured double evaluation).  One materialization
+        # feeds both sides; the join then scans ~|prefix| cached rows
+        # twice instead of re-deriving them.
+        .localCheckpoint()
     )
     # Candidates stay a STREAMING self-join here — deliberately NOT the
     # bucket-array form used by the MinHash LSH stages: a prefix-token
