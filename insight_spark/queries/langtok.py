@@ -261,12 +261,22 @@ def _bpe_train(
         merges.append((r, best["l"], best["r"], int(best["freq"])))
         pat = _SEP + best["l"] + _SEP * 2 + best["r"] + _SEP
         rep = _SEP + best["l"] + best["r"] + _SEP
-        # pat/rep contain only [a-y|] so repr() is a valid SQL literal
+        # pat/rep contain only [a-y|] so repr() is a valid SQL literal.
+        # r13 (VERDICT r12 task 6): NO per-round localCheckpoint — the
+        # apply is one REPLACE expression over the already-checkpointed
+        # vocab table, so round r's pair count evaluates a depth-(r-1)
+        # replace chain on |vocab| rows instead of paying a
+        # materialization JOB per round.  Jobs/round: 2 (argmax collect
+        # + checkpoint) → 1 (argmax collect); merge sequence bit-equal
+        # because the chain is the same deterministic arithmetic the
+        # checkpoint used to freeze.  Lineage depth is bounded by
+        # _BPE_ROUNDS (3) — re-checkpoint per round only if the round
+        # count ever grows enough for plan depth to matter.
         cur = cur.select(
             "word",
             "wf",
             F.expr(f"replace(s, {pat!r}, {rep!r})").alias("s"),
-        ).localCheckpoint()
+        )
     return cur, merges
 
 
