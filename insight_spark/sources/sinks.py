@@ -55,54 +55,79 @@ def write_search_index(
     post_table = f"{table_prefix}_postings"
     suggest_table = f"{table_prefix}_suggest"
 
-    # external tables (explicit path): bucketing metadata lives in the
-    # catalog, data at out_dir — no static warehouse conf needed
-    (
-        docs.write.mode("overwrite")
-        .bucketBy(n_buckets, "doc_id")
-        .sortBy("doc_id")
-        .option("path", os.path.join(out_dir, doc_table))
-        .format("parquet")
-        .saveAsTable(doc_table)
-    )
-
-    postings = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term")
+    # The doc-store write and the postings chain are independent jobs
+    # over distinct tables/paths — overlapped from two driver threads
+    # (guide §2.6) so each write's straggler/commit tail back-fills
+    # with the other's tasks, same pattern as the base/delta segment
+    # overlap in delta_index_merge_read.  The suggest table reads the
+    # WRITTEN posting table, so it stays ordered after postings inside
+    # its thread.  Plain threads suffice: no job group / scheduler
+    # pool / session conf is set here.  (r12 measured this overlap as
+    # noise-inconclusive on a degraded box; re-measured r13 on a quiet
+    # box — see OPTIMIZATION_r13.md.)
+    def _write_docs() -> None:
+        # external tables (explicit path): bucketing metadata lives in
+        # the catalog, data at out_dir — no static warehouse conf needed
+        (
+            docs.write.mode("overwrite")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id")
+            .option("path", os.path.join(out_dir, doc_table))
+            .format("parquet")
+            .saveAsTable(doc_table)
         )
-        .groupBy("term")
-        .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("posting"),
-            F.count("*").alias("df"),
-        )
-    )
-    (
-        postings.write.mode("overwrite")
-        .bucketBy(n_buckets, "term")
-        .sortBy("term")
-        .option("path", os.path.join(out_dir, post_table))
-        .format("parquet")
-        .saveAsTable(post_table)
-    )
 
-    # (3) the completion-suggester structure — ES keeps this SEPARATE
-    # from the inverted index (an FST keyed by input prefixes); the
-    # stand-in keys each term by its 2-char prefix and buckets on it,
-    # so a prefix lookup is an EQUALITY on the bucket column and
-    # bucket-prunes to 1 of n files, exactly like the term point
-    # lookup.  Derived by reading the WRITTEN posting table (one
-    # aggregated scan, no re-tokenization).
-    suggest = spark.table(post_table).select(
-        F.substring("term", 1, 2).alias("prefix2"), "term", "df"
-    )
-    (
-        suggest.write.mode("overwrite")
-        .bucketBy(n_buckets, "prefix2")
-        .sortBy("prefix2", "term")
-        .option("path", os.path.join(out_dir, suggest_table))
-        .format("parquet")
-        .saveAsTable(suggest_table)
-    )
+    def _write_postings_then_suggest() -> None:
+        postings = (
+            docs.select(
+                "doc_id",
+                F.explode(F.array_distinct(tokenize(F.col("text")))).alias(
+                    "term"
+                ),
+            )
+            .groupBy("term")
+            .agg(
+                F.sort_array(F.collect_list("doc_id")).alias("posting"),
+                F.count("*").alias("df"),
+            )
+        )
+        (
+            postings.write.mode("overwrite")
+            .bucketBy(n_buckets, "term")
+            .sortBy("term")
+            .option("path", os.path.join(out_dir, post_table))
+            .format("parquet")
+            .saveAsTable(post_table)
+        )
+
+        # the completion-suggester structure — ES keeps this SEPARATE
+        # from the inverted index (an FST keyed by input prefixes); the
+        # stand-in keys each term by its 2-char prefix and buckets on
+        # it, so a prefix lookup is an EQUALITY on the bucket column
+        # and bucket-prunes to 1 of n files, exactly like the term
+        # point lookup.  Derived by reading the WRITTEN posting table
+        # (one aggregated scan, no re-tokenization).
+        suggest = spark.table(post_table).select(
+            F.substring("term", 1, 2).alias("prefix2"), "term", "df"
+        )
+        (
+            suggest.write.mode("overwrite")
+            .bucketBy(n_buckets, "prefix2")
+            .sortBy("prefix2", "term")
+            .option("path", os.path.join(out_dir, suggest_table))
+            .format("parquet")
+            .saveAsTable(suggest_table)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(_write_docs),
+            pool.submit(_write_postings_then_suggest),
+        ]
+        for fut in futures:
+            fut.result()
     return {"docs": doc_table, "postings": post_table, "suggest": suggest_table}
 
 
