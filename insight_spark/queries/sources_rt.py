@@ -2274,21 +2274,43 @@ def multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(p, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    ov1 = log_append(
-        orders.filter(F.col("o_orderkey") <= 100), orders_t,
-        expected_version=0,
-    )
-    cv1 = log_append(
-        cust.filter(F.col("c_custkey") <= 50), cust_t, expected_version=0
-    )
+
+    # r13 (guide §2.6): the orders v1→v2 append chain and the customers
+    # append hit DISTINCT table logs — the only ordering the publish
+    # sets need is ov1 before ov2 (expected_version CAS) and both
+    # members written before their set publishes.  Two driver threads
+    # overlap the independent write jobs so one table's commit tail
+    # back-fills with the other's tasks; versions stay deterministic
+    # because every expected_version is passed explicitly.  The set
+    # publishes themselves stay sequential: set_version assignment is
+    # an O_EXCL counter and s1 < s2 is part of the result.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _orders_chain() -> tuple[int, int]:
+        ov1 = log_append(
+            orders.filter(F.col("o_orderkey") <= 100), orders_t,
+            expected_version=0,
+        )
+        ov2 = log_append(
+            orders.filter(
+                (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+            ),
+            orders_t,
+            expected_version=ov1,
+        )
+        return ov1, ov2
+
+    def _cust_write() -> int:
+        return log_append(
+            cust.filter(F.col("c_custkey") <= 50), cust_t, expected_version=0
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_orders = pool.submit(_orders_chain)
+        f_cust = pool.submit(_cust_write)
+        ov1, ov2 = f_orders.result()
+        cv1 = f_cust.result()
     s1 = publish_set(meta, {orders_t: ov1, cust_t: cv1})
-    ov2 = log_append(
-        orders.filter(
-            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
-        ),
-        orders_t,
-        expected_version=ov1,
-    )
     s2 = publish_set(meta, {orders_t: ov2, cust_t: cv1})
 
     def leg(set_v: int):
@@ -2300,7 +2322,11 @@ def multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "set_version int, n_orders long, n_customers long",
         )
 
-    return leg(s1).unionByName(leg(s2))
+    # the two snapshot reads are independent count jobs — overlap them
+    # the same way (results are deterministic row counts)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        leg1, leg2 = pool.map(leg, [s1, s2])
+    return leg1.unionByName(leg2)
 
 
 @query(
