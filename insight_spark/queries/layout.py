@@ -342,8 +342,11 @@ def zorder_zone_map_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot_pruned_multi,
     )
 
+    from insight_spark.engine import scratch_base
+
     base = os.path.join(
-        "/tmp/insight_spark_rt",
+        scratch_base(),  # r13: tmpfs scratch, same move as sources_rt
+        "sources_rt",
         os.path.basename(os.path.normpath(sf_dir)),
         "zorder_zone",
     )

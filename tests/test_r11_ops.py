@@ -42,7 +42,9 @@ def test_zorder_layout_write_is_one_pass(spark):
     # Structural pin: ONE commit per layout (the loop shape committed
     # once per bucket => version == n_buckets), yet still one file per
     # bucket, each with zone-map stats on both probe columns.
-    base = "/tmp/insight_spark_rt/sf0.001/zorder_zone"
+    from insight_spark.engine import scratch_base
+
+    base = os.path.join(scratch_base(), "sources_rt/sf0.001/zorder_zone")
     for name in ("z", "lin"):
         tbl = os.path.join(base, name)
         assert latest_version(tbl) == 1, (
