@@ -359,7 +359,8 @@ def zorder_zone_map_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zpts = pts.withColumn("b", F.expr("zval div 128"))
     lpts = pts.withColumn("b", F.expr("x div 4"))
-    for name, layed in (("z", zpts), ("lin", lpts)):
+    def _write_layout(arg) -> None:
+        name, layed = arg
         tbl = os.path.join(base, name)
         # ONE job per layout (VERDICT r10 "what's wrong" #1 — the old
         # per-bucket filter loop re-scanned the full input ≤8 times):
@@ -374,6 +375,24 @@ def zorder_zone_map_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl,
             stats_cols=["x", "y"],
             partition_by=["b"],
+        )
+
+    # r13 (guide §2.6): the two layouts are independent jobs over
+    # distinct table logs — overlap them from two driver threads so
+    # one write's commit tail back-fills with the other's tasks.
+    # inheritable_thread_target (ADVICE r12) so the writes keep the
+    # caller's job group — tests/test_r11_ops.py pins the probe's
+    # job count inside a group.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                inheritable_thread_target(_write_layout),
+                (("z", zpts), ("lin", lpts)),
+            )
         )
     zdf, z_scan, z_total = read_snapshot_pruned_multi(
         spark, os.path.join(base, "z"), [("y", 8, 11)]
